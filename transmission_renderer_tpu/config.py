@@ -1,0 +1,96 @@
+"""Renderer configuration.
+
+Mirrors the reference's CLI (``Opt``, reference src/main.rs:65-91) and its
+compile-time constants (src/main.rs:56-63, shared-structs/src/lib.rs:322)
+as one dataclass so scenes match the reference defaults exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # --- framebuffer -------------------------------------------------------
+    width: int = 1920
+    height: int = 1080
+
+    # --- projection (reference src/main.rs:39-57) --------------------------
+    z_near: float = 0.01
+    z_far: float = 500.0
+    vertical_fov: float = math.radians(59.0)
+
+    # --- clustered lighting grid (reference src/main.rs:60-63) -------------
+    num_clusters_x: int = 24
+    num_clusters_y: int = 16
+    num_depth_slices: int = 16
+    # reference shared-structs/src/lib.rs:322
+    max_lights_per_cluster: int = 128
+
+    # --- CLI-equivalent knobs (reference src/main.rs:65-91) ----------------
+    scale: float = 1.0
+    roughness_override: float | None = None
+    ray_traced_shadows: bool = False
+    spotlights: bool = False
+    rotate_model: bool = False
+    debug_clusters: bool = False
+
+    # --- raster tiling (TPU-specific; no reference equivalent) -------------
+    # Tile size for the binned rasteriser. 8 x 128 matches a float32 VPU
+    # register tile (sublane x lane).
+    tile_h: int = 8
+    tile_w: int = 128
+    # Static capacity of the per-tile triangle bins. Triangles whose screen
+    # bounding box covers more tiles than `max_tiles_per_tri` fall back to
+    # the (small, every-tile-visits-it) big-triangle list.
+    max_tris_per_tile: int = 2048
+    max_tiles_per_tri: int = 32
+    max_big_tris: int = 256
+
+    # --- precision ---------------------------------------------------------
+    # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,
+    # hard part 6); bf16 is only used where it cannot affect fidelity.
+    dtype: str = "float32"
+
+    @property
+    def num_clusters(self) -> int:
+        return self.num_clusters_x * self.num_clusters_y * self.num_depth_slices
+
+    @property
+    def framebuffer_size(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    @property
+    def cluster_size_in_pixels(self) -> tuple[float, float]:
+        # reference src/main.rs:540-542
+        return (
+            self.width / self.num_clusters_x,
+            self.height / self.num_clusters_y,
+        )
+
+
+# Bindless image table capacity (reference src/main.rs:59). The TPU build
+# uses a flat texel atlas rather than a descriptor table, so this is only a
+# default metadata-table size, not a hard limit.
+MAX_IMAGES = 193
+
+# Draw-bucket indices (reference src/model_loading.rs:68-78).
+BUCKET_OPAQUE = 0
+BUCKET_ALPHA_CLIP = 1
+BUCKET_TRANSMISSION = 2
+BUCKET_TRANSMISSION_ALPHA_CLIP = 3
+NUM_DRAW_BUCKETS = 4
