@@ -1,0 +1,219 @@
+"""glTF loader tests against synthetic assets written on the fly."""
+
+import base64
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from transmission_renderer_tpu.scene.builder import SceneBuilder
+from transmission_renderer_tpu.scene.gltf import GltfDocument, load_gltf
+
+
+def _buffer_uri(data: bytes) -> str:
+    return "data:application/octet-stream;base64," + base64.b64encode(data).decode()
+
+
+def _png_data_uri(rgba: np.ndarray) -> str:
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(rgba).save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def make_tri_gltf(tmp_path, *, transmission=False, alpha_mask=False, scale=2.0):
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    normals = np.tile(np.array([0, 0, 1], np.float32), (3, 1))
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    blob = (
+        positions.tobytes() + normals.tobytes() + uvs.tobytes() + indices.tobytes()
+    )
+    tex = np.zeros((4, 4, 4), np.uint8)
+    tex[..., 0] = 255
+    tex[..., 3] = 255
+
+    material = {
+        "pbrMetallicRoughness": {
+            "baseColorFactor": [0.5, 0.6, 0.7, 1.0],
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.25,
+            "roughnessFactor": 0.75,
+        },
+        "emissiveFactor": [0.1, 0.2, 0.3],
+        "extensions": {"KHR_materials_ior": {"ior": 1.33}},
+    }
+    if transmission:
+        material["extensions"]["KHR_materials_transmission"] = {
+            "transmissionFactor": 0.9
+        }
+        material["extensions"]["KHR_materials_volume"] = {
+            "thicknessFactor": 0.4,
+            "attenuationDistance": 2.0,
+            "attenuationColor": [0.9, 0.5, 0.2],
+        }
+    if alpha_mask:
+        material["alphaMode"] = "MASK"
+        material["alphaCutoff"] = 0.25
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [
+            {"mesh": 0, "translation": [1, 2, 3], "scale": [scale, scale, scale]}
+        ],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                        "indices": 3,
+                        "material": 0,
+                    }
+                ]
+            }
+        ],
+        "materials": [material],
+        "textures": [{"source": 0}],
+        "images": [{"uri": _png_data_uri(tex)}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 24},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 6},
+        ],
+        "buffers": [{"uri": _buffer_uri(blob), "byteLength": len(blob)}],
+    }
+    p = tmp_path / "tri.gltf"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_load_simple_triangle(tmp_path):
+    path = make_tri_gltf(tmp_path)
+    b = SceneBuilder()
+    load_gltf(path, b)
+    scene = b.finish()
+    assert scene.num_triangles == 1
+    assert scene.num_instances == 1
+    np.testing.assert_allclose(
+        np.asarray(scene.inst_transform.translation)[0], [1, 2, 3]
+    )
+    assert float(scene.inst_transform.scale[0]) == 2.0
+    m = scene.materials
+    assert float(m.metallic_factor[0]) == 0.25
+    assert float(m.roughness_factor[0]) == 0.75
+    assert float(m.index_of_refraction[0]) == pytest.approx(1.33)
+    np.testing.assert_allclose(
+        np.asarray(m.diffuse_factor)[0], [0.5, 0.6, 0.7, 1.0]
+    )
+    assert int(m.tex_diffuse[0]) == 0
+    assert int(m.tex_normal_map[0]) == -1
+    assert int(scene.prim_draw_bucket[0]) == 0  # opaque
+    # infinite attenuation distance by default
+    assert np.isinf(float(m.attenuation_distance[0]))
+
+
+def test_transmission_material_classification(tmp_path):
+    path = make_tri_gltf(tmp_path, transmission=True)
+    b = SceneBuilder()
+    load_gltf(path, b, base_scale=3.0)
+    scene = b.finish()
+    assert int(scene.prim_draw_bucket[0]) == 2  # transmission bucket
+    m = scene.materials
+    assert float(m.transmission_factor[0]) == pytest.approx(0.9)
+    assert float(m.thickness_factor[0]) == pytest.approx(0.4)
+    # attenuation distance scaled by model scale (src/model_loading.rs:315-318)
+    assert float(m.attenuation_distance[0]) == pytest.approx(2.0 * 3.0)
+    # node scale composes with base scale
+    assert float(scene.inst_transform.scale[0]) == pytest.approx(6.0)
+
+
+def test_alpha_mask_bucket(tmp_path):
+    path = make_tri_gltf(tmp_path, alpha_mask=True)
+    b = SceneBuilder()
+    load_gltf(path, b)
+    scene = b.finish()
+    assert int(scene.prim_draw_bucket[0]) == 1
+    assert float(scene.materials.alpha_clipping_cutoff[0]) == pytest.approx(0.25)
+
+
+def test_glb_roundtrip(tmp_path):
+    """Pack the same document as GLB and check it parses identically."""
+    gltf_path = make_tri_gltf(tmp_path)
+    with open(gltf_path) as f:
+        doc = json.load(f)
+    # move the buffer into the binary chunk
+    blob = base64.b64decode(doc["buffers"][0]["uri"].split(",", 1)[1])
+    doc["buffers"][0] = {"byteLength": len(blob)}
+    json_bytes = json.dumps(doc).encode()
+    json_bytes += b" " * (-len(json_bytes) % 4)
+    blob_p = blob + b"\x00" * (-len(blob) % 4)
+    glb = (
+        struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(json_bytes) + 8 + len(blob_p))
+        + struct.pack("<II", len(json_bytes), 0x4E4F534A)
+        + json_bytes
+        + struct.pack("<II", len(blob_p), 0x004E4942)
+        + blob_p
+    )
+    glb_path = tmp_path / "tri.glb"
+    glb_path.write_bytes(glb)
+
+    g = GltfDocument.load(str(glb_path))
+    pos = g.read_accessor(0)
+    np.testing.assert_allclose(pos, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    b = SceneBuilder()
+    load_gltf(str(glb_path), b)
+    scene = b.finish()
+    assert scene.num_triangles == 1
+
+
+def test_node_hierarchy_composition(tmp_path):
+    """Parent/child TRS composes through the Similarity product."""
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [
+            {"children": [1], "translation": [10, 0, 0], "scale": [2, 2, 2]},
+            {"mesh": 0, "translation": [1, 0, 0]},
+        ],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": 0}, "indices": 1}]}
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5125, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 12},
+        ],
+        "buffers": [None],
+    }
+    blob = (
+        np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32).tobytes()
+        + np.array([0, 1, 2], np.uint32).tobytes()
+    )
+    doc["buffers"][0] = {"uri": _buffer_uri(blob), "byteLength": len(blob)}
+    p = tmp_path / "h.gltf"
+    p.write_text(json.dumps(doc))
+    b = SceneBuilder()
+    load_gltf(str(p), b)
+    scene = b.finish()
+    # world = parent * child: translation 10 + 2*1 = 12, scale 2
+    np.testing.assert_allclose(
+        np.asarray(scene.inst_transform.translation)[0], [12, 0, 0]
+    )
+    assert float(scene.inst_transform.scale[0]) == 2.0
+    # default material appended for primitives without one
+    assert scene.materials.num == 1

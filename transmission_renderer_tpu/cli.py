@@ -1,0 +1,219 @@
+"""CLI — mirrors the reference's ``Opt`` (src/main.rs:65-91) plus
+headless-renderer extensions (there is no window system on a TPU host; the
+interactive loop renders an animated camera path to PNGs instead of a
+swapchain).
+
+Usage examples (mirroring readme.md):
+    python -m transmission_renderer_tpu.cli DragonAttenuation --roughness-override 0.25
+    python -m transmission_renderer_tpu.cli --procedural dragon -o /tmp/out.png
+    python -m transmission_renderer_tpu.cli --procedural attenuation --frames 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="transmission-renderer-tpu",
+        description="TPU-native forward-plus glTF PBR renderer "
+        "(KHR_materials_transmission / KHR_materials_volume).",
+    )
+    # reference flags (src/main.rs:65-91)
+    p.add_argument(
+        "gltf_sample_model_name",
+        nargs="?",
+        default=None,
+        help="Name of the model inside the glTF-Sample-Models directory",
+    )
+    p.add_argument("--scale", "-s", type=float, default=1.0,
+                   help="Scale factor applied to the model")
+    p.add_argument("--roughness-override", type=float, default=None,
+                   help="Override the model's roughness factor")
+    p.add_argument("--external-model", action="store_true",
+                   help="Treat the positional arg as a full glTF/GLB path")
+    p.add_argument("--ray-tracing", action="store_true",
+                   help="Enable ray-traced shadows (BVH path)")
+    p.add_argument("--spotlights", action="store_true",
+                   help="Add the two animated test spotlights")
+    p.add_argument("--rotate-model", action="store_true",
+                   help="Rotate the last instance each frame")
+    p.add_argument("--log-leaks", action="store_true",
+                   help="Accepted for parity; JAX buffers are GC-managed")
+    # TPU-build extensions
+    p.add_argument("--procedural", choices=["test", "helmet", "dragon", "attenuation"],
+                   default=None, help="Render a built-in procedural scene")
+    p.add_argument("--detail", type=float, default=1.0,
+                   help="Geometry detail multiplier for procedural scenes "
+                   "(1.0 = benchmark detail; use ~0.2 for quick CPU runs)")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--frames", type=int, default=1,
+                   help="Number of frames along the orbit camera path")
+    p.add_argument("--output", "-o", default="frame.png",
+                   help="Output PNG (multi-frame: suffixed _NNN)")
+    p.add_argument("--no-sponza", action="store_true",
+                   help="Skip the Sponza base scene the reference always loads")
+    p.add_argument("--debug-clusters", action="store_true",
+                   help="Cluster false-colour debug view (the F-key toggle)")
+    p.add_argument("--cam-pos", type=float, nargs=3, default=[0.0, 2.2, 1.5],
+                   metavar=("X", "Y", "Z"), help="Camera position")
+    p.add_argument("--cam-pitch", type=float, default=-0.25,
+                   help="Camera pitch (radians)")
+    p.add_argument("--cam-yaw", type=float, default=0.0,
+                   help="Camera yaw (radians)")
+    p.add_argument("--sun-pitch", type=float, default=1.1,
+                   help="Sun pitch (reference default 1.1, src/main.rs:531)")
+    p.add_argument("--sun-yaw", type=float, default=4.8,
+                   help="Sun yaw (reference default 4.8)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="Shard the framebuffer over N devices (row bands)")
+    p.add_argument("--profile", action="store_true",
+                   help="Print per-pass timings via jax.profiler")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Import late so --help is instant.
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from transmission_renderer_tpu.config import RenderConfig
+    from transmission_renderer_tpu.models import (
+        build_attenuation_scene,
+        build_dragon_scene,
+        build_opaque_scene,
+        build_test_scene,
+    )
+    from transmission_renderer_tpu.pbr.lights import pack_lights, point_light, spot_light
+    from transmission_renderer_tpu.render import (
+        build_draw_list,
+        make_frame_params,
+        render_frame,
+        scene_flags,
+    )
+    from transmission_renderer_tpu.scene.camera import CameraRig, sun_normal
+    from transmission_renderer_tpu.scene.textures import linear_to_srgb
+    from transmission_renderer_tpu.utils import save_png
+
+    config = RenderConfig(
+        width=args.width,
+        height=args.height,
+        roughness_override=args.roughness_override,
+        scale=args.scale,
+        ray_traced_shadows=args.ray_tracing,
+        spotlights=args.spotlights,
+        rotate_model=args.rotate_model,
+        debug_clusters=args.debug_clusters,
+    )
+
+    # ---- scene -------------------------------------------------------------
+    if args.procedural:
+        d = args.detail
+        builder = {
+            "test": build_test_scene,
+            "helmet": lambda: build_opaque_scene(
+                stacks=max(int(64 * d), 8), sectors=max(int(128 * d), 16)
+            ),
+            "dragon": lambda: build_dragon_scene(
+                stacks=max(int(180 * d), 8),
+                sectors=max(int(360 * d), 16),
+                roughness_override=args.roughness_override,
+            ),
+            "attenuation": build_attenuation_scene,
+        }[args.procedural]()
+    elif args.gltf_sample_model_name:
+        from transmission_renderer_tpu.scene.gltf import load_gltf, path_for_gltf_model
+
+        builder = None
+        path = (
+            args.gltf_sample_model_name
+            if args.external_model
+            else path_for_gltf_model(args.gltf_sample_model_name)
+        )
+        from transmission_renderer_tpu.scene.builder import SceneBuilder
+        from transmission_renderer_tpu.scene.types import Similarity as _S
+
+        builder = SceneBuilder()
+        if not args.no_sponza:
+            # the reference always loads Sponza first (src/main.rs:342-351)
+            try:
+                load_gltf(path_for_gltf_model("Sponza"), builder)
+            except FileNotFoundError:
+                print("note: Sponza not found, skipping base scene", file=sys.stderr)
+        try:
+            load_gltf(
+                path, builder,
+                base_scale=args.scale,
+                roughness_override=args.roughness_override,
+            )
+        except FileNotFoundError as e:
+            print(f"error: model not found: {e.filename}", file=sys.stderr)
+            return 2
+    else:
+        print("error: give a model name or --procedural <scene>", file=sys.stderr)
+        return 2
+
+    scene = builder.finish()
+    dl = build_draw_list(scene)
+    flags = scene_flags(scene)
+    print(
+        f"scene: {scene.num_triangles} tris, {scene.num_instances} instances, "
+        f"{scene.materials.num} materials; flags={flags}"
+    )
+
+    # ---- lights (src/main.rs:450-472) ---------------------------------------
+    light_list = [
+        point_light([0.0, 0.8, 0.0], [1.0, 0.0, 0.0], 5.0),
+        point_light([8.0, 0.8, 0.0], [0.0, 1.0, 0.0], 10.0),
+    ]
+    if args.spotlights:
+        light_list += [
+            spot_light([0.0, 4.0, 0.0], [1.0, 1.0, 0.5], 50.0, [0.0, 0.0, 1.0], 0.7, 0.8),
+            spot_light([0.0, 4.0, 0.0], [1.0, 1.0, 0.5], 50.0, [0.0, 0.0, -1.0], 0.7, 0.8),
+        ]
+    lights = pack_lights(light_list)
+
+    rig = CameraRig()
+    rig.target_position = np.array(args.cam_pos, np.float32)
+    rig.target_pitch = args.cam_pitch
+    rig.target_yaw = args.cam_yaw
+    rig.camera.position = rig.target_position.copy()
+    rig.camera.pitch = rig.target_pitch
+    rig.camera.yaw = rig.target_yaw
+    rig.sun_pitch = args.sun_pitch
+    rig.sun_yaw = args.sun_yaw
+
+    render = jax.jit(partial(render_frame, config=config, flags=flags))
+
+    for frame in range(args.frames):
+        rig.update()
+        params = make_frame_params(
+            config, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+        )
+        t0 = time.time()
+        ldr = np.asarray(render(scene, dl, params, lights))
+        dt = time.time() - t0
+        out = (
+            args.output
+            if args.frames == 1
+            else args.output.replace(".png", f"_{frame:03d}.png")
+        )
+        save_png(out, linear_to_srgb(ldr))
+        print(f"frame {frame}: {dt*1000:.1f} ms -> {out}")
+        # simple orbit for multi-frame renders
+        rig.target_yaw += 0.1
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

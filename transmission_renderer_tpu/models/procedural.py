@@ -1,0 +1,256 @@
+"""Procedural meshes and benchmark scenes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from transmission_renderer_tpu.config import (
+    BUCKET_ALPHA_CLIP,
+    BUCKET_OPAQUE,
+    BUCKET_TRANSMISSION,
+)
+from transmission_renderer_tpu.scene.builder import SceneBuilder
+from transmission_renderer_tpu.scene.types import quat_from_axis_angle
+
+
+# ---------------------------------------------------------------------------
+# Meshes
+# ---------------------------------------------------------------------------
+
+def make_sphere_mesh(stacks: int = 32, sectors: int = 64, radius: float = 1.0):
+    """UV sphere -> (positions [V,3], normals [V,3], uvs [V,2], indices [T,3])."""
+    phi = np.linspace(0.0, np.pi, stacks + 1)
+    theta = np.linspace(0.0, 2.0 * np.pi, sectors + 1)
+    pg, tg = np.meshgrid(phi, theta, indexing="ij")
+    x = np.sin(pg) * np.cos(tg)
+    y = np.cos(pg)
+    z = np.sin(pg) * np.sin(tg)
+    normals = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    positions = normals * radius
+    u = tg / (2 * np.pi)
+    v = pg / np.pi
+    uvs = np.stack([u, v], -1).reshape(-1, 2).astype(np.float32)
+
+    idx = []
+    cols = sectors + 1
+    for i in range(stacks):
+        for j in range(sectors):
+            a = i * cols + j
+            b = a + cols
+            # CCW when viewed from outside (Vulkan front face depends on
+            # projection's y flip; our raster treats these as front faces).
+            idx.append([a, b, a + 1])
+            idx.append([a + 1, b, b + 1])
+    indices = np.array(idx, np.uint32)
+    return positions, normals, uvs, indices
+
+
+def make_box_mesh(half_extents=(1.0, 1.0, 1.0)):
+    hx, hy, hz = half_extents
+    faces = []
+    # (normal, tangent-u, tangent-v)
+    axes = [
+        ((1, 0, 0), (0, 0, -1), (0, -1, 0)),
+        ((-1, 0, 0), (0, 0, 1), (0, -1, 0)),
+        ((0, 1, 0), (1, 0, 0), (0, 0, 1)),
+        ((0, -1, 0), (1, 0, 0), (0, 0, -1)),
+        ((0, 0, 1), (1, 0, 0), (0, -1, 0)),
+        ((0, 0, -1), (-1, 0, 0), (0, -1, 0)),
+    ]
+    he = np.array([hx, hy, hz], np.float32)
+    positions, normals, uvs, indices = [], [], [], []
+    for n, tu, tv in axes:
+        n = np.array(n, np.float32)
+        tu = np.array(tu, np.float32)
+        tv = np.array(tv, np.float32)
+        base = len(positions)
+        for su, sv, uu, vv in [(-1, -1, 0, 0), (1, -1, 1, 0), (1, 1, 1, 1), (-1, 1, 0, 1)]:
+            positions.append((n + tu * su + tv * sv) * he)
+            normals.append(n)
+            uvs.append([uu, vv])
+        # CCW when viewed from outside (along +n)
+        indices.append([base, base + 2, base + 1])
+        indices.append([base, base + 3, base + 2])
+    return (
+        np.array(positions, np.float32),
+        np.array(normals, np.float32),
+        np.array(uvs, np.float32),
+        np.array(indices, np.uint32),
+    )
+
+
+def make_plane_mesh(half_size: float = 10.0, y: float = 0.0, uv_scale: float = 4.0):
+    positions = np.array(
+        [
+            [-half_size, y, -half_size],
+            [half_size, y, -half_size],
+            [half_size, y, half_size],
+            [-half_size, y, half_size],
+        ],
+        np.float32,
+    )
+    normals = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (4, 1))
+    uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32) * uv_scale
+    indices = np.array([[0, 2, 1], [0, 3, 2]], np.uint32)
+    return positions, normals, uvs, indices
+
+
+def checkerboard_texture(size: int = 256, cells: int = 8, c0=200, c1=60) -> np.ndarray:
+    ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    cell = ((xs * cells // size) + (ys * cells // size)) % 2
+    v = np.where(cell == 0, c0, c1).astype(np.uint8)
+    rgba = np.stack([v, v, v, np.full_like(v, 255)], -1)
+    return rgba
+
+
+def _displaced_sphere(stacks: int, sectors: int, seed: int = 7, amp: float = 0.15):
+    """A 'dragon-like' blobby high-poly mesh: sphere displaced by a few
+    low-frequency sinusoids (gives curvature variety for refraction)."""
+    positions, normals, uvs, indices = make_sphere_mesh(stacks, sectors)
+    rng = np.random.default_rng(seed)
+    p = positions
+    disp = np.zeros(len(p), np.float32)
+    for _ in range(5):
+        k = rng.normal(size=3).astype(np.float32) * 2.0
+        phase = rng.uniform(0, 2 * np.pi)
+        disp += np.sin(p @ k + phase).astype(np.float32)
+    r = 1.0 + amp * disp / 5.0
+    positions = (p * r[:, None]).astype(np.float32)
+    # recompute smooth normals from faces
+    tri = positions[indices.astype(np.int64)]
+    fn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    vn = np.zeros_like(positions)
+    np.add.at(vn, indices.reshape(-1).astype(np.int64), np.repeat(fn, 3, axis=0))
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = vn / np.maximum(norm, 1e-12)
+    return positions, vn.astype(np.float32), uvs, indices
+
+
+# ---------------------------------------------------------------------------
+# Scenes
+# ---------------------------------------------------------------------------
+
+def build_test_scene() -> SceneBuilder:
+    """Tiny scene for fast CPU tests: checker floor + one sphere + one box."""
+    b = SceneBuilder()
+    checker = b.add_texture(checkerboard_texture(64, 8), srgb=True)
+    floor_mat = b.add_material(
+        tex_diffuse=checker, roughness_factor=0.8, metallic_factor=0.0
+    )
+    red_mat = b.add_material(
+        diffuse_factor=(0.8, 0.1, 0.1, 1.0), roughness_factor=0.4, metallic_factor=0.0
+    )
+    metal_mat = b.add_material(
+        diffuse_factor=(0.9, 0.85, 0.7, 1.0), roughness_factor=0.3, metallic_factor=1.0
+    )
+    p_floor = b.add_primitive(*make_plane_mesh(6.0), bucket=BUCKET_OPAQUE)
+    p_sphere = b.add_primitive(*make_sphere_mesh(16, 32), bucket=BUCKET_OPAQUE)
+    p_box = b.add_primitive(*make_box_mesh((0.6, 0.6, 0.6)), bucket=BUCKET_OPAQUE)
+    b.add_instance(p_floor, floor_mat)
+    b.add_instance(p_sphere, red_mat, translation=(-1.2, 1.0, -3.0))
+    b.add_instance(
+        p_box, metal_mat, translation=(1.2, 0.6, -3.0),
+        rotation=quat_from_axis_angle([0, 1, 0], 0.5),
+    )
+    return b
+
+
+def build_opaque_scene(stacks: int = 64, sectors: int = 128) -> SceneBuilder:
+    """DamagedHelmet-analogue: one textured high-poly opaque object over a
+    floor (~16k tris at defaults)."""
+    b = SceneBuilder()
+    checker = b.add_texture(checkerboard_texture(512, 16), srgb=True)
+    noise_rng = np.random.default_rng(3)
+    mr = np.zeros((256, 256, 4), np.uint8)
+    mr[..., 1] = (noise_rng.uniform(80, 220, (256, 256))).astype(np.uint8)  # roughness in g
+    mr[..., 2] = (noise_rng.uniform(0, 255, (256, 256)) > 200) * 255  # metallic in b
+    mr[..., 3] = 255
+    mr_tex = b.add_texture(mr, srgb=False)
+    floor_mat = b.add_material(tex_diffuse=checker, roughness_factor=0.9)
+    helmet_mat = b.add_material(
+        diffuse_factor=(0.6, 0.45, 0.3, 1.0),
+        tex_metallic_roughness=mr_tex,
+        roughness_factor=1.0,
+        metallic_factor=1.0,
+    )
+    p_floor = b.add_primitive(*make_plane_mesh(8.0), bucket=BUCKET_OPAQUE)
+    p_obj = b.add_primitive(*_displaced_sphere(stacks, sectors), bucket=BUCKET_OPAQUE)
+    b.add_instance(p_floor, floor_mat)
+    b.add_instance(p_obj, helmet_mat, translation=(0.0, 1.4, -3.5))
+    return b
+
+
+def build_dragon_scene(
+    stacks: int = 180, sectors: int = 360, roughness_override: float | None = 0.25
+) -> SceneBuilder:
+    """DragonAttenuation-analogue flagship scene: a ~130k-tri displaced blob
+    with KHR_materials_transmission + volume over a checkered backdrop.
+
+    The reference's headline config is DragonAttenuation
+    (--roughness-override 0.25) at 1080p (BASELINE.md)."""
+    b = SceneBuilder()
+    checker = b.add_texture(checkerboard_texture(512, 12, 230, 40), srgb=True)
+    floor_mat = b.add_material(tex_diffuse=checker, roughness_factor=0.7)
+    wall_mat = b.add_material(
+        diffuse_factor=(0.35, 0.5, 0.7, 1.0), roughness_factor=0.9
+    )
+    glass_mat = b.add_material(
+        diffuse_factor=(1.0, 1.0, 1.0, 1.0),
+        roughness_factor=0.25 if roughness_override is None else roughness_override,
+        metallic_factor=0.0,
+        transmission_factor=1.0,
+        thickness_factor=0.6,
+        attenuation_distance=1.0,
+        attenuation_colour=(0.9, 0.4, 0.25),
+        index_of_refraction=1.5,
+    )
+    p_floor = b.add_primitive(*make_plane_mesh(10.0), bucket=BUCKET_OPAQUE)
+    p_wall = b.add_primitive(*make_box_mesh((6.0, 4.0, 0.2)), bucket=BUCKET_OPAQUE)
+    p_dragon = b.add_primitive(
+        *_displaced_sphere(stacks, sectors, amp=0.25), bucket=BUCKET_TRANSMISSION
+    )
+    p_prop = b.add_primitive(*make_sphere_mesh(24, 48), bucket=BUCKET_OPAQUE)
+    b.add_instance(p_floor, floor_mat)
+    b.add_instance(p_wall, wall_mat, translation=(0.0, 3.0, -7.0))
+    b.add_instance(p_dragon, glass_mat, translation=(0.0, 1.6, -3.5), scale=1.2)
+    b.add_instance(
+        p_prop,
+        b.add_material(diffuse_factor=(0.9, 0.2, 0.1, 1.0), roughness_factor=0.5),
+        translation=(-2.4, 0.8, -4.6), scale=0.8,
+    )
+    b.add_instance(
+        p_prop,
+        b.add_material(diffuse_factor=(0.1, 0.7, 0.2, 1.0), roughness_factor=0.5),
+        translation=(2.4, 0.8, -4.8), scale=0.8,
+    )
+    return b
+
+
+def build_attenuation_scene() -> SceneBuilder:
+    """AttenuationTest-analogue: boxes of increasing thickness with
+    Beer's-law attenuation and no UVs on the transmissive primitives
+    (the reference's AttenuationTest exercises the missing-UV path,
+    src/model_loading.rs:122-134)."""
+    b = SceneBuilder()
+    checker = b.add_texture(checkerboard_texture(256, 16), srgb=True)
+    floor_mat = b.add_material(tex_diffuse=checker, roughness_factor=0.8)
+    wall_mat = b.add_material(
+        diffuse_factor=(0.8, 0.65, 0.45, 1.0), roughness_factor=0.9
+    )
+    p_floor = b.add_primitive(*make_plane_mesh(8.0), bucket=BUCKET_OPAQUE)
+    p_wall = b.add_primitive(*make_box_mesh((8.0, 4.0, 0.2)), bucket=BUCKET_OPAQUE)
+    b.add_instance(p_floor, floor_mat)
+    b.add_instance(p_wall, wall_mat, translation=(0.0, 2.0, -6.5))
+    for i, thickness in enumerate([0.2, 0.6, 1.2, 2.0]):
+        mat = b.add_material(
+            transmission_factor=1.0,
+            metallic_factor=0.0,
+            roughness_factor=0.0,
+            thickness_factor=thickness,
+            attenuation_distance=0.8,
+            attenuation_colour=(0.3, 0.7, 0.9),
+        )
+        pos, nrm, _, idx = make_box_mesh((0.5, 0.5, 0.5))
+        prim = b.add_primitive(pos, nrm, None, idx, bucket=BUCKET_TRANSMISSION)
+        b.add_instance(prim, mat, translation=(-3.0 + 2.0 * i, 0.8, -4.0))
+    return b

@@ -1,0 +1,151 @@
+"""Gather-based texture sampling over the flat texel atlas.
+
+Replaces Vulkan sampler hardware (SURVEY.md §2.5 "Texture sampling"):
+bilinear + trilinear filtering, REPEAT / CLAMP_TO_EDGE wrap, sRGB decode.
+All sampling is explicit-LOD; implicit-LOD call sites compute LODs from
+analytic UV derivatives in the deferred shading pass (the TPU analogue of
+ddx/ddy, SURVEY.md §2.5 "derivative hardware").
+
+Conventions match Vulkan: texel centres at integer+0.5, LOD0 = full res.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from transmission_renderer_tpu.scene.textures import META_COLS  # noqa: F401
+
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+
+
+def _unpack_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> [..., 4] float32 in [0, 1]."""
+    packed = packed.astype(jnp.uint32)
+    r = (packed & 0xFF).astype(jnp.float32)
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    b = ((packed >> 16) & 0xFF).astype(jnp.float32)
+    a = ((packed >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
+
+
+def _srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
+    """Exact sRGB EOTF, as applied by R8G8B8A8_SRGB sampling."""
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _wrap(coord: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
+    if mode == WRAP_REPEAT:
+        return jnp.mod(coord, size)
+    return jnp.clip(coord, 0, size - 1)
+
+
+def _bilinear_level(
+    texels: jnp.ndarray,  # [N] uint32 atlas pool
+    offset: jnp.ndarray,  # [...] int32 level offset
+    width: jnp.ndarray,  # [...] int32
+    height: jnp.ndarray,  # [...] int32
+    uv: jnp.ndarray,  # [..., 2]
+    srgb: jnp.ndarray,  # [...] bool
+    wrap_mode: int,
+) -> jnp.ndarray:
+    """One bilinear tap at a single mip level. 4 gathers."""
+    wf = width.astype(jnp.float32)
+    hf = height.astype(jnp.float32)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        xi = _wrap(xi, width, wrap_mode)
+        yi = _wrap(yi, height, wrap_mode)
+        idx = offset + yi * width + xi
+        rgba = _unpack_rgba8(texels[idx])
+        rgb = jnp.where(
+            srgb[..., None], _srgb_to_linear(rgba[..., :3]), rgba[..., :3]
+        )
+        return jnp.concatenate([rgb, rgba[..., 3:]], axis=-1)
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1, y0)
+    c01 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
+def _level_meta(meta: jnp.ndarray, texture_id: jnp.ndarray, level: jnp.ndarray):
+    """Gather (offset, width, height) of a clamped mip level per pixel."""
+    num_mips = meta[texture_id, 0]
+    level = jnp.clip(level, 0, num_mips - 1)
+    base = 2 + 3 * level
+    # texture_id and base broadcast against each other (either may be
+    # scalar while the other is per-pixel).
+    offset = meta[texture_id, base]
+    width = meta[texture_id, base + 1]
+    height = meta[texture_id, base + 2]
+    return offset, width, height
+
+
+def sample_texture(
+    texels: jnp.ndarray,  # [N] uint32
+    meta: jnp.ndarray,  # [num_images, META_COLS] int32
+    srgb_table: jnp.ndarray,  # [num_images] bool
+    texture_id: jnp.ndarray,  # [...] int32 (callers mask id==-1 themselves)
+    uv: jnp.ndarray,  # [..., 2]
+    lod: jnp.ndarray,  # [...] float32
+    wrap_mode: int = WRAP_REPEAT,
+    trilinear: bool = True,
+) -> jnp.ndarray:
+    """Explicit-LOD trilinear (or bilinear at floor(lod)) sample -> [..., 4].
+
+    Matches ``texture.sample_by_lod(sampler, uv, lod)``; the implicit-LOD
+    ``texture.sample`` path is this with a derivative-computed lod.
+    """
+    texture_id = jnp.maximum(texture_id, 0)  # -1 handled by caller masks
+    srgb = srgb_table[texture_id]
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+
+    o0, w0, h0 = _level_meta(meta, texture_id, l0)
+    c0 = _bilinear_level(texels, o0, w0, h0, uv, srgb, wrap_mode)
+    if not trilinear:
+        return c0
+    o1, w1, h1 = _level_meta(meta, texture_id, l0 + 1)
+    c1 = _bilinear_level(texels, o1, w1, h1, uv, srgb, wrap_mode)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    return c0 + (c1 - c0) * frac
+
+
+def sample_lut_2ch(
+    lut: jnp.ndarray,  # [S, S, 2] float32 (e.g. the GGX split-sum LUT)
+    u: jnp.ndarray,  # [...]
+    v: jnp.ndarray,  # [...]
+) -> jnp.ndarray:
+    """Clamp-sampled bilinear fetch from a small float LUT -> [..., 2].
+
+    Mirrors the shader's clamp-sampler GGX LUT closure
+    (shader/src/lib.rs:126-133) with uv = (u, v) = (NoV, roughness).
+    """
+    s = lut.shape[0]
+    x = jnp.clip(u * s - 0.5, 0.0, s - 1.0)
+    y = jnp.clip(v * s - 0.5, 0.0, s - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, s - 1)
+    y1 = jnp.minimum(y0 + 1, s - 1)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    c00 = lut[y0, x0]
+    c10 = lut[y0, x1]
+    c01 = lut[y1, x0]
+    c11 = lut[y1, x1]
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy

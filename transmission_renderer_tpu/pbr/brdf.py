@@ -96,10 +96,17 @@ def ior_to_dielectric_f0(ior: jnp.ndarray) -> jnp.ndarray:
 
 
 def d_ggx(noh: jnp.ndarray, actual_roughness: jnp.ndarray) -> jnp.ndarray:
-    """GGX normal distribution (glam-pbr/src/lib.rs:101-109)."""
+    """GGX normal distribution (glam-pbr/src/lib.rs:101-109).
+
+    Guarded at the perfectly-smooth singularity: alpha = 0 with noh = 1
+    makes the reference's expression 0/0 (NaN on GPU too); we return 0
+    there (the zero-measure mirror direction of a delta lobe).
+    """
     alpha_roughness_sq = actual_roughness * actual_roughness
     f = (noh * noh) * (alpha_roughness_sq - 1.0) + 1.0
-    return alpha_roughness_sq / (_PI * f * f)
+    return jnp.where(
+        f * f > 0.0, alpha_roughness_sq / (_PI * f * f), 0.0
+    )
 
 
 def v_smith_ggx_correlated(

@@ -92,9 +92,14 @@ def lottes_tonemap(colour: jnp.ndarray, p: BakedLottesParams) -> jnp.ndarray:
 
     ``colour`` is [..., 3] linear HDR; the result is [..., 3] in [0, 1].
     """
+    # Shading noise can leave colours a hair below zero ((1-VoH)^5 with
+    # VoH fractionally above 1); a negative base under a fractional power
+    # is NaN. The reference's final `.min(ONE).max(ZERO)` uses Rust f32
+    # max/min, which *discard* NaN operands (-> 0/black); we clamp the
+    # input instead, which yields the same image without NaN round trips.
+    colour = jnp.maximum(colour, 0.0)
     max_c = jnp.max(colour, axis=-1, keepdims=True)
-    # Guard the 0/0 at pure black; the reference relies on later min/max
-    # clamps to absorb the NaN, we keep the output identical (black).
+    # Guard the 0/0 at pure black.
     safe_max = jnp.maximum(max_c, 1e-30)
     ratio = colour / safe_max
     tonemapped_max = _tonemap_inner(max_c[..., 0], p)[..., None]

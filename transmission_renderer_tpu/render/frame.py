@@ -1,0 +1,351 @@
+"""render_frame — the whole frame as one jittable function.
+
+The TPU equivalent of ``record()`` (src/main.rs:1551-2263). Pass order
+mirrors the reference frame graph:
+
+  1. vertex transform + frustum culling        (compute prefix, :1651-1850)
+  2. opaque + alpha-clip raster -> vis buffer  (draw pass subp. 0/1, :1852-2001)
+  3. cluster AABBs + light assignment          (:1478-1517, :1792-1797)
+  4. opaque PBR shade                          (fragment, shader lib.rs:164)
+  5. opaque-framebuffer mip pyramid            (generate_mips, :2054)
+  6. transmissive raster against opaque depth  (subpass 2, :2005-2042)
+  7. transmission shade                        (transmission pass, :2066-2124)
+  8. Lottes tonemap                            (:2197-2232)
+
+XLA supplies all scheduling/synchronisation the reference does with
+subpass dependencies and vk-sync barriers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from transmission_renderer_tpu.config import (
+    BUCKET_ALPHA_CLIP,
+    BUCKET_OPAQUE,
+    BUCKET_TRANSMISSION,
+    BUCKET_TRANSMISSION_ALPHA_CLIP,
+    RenderConfig,
+)
+from transmission_renderer_tpu.ops.cull import (
+    bucket_triangle_masks,
+    cull_instances,
+    frustum_planes_from_projection,
+)
+from transmission_renderer_tpu.ops.mipchain import build_pyramid
+from transmission_renderer_tpu.ops.raster import (
+    bin_triangles,
+    rasterize,
+    setup_triangles,
+)
+from transmission_renderer_tpu.ops.texture import WRAP_REPEAT, sample_texture
+from transmission_renderer_tpu.pbr import (
+    bake_lottes_params,
+    cluster_coefficients,
+    lottes_tonemap,
+)
+from transmission_renderer_tpu.pbr.clustering import (
+    assign_lights_to_clusters,
+    write_cluster_data,
+)
+from transmission_renderer_tpu.pbr.lights import Lights
+from transmission_renderer_tpu.render.gbuffer import interpolate_gbuffer
+from transmission_renderer_tpu.render.shading import (
+    ShadeContext,
+    shade_opaque,
+    shade_transmission,
+)
+from transmission_renderer_tpu.scene.camera import perspective_matrix_reversed
+from transmission_renderer_tpu.scene.types import (
+    Scene,
+    Similarity,
+    quat_rotate,
+    similarity_apply,
+)
+from transmission_renderer_tpu.utils.ggx_lut import compute_ggx_lut
+
+
+class DrawList(NamedTuple):
+    """Static per-scene instance expansion.
+
+    The reference re-walks instances per frame via instanced indirect
+    draws; here the (instance x primitive-geometry) product is flattened
+    once at scene freeze so the frame function is pure gathers.
+    """
+
+    vtx_src: jnp.ndarray  # [VV] int32 into scene vertex pool
+    vtx_inst: jnp.ndarray  # [VV] int32 instance of each expanded vertex
+    tri_vtx: jnp.ndarray  # [TT, 3] int32 into expanded pool
+    tri_inst: jnp.ndarray  # [TT] int32
+    tri_bucket: jnp.ndarray  # [TT] int32
+    tri_material: jnp.ndarray  # [TT] int32
+
+
+def build_draw_list(scene: Scene) -> DrawList:
+    """NumPy expansion at scene-freeze time."""
+    inst_prim = np.asarray(scene.inst_primitive_id)
+    inst_mat = np.asarray(scene.inst_material_id)
+    prim_first_tri = np.asarray(scene.prim_first_tri)
+    prim_tri_count = np.asarray(scene.prim_tri_count)
+    prim_bucket = np.asarray(scene.prim_draw_bucket)
+    indices = np.asarray(scene.indices)
+
+    vtx_src, vtx_inst = [], []
+    tri_vtx, tri_inst, tri_bucket, tri_material = [], [], [], []
+    vtx_offset = 0
+    for i, p in enumerate(inst_prim):
+        t0 = prim_first_tri[p]
+        tc = prim_tri_count[p]
+        tris = indices[t0 : t0 + tc]  # [tc, 3] into the shared pool
+        v_lo = tris.min() if tc else 0
+        v_hi = tris.max() + 1 if tc else 0
+        count = v_hi - v_lo
+        vtx_src.append(np.arange(v_lo, v_hi, dtype=np.int32))
+        vtx_inst.append(np.full(count, i, np.int32))
+        tri_vtx.append(tris - v_lo + vtx_offset)
+        tri_inst.append(np.full(tc, i, np.int32))
+        tri_bucket.append(np.full(tc, prim_bucket[p], np.int32))
+        tri_material.append(np.full(tc, inst_mat[i], np.int32))
+        vtx_offset += count
+
+    return DrawList(
+        vtx_src=jnp.asarray(np.concatenate(vtx_src)),
+        vtx_inst=jnp.asarray(np.concatenate(vtx_inst)),
+        tri_vtx=jnp.asarray(np.concatenate(tri_vtx).astype(np.int32)),
+        tri_inst=jnp.asarray(np.concatenate(tri_inst)),
+        tri_bucket=jnp.asarray(np.concatenate(tri_bucket)),
+        tri_material=jnp.asarray(np.concatenate(tri_material)),
+    )
+
+
+class SceneFlags(NamedTuple):
+    """Static (hashable) facts about a scene that gate whole passes.
+
+    The reference gates equivalent work by bucket draw counts at record
+    time (src/main.rs:1900-2042); under jit these must be trace-time
+    constants. Compute once per scene with ``scene_flags``.
+    """
+
+    has_alpha_clip: bool
+    has_transmission: bool
+
+
+def scene_flags(scene: Scene) -> SceneFlags:
+    buckets = np.asarray(scene.prim_draw_bucket)
+    return SceneFlags(
+        has_alpha_clip=bool(
+            np.any(buckets == BUCKET_ALPHA_CLIP)
+            | np.any(buckets == BUCKET_TRANSMISSION_ALPHA_CLIP)
+        ),
+        has_transmission=bool(
+            np.any(buckets == BUCKET_TRANSMISSION)
+            | np.any(buckets == BUCKET_TRANSMISSION_ALPHA_CLIP)
+        ),
+    )
+
+
+class FrameParams(NamedTuple):
+    """Per-frame camera/sun uniforms (PushConstants + Uniforms +
+    CullingPushConstants, shared-structs/src/lib.rs:11-29, 273-280)."""
+
+    proj_view: jnp.ndarray  # [4, 4]
+    view: jnp.ndarray  # [4, 4]
+    inverse_perspective: jnp.ndarray  # [4, 4]
+    view_position: jnp.ndarray  # [3]
+    frustum_x_xz: jnp.ndarray  # [2]
+    frustum_y_yz: jnp.ndarray  # [2]
+    sun_dir: jnp.ndarray  # [3]
+    sun_intensity: jnp.ndarray  # [3]
+
+
+def make_frame_params(
+    config: RenderConfig,
+    view_matrix: np.ndarray,
+    view_position: np.ndarray,
+    sun_dir: np.ndarray,
+    sun_intensity=(3.0, 3.0, 3.0),  # Vec3::splat(3.0), src/main.rs:538
+) -> FrameParams:
+    proj = perspective_matrix_reversed(
+        config.width, config.height, config.vertical_fov, config.z_near, config.z_far
+    )
+    fx, fy = frustum_planes_from_projection(proj)
+    return FrameParams(
+        proj_view=jnp.asarray(proj @ view_matrix),
+        view=jnp.asarray(view_matrix),
+        inverse_perspective=jnp.asarray(np.linalg.inv(proj).astype(np.float32)),
+        view_position=jnp.asarray(np.asarray(view_position, np.float32)),
+        frustum_x_xz=jnp.asarray(fx),
+        frustum_y_yz=jnp.asarray(fy),
+        sun_dir=jnp.asarray(np.asarray(sun_dir, np.float32)),
+        sun_intensity=jnp.asarray(np.asarray(sun_intensity, np.float32)),
+    )
+
+
+def _make_alpha_fn(scene: Scene, dl: DrawList, uvs_expanded: jnp.ndarray):
+    """Alpha-clip coverage during rasterisation
+    (depth_pre_pass_alpha_clip, shader/src/lib.rs:270-295): sample diffuse
+    alpha at the interpolated uv (LOD 0) and kill below the cutoff."""
+    m = scene.materials
+    tri_mat = dl.tri_material
+    is_clip_bucket = (dl.tri_bucket == BUCKET_ALPHA_CLIP) | (
+        dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
+    )
+
+    def alpha_fn(tri, b1, b2):
+        needs = is_clip_bucket[tri]
+        mid = tri_mat[tri]
+        tid = m.tex_diffuse[mid]
+        vidx = dl.tri_vtx[tri]  # [3]
+        uv0 = uvs_expanded[vidx[0]]
+        uv1 = uvs_expanded[vidx[1]]
+        uv2 = uvs_expanded[vidx[2]]
+        b0 = 1.0 - b1 - b2
+        uv = (
+            uv0 * b0[..., None] + uv1 * b1[..., None] + uv2 * b2[..., None]
+        )
+        sample = sample_texture(
+            scene.atlas_texels,
+            scene.atlas_meta,
+            scene.atlas_srgb,
+            jnp.maximum(tid, 0),
+            uv,
+            jnp.zeros_like(b1),
+            WRAP_REPEAT,
+            trilinear=False,
+        )
+        alpha = m.diffuse_factor[mid, 3] * jnp.where(
+            tid >= 0, sample[..., 3], 1.0
+        )
+        keep = alpha >= m.alpha_clipping_cutoff[mid]
+        return jnp.where(needs, keep, True)
+
+    return alpha_fn
+
+
+def render_frame(
+    scene: Scene,
+    dl: DrawList,
+    params: FrameParams,
+    lights: Lights,
+    config: RenderConfig,
+    ggx_lut: jnp.ndarray | None = None,
+    flags: SceneFlags | None = None,
+    return_hdr: bool = False,
+):
+    """Render one frame -> tonemapped linear [H, W, 3] in [0, 1]."""
+    w, h = config.width, config.height
+    tw, th = config.tile_w, config.tile_h
+    tiles_x, tiles_y = config.tiles_x, config.tiles_y
+
+    if flags is None:
+        flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
+    if ggx_lut is None:
+        ggx_lut = jnp.asarray(compute_ggx_lut())
+
+    # ---- 1. vertex transform (vertex_instanced, shader lib.rs:336-361) ----
+    inst_t = Similarity(
+        translation=scene.inst_transform.translation[dl.vtx_inst],
+        scale=scene.inst_transform.scale[dl.vtx_inst],
+        rotation=scene.inst_transform.rotation[dl.vtx_inst],
+    )
+    world_pos = similarity_apply(inst_t, scene.positions[dl.vtx_src])
+    world_nrm = quat_rotate(inst_t.rotation, scene.normals[dl.vtx_src])
+    uvs = scene.uvs[dl.vtx_src]
+    pos_h = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], -1)
+    clip = pos_h @ params.proj_view.T
+
+    # ---- frustum culling (shader lib.rs:412-469) --------------------------
+    visible = cull_instances(
+        scene, params.view, params.frustum_x_xz, params.frustum_y_yz, config.z_near
+    )
+    tri_scale = scene.inst_transform.scale[dl.tri_inst]
+    alpha_fn = _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
+
+    # ---- 2. opaque + alpha-clip raster ------------------------------------
+    mask_o = bucket_triangle_masks(
+        dl.tri_inst, dl.tri_bucket, visible, (BUCKET_OPAQUE, BUCKET_ALPHA_CLIP)
+    )
+    setup_o = setup_triangles(clip, dl.tri_vtx, mask_o, w, h, tw, th)
+    bins_o = bin_triangles(
+        setup_o, tiles_x, tiles_y, config.max_tiles_per_tri,
+        config.max_tris_per_tile, config.max_big_tris,
+    )
+    vis_o = rasterize(setup_o, bins_o, w, h, tw, th, alpha_coverage_fn=alpha_fn)
+    g_o = interpolate_gbuffer(
+        vis_o, setup_o, dl.tri_vtx, dl.tri_material, tri_scale,
+        world_pos, world_nrm, uvs, w, h,
+    )
+
+    # ---- 3. clustered lighting -------------------------------------------
+    coeffs = cluster_coefficients(
+        config.z_near, config.z_far, config.num_depth_slices
+    )
+    aabb_min, aabb_max = write_cluster_data(
+        params.inverse_perspective,
+        (w, h),
+        (config.num_clusters_x, config.num_clusters_y),
+        coeffs,
+    )
+    lp_h = jnp.concatenate(
+        [lights.position, jnp.ones_like(lights.position[:, :1])], -1
+    )
+    light_pos_view = (lp_h @ params.view.T)[:, :3]
+    spot_dir_view = lights.spot_direction @ params.view[:3, :3].T
+    counts, indices = assign_lights_to_clusters(
+        aabb_min, aabb_max, light_pos_view, lights.falloff_distance_sq,
+        lights.is_a_spotlight(), spot_dir_view, lights.spot_outer_angle,
+        config.max_lights_per_cluster,
+    )
+
+    ctx = ShadeContext(
+        view_position=params.view_position,
+        proj_view=params.proj_view,
+        sun_dir=params.sun_dir,
+        sun_intensity=params.sun_intensity,
+        framebuffer_size=(w, h),
+        cluster_size_in_pixels=config.cluster_size_in_pixels,
+        num_clusters_xy=(config.num_clusters_x, config.num_clusters_y),
+        cluster_coeffs=coeffs,
+        cluster_light_counts=counts,
+        cluster_light_indices=indices,
+        lights=lights,
+        ggx_lut=ggx_lut,
+        debug_clusters=config.debug_clusters,
+    )
+
+    # ---- 4. opaque shade ---------------------------------------------------
+    hdr = shade_opaque(scene, g_o, ctx)
+
+    if flags.has_transmission:
+        # ---- 5. opaque mip pyramid ----------------------------------------
+        pyramid = build_pyramid(hdr)
+
+        # ---- 6-7. transmissive raster + shade ------------------------------
+        mask_t = bucket_triangle_masks(
+            dl.tri_inst, dl.tri_bucket, visible,
+            (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
+        )
+        setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
+        bins_t = bin_triangles(
+            setup_t, tiles_x, tiles_y, config.max_tiles_per_tri,
+            config.max_tris_per_tile, config.max_big_tris,
+        )
+        vis_t = rasterize(
+            setup_t, bins_t, w, h, tw, th,
+            alpha_coverage_fn=alpha_fn, init_depth=vis_o.depth,
+        )
+        g_t = interpolate_gbuffer(
+            vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
+            world_pos, world_nrm, uvs, w, h,
+        )
+        hdr_t = shade_transmission(scene, g_t, ctx, pyramid)
+        hdr = jnp.where(g_t.valid[..., None], hdr_t, hdr)
+
+    # ---- 8. tonemap ---------------------------------------------------------
+    ldr = lottes_tonemap(hdr, bake_lottes_params())
+    if return_hdr:
+        return ldr, hdr
+    return ldr
