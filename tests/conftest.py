@@ -1,21 +1,18 @@
-"""Test configuration: force an 8-virtual-device CPU mesh.
+"""Test configuration: CPU-only JAX.
 
-Tests must run without TPU hardware; multi-chip sharding logic is
-exercised on a virtual CPU mesh (SURVEY.md section 4d). Env vars must be
-set before JAX initialises its backends, hence this happens at conftest
-import time.
+Tests must run without TPU hardware. Multi-device sharding tests run in a
+subprocess with a cleaned environment (see test_sharding.py): this
+container's axon ``sitecustomize`` snapshots XLA's process-global flags at
+interpreter start, so virtual CPU device counts cannot be requested from
+inside an already-started interpreter.
 """
 
 import os
 
 # Force CPU even when the ambient environment points JAX at a TPU backend
-# (e.g. JAX_PLATFORMS=axon): tests must be hardware-independent.
+# (JAX_PLATFORMS=axon). Backend *selection* is still changeable here
+# (backends initialise lazily) — only device-count flags are locked.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 

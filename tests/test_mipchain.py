@@ -1,0 +1,56 @@
+"""Mip pyramid tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from transmission_renderer_tpu.ops.mipchain import (
+    build_pyramid,
+    pyramid_shapes,
+    sample_pyramid_lod,
+)
+
+
+def test_pyramid_shapes_1080p():
+    shapes = pyramid_shapes(1920, 1080)
+    assert shapes[0] == (1920, 1080)
+    assert shapes[1] == (960, 540)
+    assert shapes[-1][0] >= 1 and shapes[-1][1] >= 1
+    assert len(shapes) == 11
+
+
+def test_build_pyramid_averages():
+    img = np.zeros((4, 8, 3), np.float32)
+    img[0::2, 0::2] = 1.0
+    pyr = build_pyramid(jnp.asarray(img))
+    # level 1 = 2x2 averages = 0.25 everywhere
+    w1, h1 = 4, 2
+    off1 = int(pyr.offsets[1])
+    level1 = np.asarray(pyr.texels[off1 : off1 + w1 * h1]).reshape(h1, w1, 3)
+    np.testing.assert_allclose(level1, 0.25, atol=1e-6)
+    # top level = overall mean
+    off_last = int(pyr.offsets[-1])
+    np.testing.assert_allclose(
+        np.asarray(pyr.texels[off_last]), [0.25, 0.25, 0.25], atol=1e-6
+    )
+
+
+def test_sample_lod0_exact():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    pyr = build_pyramid(jnp.asarray(img))
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    uv = jnp.asarray(np.stack([(xs + 0.5) / 8, (ys + 0.5) / 8], -1).astype(np.float32))
+    out = sample_pyramid_lod(pyr, uv, jnp.zeros((8, 8)))
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+
+def test_sample_clamps_uv_and_lod():
+    img = np.ones((4, 4, 3), np.float32)
+    pyr = build_pyramid(jnp.asarray(img))
+    out = sample_pyramid_lod(
+        pyr,
+        jnp.array([[-0.5, 2.0], [0.5, 0.5]], jnp.float32),
+        jnp.array([99.0, -1.0], jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()

@@ -162,9 +162,7 @@ def main(argv=None) -> int:
         print("error: give a model name or --procedural <scene>", file=sys.stderr)
         return 2
 
-    scene = builder.finish()
-    dl = build_draw_list(scene)
-    flags = scene_flags(scene)
+    scene, dl, flags = builder.finish_bundle()
     print(
         f"scene: {scene.num_triangles} tris, {scene.num_instances} instances, "
         f"{scene.materials.num} materials; flags={flags}"

@@ -49,6 +49,11 @@ class RenderConfig:
     max_tiles_per_tri: int = 32
     max_big_tris: int = 256
 
+    # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
+    # shape is the kernel's native 8x128 and the batch has no alpha-clip;
+    # pure-JAX vmapped raster otherwise). True/False force it.
+    use_pallas_raster: bool | None = None
+
     # --- precision ---------------------------------------------------------
     # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,
     # hard part 6); bf16 is only used where it cannot affect fidelity.

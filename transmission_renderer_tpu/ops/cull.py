@@ -22,14 +22,23 @@ from transmission_renderer_tpu.scene.types import Scene, Similarity, similarity_
 def frustum_planes_from_projection(perspective: np.ndarray):
     """Symmetric frustum plane coefficients from the projection matrix
     (src/main.rs:1729-1733, after zeux/niagara): normalize(row3 + row0).xz
-    and normalize(row3 + row1).yz."""
+    and normalize(row3 + row1).yz.
+
+    NOTE (deliberate deviation): plugged into glam's sign conventions, the
+    reference's test ``cz * fx.z - |cx| * fx.x < radius`` is always true —
+    its lateral culling is a no-op (the author's comment at
+    src/main.rs:1730 hedges exactly this). Since culling is conservative
+    (image-identical either way), we return magnitude coefficients and
+    apply the mathematically correct sphere-vs-symmetric-plane test in
+    ``cull_instances``: visible iff cz/L - |cx| * (f/L) > -radius.
+    """
     r0 = perspective[0, :3]
     r1 = perspective[1, :3]
     r3 = perspective[3, :3]
     fx = r3 + r0
-    fx = fx / np.linalg.norm(fx)
+    fx = np.abs(fx) / np.linalg.norm(fx)
     fy = r3 + r1
-    fy = fy / np.linalg.norm(fy)
+    fy = np.abs(fy) / np.linalg.norm(fy)
     return np.array([fx[0], fx[2]], np.float32), np.array([fy[1], fy[2]], np.float32)
 
 
@@ -54,8 +63,11 @@ def cull_instances(
     radius = spheres[:, 3] * scene.inst_transform.scale
 
     visible = cz + radius > z_near
-    visible &= cz * frustum_x_xz[1] - jnp.abs(cx) * frustum_x_xz[0] < radius
-    visible &= cz * frustum_y_yz[1] - jnp.abs(cy) * frustum_y_yz[0] < radius
+    # sphere-vs-symmetric-plane: signed distance to the nearer lateral
+    # plane is (cz - f|c|)/L; keep while it exceeds -radius (see
+    # frustum_planes_from_projection for why this corrects the reference).
+    visible &= cz * frustum_x_xz[1] - jnp.abs(cx) * frustum_x_xz[0] > -radius
+    visible &= cz * frustum_y_yz[1] - jnp.abs(cy) * frustum_y_yz[0] > -radius
     return visible
 
 

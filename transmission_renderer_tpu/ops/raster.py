@@ -155,6 +155,7 @@ def bin_triangles(
     max_tiles_per_tri: int,
     max_tris_per_tile: int,
     max_big_tris: int,
+    materialize: bool = True,
 ) -> TileBins:
     """Sort-based binning (the TPU replacement for the reference's
     atomic-append compaction, SURVEY.md §2.6).
@@ -201,11 +202,16 @@ def bin_triangles(
 
     counts = jnp.minimum(tile_start[1:] - tile_start[:-1], max_tris_per_tile)
 
-    # Materialise fixed-size per-tile lists for the JAX raster path.
-    gather_idx = tile_start[:-1, None] + jnp.arange(max_tris_per_tile)[None, :]
-    in_range = jnp.arange(max_tris_per_tile)[None, :] < counts[:, None]
-    gather_idx = jnp.clip(gather_idx, 0, sorted_tris.shape[0] - 1)
-    tile_tri_ids = jnp.where(in_range, sorted_tris[gather_idx], -1)
+    if materialize:
+        # Fixed-size per-tile lists for the JAX raster path. NOTE: this
+        # caps each tile at max_tris_per_tile (overflow drops triangles);
+        # the Pallas path reads tile_start directly and has no cap.
+        gather_idx = tile_start[:-1, None] + jnp.arange(max_tris_per_tile)[None, :]
+        in_range = jnp.arange(max_tris_per_tile)[None, :] < counts[:, None]
+        gather_idx = jnp.clip(gather_idx, 0, sorted_tris.shape[0] - 1)
+        tile_tri_ids = jnp.where(in_range, sorted_tris[gather_idx], -1)
+    else:
+        tile_tri_ids = jnp.zeros((1, 1), jnp.int32)
 
     # Big-triangle list: order-preserving compaction of is_big.
     big_order = jnp.argsort(~is_big, stable=True)

@@ -37,6 +37,7 @@ from transmission_renderer_tpu.ops.raster import (
     bin_triangles,
     rasterize_tilelist,
     setup_triangles,
+    tile_image,
     untile_image,
 )
 from transmission_renderer_tpu.pbr import (
@@ -185,13 +186,13 @@ def render_frame_sharded(
                 w, h, tw, th, alpha_coverage_fn=alpha_fn,
                 init_depth_tiles=init_depth_tiles,
             )
+            def ut(a):
+                return untile_image(
+                    a, tiles_x, rows_per_band, tw, th, tiles_x * tw, band_h
+                )[:, :w]
+
             vis = VisibilityBuffer(
-                tri_id=untile_image(tri_ids, tiles_x, rows_per_band, tw, th,
-                                    band_h, tiles_x * tw)[:, :w],
-                depth=untile_image(depths, tiles_x, rows_per_band, tw, th,
-                                   band_h, tiles_x * tw)[:, :w],
-                bary=untile_image(barys, tiles_x, rows_per_band, tw, th,
-                                  band_h, tiles_x * tw)[:, :w],
+                tri_id=ut(tri_ids), depth=ut(depths), bary=ut(barys)
             )
             return setup, vis, tri_ids, depths
 
@@ -215,8 +216,7 @@ def render_frame_sharded(
             hdr_full = jax.lax.all_gather(hdr_band, "band", axis=0, tiled=True)
             pyramid = build_pyramid(hdr_full[:h])
 
-            init_tiles = vis_o.depth.reshape(rows_per_band, th, tiles_x, tw)
-            init_tiles = jnp.swapaxes(init_tiles, 1, 2).reshape(-1, th, tw)
+            init_tiles = tile_image(vis_o.depth, tw, th)
             setup_t, vis_t, _, _ = raster_band(
                 (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
                 init_depth_tiles=init_tiles,

@@ -85,14 +85,28 @@ class DrawList(NamedTuple):
 
 
 def build_draw_list(scene: Scene) -> DrawList:
-    """NumPy expansion at scene-freeze time."""
-    inst_prim = np.asarray(scene.inst_primitive_id)
-    inst_mat = np.asarray(scene.inst_material_id)
-    prim_first_tri = np.asarray(scene.prim_first_tri)
-    prim_tri_count = np.asarray(scene.prim_tri_count)
-    prim_bucket = np.asarray(scene.prim_draw_bucket)
-    indices = np.asarray(scene.indices)
+    """NumPy expansion from a frozen Scene. NOTE: reads device arrays back
+    to the host — on remote-TPU transports each readback is slow; prefer
+    ``SceneBuilder.finish_bundle()`` which stays host-side."""
+    return build_draw_list_from_numpy(
+        np.asarray(scene.inst_primitive_id),
+        np.asarray(scene.inst_material_id),
+        np.asarray(scene.prim_first_tri),
+        np.asarray(scene.prim_tri_count),
+        np.asarray(scene.prim_draw_bucket),
+        np.asarray(scene.indices),
+    )
 
+
+def build_draw_list_from_numpy(
+    inst_prim: np.ndarray,
+    inst_mat: np.ndarray,
+    prim_first_tri: np.ndarray,
+    prim_tri_count: np.ndarray,
+    prim_bucket: np.ndarray,
+    indices: np.ndarray,
+) -> DrawList:
+    """NumPy expansion at scene-freeze time."""
     vtx_src, vtx_inst = [], []
     tri_vtx, tri_inst, tri_bucket, tri_material = [], [], [], []
     vtx_offset = 0
@@ -264,16 +278,59 @@ def render_frame(
     tri_scale = scene.inst_transform.scale[dl.tri_inst]
     alpha_fn = _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
 
-    # ---- 2. opaque + alpha-clip raster ------------------------------------
+    # Rasteriser backend selection (see RenderConfig.use_pallas_raster).
+    use_pallas = config.use_pallas_raster
+    if use_pallas is None:
+        import jax
+
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and (tw, th) == (128, 8)
+            and alpha_fn is None
+        )
     mask_o = bucket_triangle_masks(
         dl.tri_inst, dl.tri_bucket, visible, (BUCKET_OPAQUE, BUCKET_ALPHA_CLIP)
     )
-    setup_o = setup_triangles(clip, dl.tri_vtx, mask_o, w, h, tw, th)
-    bins_o = bin_triangles(
-        setup_o, tiles_x, tiles_y, config.max_tiles_per_tri,
-        config.max_tris_per_tile, config.max_big_tris,
-    )
-    vis_o = rasterize(setup_o, bins_o, w, h, tw, th, alpha_coverage_fn=alpha_fn)
+    if flags.has_transmission:
+        mask_t = bucket_triangle_masks(
+            dl.tri_inst, dl.tri_bucket, visible,
+            (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
+        )
+
+    if use_pallas:
+        # Pallas path: ONE shared setup + binning sort for both passes;
+        # records carry a draw-class flag the kernel filters on.
+        from transmission_renderer_tpu.ops.raster_pallas import (
+            gather_bin_payload,
+            rasterize_pallas,
+        )
+
+        is_transmissive_tri = (dl.tri_bucket == BUCKET_TRANSMISSION) | (
+            dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
+        )
+        mask_all = mask_o | mask_t if flags.has_transmission else mask_o
+        setup_all = setup_triangles(clip, dl.tri_vtx, mask_all, w, h, tw, th)
+        bins_all = bin_triangles(
+            setup_all, tiles_x, tiles_y, config.max_tiles_per_tri,
+            config.max_tris_per_tile, config.max_big_tris, materialize=False,
+        )
+        payload = gather_bin_payload(setup_all, bins_all, is_transmissive_tri)
+
+        # ---- 2. opaque + alpha-clip raster --------------------------------
+        setup_o = setup_all
+        vis_o = rasterize_pallas(
+            setup_all, bins_all, w, h, pass_class=0, payload=payload
+        )
+    else:
+        # ---- 2. opaque + alpha-clip raster --------------------------------
+        setup_o = setup_triangles(clip, dl.tri_vtx, mask_o, w, h, tw, th)
+        bins_o = bin_triangles(
+            setup_o, tiles_x, tiles_y, config.max_tiles_per_tri,
+            config.max_tris_per_tile, config.max_big_tris,
+        )
+        vis_o = rasterize(
+            setup_o, bins_o, w, h, tw, th, alpha_coverage_fn=alpha_fn
+        )
     g_o = interpolate_gbuffer(
         vis_o, setup_o, dl.tri_vtx, dl.tri_material, tri_scale,
         world_pos, world_nrm, uvs, w, h,
@@ -324,19 +381,22 @@ def render_frame(
         pyramid = build_pyramid(hdr)
 
         # ---- 6-7. transmissive raster + shade ------------------------------
-        mask_t = bucket_triangle_masks(
-            dl.tri_inst, dl.tri_bucket, visible,
-            (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
-        )
-        setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
-        bins_t = bin_triangles(
-            setup_t, tiles_x, tiles_y, config.max_tiles_per_tri,
-            config.max_tris_per_tile, config.max_big_tris,
-        )
-        vis_t = rasterize(
-            setup_t, bins_t, w, h, tw, th,
-            alpha_coverage_fn=alpha_fn, init_depth=vis_o.depth,
-        )
+        if use_pallas:
+            setup_t = setup_all
+            vis_t = rasterize_pallas(
+                setup_all, bins_all, w, h, pass_class=1, payload=payload,
+                init_depth=vis_o.depth,
+            )
+        else:
+            setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
+            bins_t = bin_triangles(
+                setup_t, tiles_x, tiles_y, config.max_tiles_per_tri,
+                config.max_tris_per_tile, config.max_big_tris,
+            )
+            vis_t = rasterize(
+                setup_t, bins_t, w, h, tw, th,
+                alpha_coverage_fn=alpha_fn, init_depth=vis_o.depth,
+            )
         g_t = interpolate_gbuffer(
             vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
             world_pos, world_nrm, uvs, w, h,

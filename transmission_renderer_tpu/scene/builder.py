@@ -129,6 +129,37 @@ class SceneBuilder:
 
     # -- freeze -------------------------------------------------------------
 
+    def finish_bundle(self):
+        """(Scene, DrawList, SceneFlags) with the draw list computed host-
+        side. Always prefer this over finish() + build_draw_list(scene):
+        the latter reads device arrays back to the host, which is very slow
+        over remote-TPU transports."""
+        from transmission_renderer_tpu.render.frame import (
+            SceneFlags,
+            build_draw_list_from_numpy,
+        )
+        from transmission_renderer_tpu.config import (
+            BUCKET_ALPHA_CLIP as _AC,
+            BUCKET_TRANSMISSION as _T,
+            BUCKET_TRANSMISSION_ALPHA_CLIP as _TAC,
+        )
+
+        scene = self.finish()
+        dl = build_draw_list_from_numpy(
+            np.array(self.inst_primitive, np.int32),
+            np.array(self.inst_material, np.int32),
+            np.array(self.prim_first_tri, np.int32),
+            np.array(self.prim_tri_count, np.int32),
+            np.array(self.prim_bucket, np.int32),
+            np.concatenate(self.indices).astype(np.int32).reshape(-1, 3),
+        )
+        buckets = np.array(self.prim_bucket)
+        flags = SceneFlags(
+            has_alpha_clip=bool(np.any(buckets == _AC) | np.any(buckets == _TAC)),
+            has_transmission=bool(np.any(buckets == _T) | np.any(buckets == _TAC)),
+        )
+        return scene, dl, flags
+
     def finish(self) -> Scene:
         assert self.prim_bucket, "empty scene"
         texels, meta, srgb = self.atlas.finish()
