@@ -1,0 +1,89 @@
+"""LBVH build + traversal vs brute-force ray casting."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from transmission_renderer_tpu.models import make_box_mesh, make_sphere_mesh
+from transmission_renderer_tpu.ops.bvh import build_bvh, refit_bvh, trace_rays
+
+
+def brute_force(tri, pos, o, d, t_min=0.001, t_max=10000.0):
+    """Closest hit per ray, float64."""
+    v = pos[tri]  # [T, 3, 3]
+    best_t = np.full(len(o), t_max)
+    best_tri = np.full(len(o), -1, np.int64)
+    for ti in range(len(tri)):
+        v0, v1, v2 = v[ti].astype(np.float64)
+        e1, e2 = v1 - v0, v2 - v0
+        pvec = np.cross(d, e2)
+        det = (e1 * pvec).sum(-1)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tvec = o - v0
+        u = (tvec * pvec).sum(-1) * inv
+        qvec = np.cross(tvec, e1)
+        vv = (d * qvec).sum(-1) * inv
+        t = (e2 * qvec).sum(-1) * inv
+        hit = ok & (u >= 0) & (vv >= 0) & (u + vv <= 1) & (t > t_min) & (t < best_t)
+        best_t = np.where(hit, t, best_t)
+        best_tri = np.where(hit, ti, best_tri)
+    return best_tri, best_t
+
+
+def test_bvh_vs_bruteforce_sphere():
+    pos, _, _, tri = make_sphere_mesh(8, 16)
+    bvh = build_bvh(tri, pos)
+    rng = np.random.default_rng(7)
+    o = np.tile(np.array([0.0, 0.0, 4.0], np.float32), (64, 1))
+    targets = rng.uniform(-1.2, 1.2, (64, 3)).astype(np.float32)
+    d = targets - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    hit, t, tri_id, u, v = trace_rays(
+        bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos),
+        jnp.asarray(o), jnp.asarray(d),
+    )
+    bf_tri, bf_t = brute_force(tri.astype(np.int64), pos, o, d)
+    hit, t, tri_id = np.asarray(hit), np.asarray(t), np.asarray(tri_id)
+    np.testing.assert_array_equal(hit, bf_tri >= 0)
+    m = hit
+    np.testing.assert_allclose(t[m], bf_t[m], rtol=1e-4)
+    # closest-hit triangle matches (modulo exact shared-edge ties)
+    agree = (tri_id[m] == bf_tri[m]).mean()
+    assert agree > 0.95
+
+
+def test_bvh_any_hit_shadows():
+    """Point behind a box is occluded from a light in front of it."""
+    pos, _, _, tri = make_box_mesh((1.0, 1.0, 0.2))
+    bvh = build_bvh(tri, pos)
+    origins = jnp.asarray(
+        np.array([[0.0, 0.0, -2.0], [3.0, 3.0, -2.0]], np.float32)
+    )
+    # ray towards a light at z=+5 straight ahead
+    dirs = jnp.asarray(np.tile(np.array([0.0, 0.0, 1.0], np.float32), (2, 1)))
+    hit, *_ = trace_rays(
+        bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos),
+        origins, dirs, any_hit=True,
+    )
+    hit = np.asarray(hit)
+    assert hit[0]  # blocked by the box
+    assert not hit[1]  # clear path
+
+
+def test_bvh_refit_translation():
+    pos, _, _, tri = make_sphere_mesh(6, 12)
+    bvh = build_bvh(tri, pos)
+    moved = pos + np.array([5.0, 0.0, 0.0], np.float32)
+    bvh2 = refit_bvh(bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(moved))
+    # root AABB follows the move
+    root_min = np.asarray(bvh2.aabb_min[0])
+    assert root_min[0] > 3.5
+    # rays at the new location hit, at the old location miss
+    o = jnp.asarray(np.array([[5.0, 0.0, 4.0], [0.0, 0.0, 4.0]], np.float32))
+    d = jnp.asarray(np.tile(np.array([0.0, 0.0, -1.0], np.float32), (2, 1)))
+    hit, *_ = trace_rays(
+        bvh2, jnp.asarray(tri.astype(np.int32)), jnp.asarray(moved), o, d
+    )
+    hit = np.asarray(hit)
+    assert hit[0] and not hit[1]

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip the Sponza base scene the reference always loads")
     p.add_argument("--debug-clusters", action="store_true",
                    help="Cluster false-colour debug view (the F-key toggle)")
+    p.add_argument("--as-debug", action="store_true",
+                   help="Render the ray-cast acceleration-structure debug "
+                   "view (the T-key toggle; implies --ray-tracing)")
     p.add_argument("--cam-pos", type=float, nargs=3, default=[0.0, 2.2, 1.5],
                    metavar=("X", "Y", "Z"), help="Camera position")
     p.add_argument("--cam-pitch", type=float, default=-0.25,
@@ -73,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Sun yaw (reference default 4.8)")
     p.add_argument("--devices", type=int, default=1,
                    help="Shard the framebuffer over N devices (row bands)")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend (the axon TPU sitecustomize "
+                   "ignores JAX_PLATFORMS; this flag reliably overrides)")
     p.add_argument("--profile", action="store_true",
                    help="Print per-pass timings via jax.profiler")
     return p
@@ -80,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        from transmission_renderer_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     # Import late so --help is instant.
     import jax
@@ -109,7 +120,7 @@ def main(argv=None) -> int:
         height=args.height,
         roughness_override=args.roughness_override,
         scale=args.scale,
-        ray_traced_shadows=args.ray_tracing,
+        ray_traced_shadows=args.ray_tracing or args.as_debug,
         spotlights=args.spotlights,
         rotate_model=args.rotate_model,
         debug_clusters=args.debug_clusters,
@@ -190,7 +201,21 @@ def main(argv=None) -> int:
     rig.sun_pitch = args.sun_pitch
     rig.sun_yaw = args.sun_yaw
 
-    render = jax.jit(partial(render_frame, config=config, flags=flags))
+    bvh = None
+    if config.ray_traced_shadows:
+        print("building BVH...", file=sys.stderr)
+        bvh = builder.build_rt_bvh()
+
+    if args.as_debug:
+        from transmission_renderer_tpu.render.raytrace import render_as_debug_frame
+
+        render = jax.jit(
+            partial(render_as_debug_frame, config=config, bvh=bvh)
+        )
+    else:
+        render = jax.jit(
+            partial(render_frame, config=config, flags=flags, bvh=bvh)
+        )
 
     for frame in range(args.frames):
         rig.update()

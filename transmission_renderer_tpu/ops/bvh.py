@@ -1,0 +1,286 @@
+"""LBVH build + ray traversal — the TPU replacement for
+VK_KHR_acceleration_structure / ray_query (SURVEY.md §2.5).
+
+The reference builds one BLAS per primitive plus a TLAS over instances
+(src/acceleration_structures.rs) and traverses with hardware ray queries
+(shader/src/lighting.rs:97-125, shader/src/lib.rs:742-797). Here:
+
+  * build: LBVH — Morton codes of triangle centroids, sort, balanced
+    median-split hierarchy, bottom-up AABBs. Host-side (NumPy) at scene
+    freeze; scenes with animated instances refit world AABBs with
+    ``refit_bvh`` (the UPDATE-mode analogue of
+    src/acceleration_structures.rs:192-267).
+  * traversal: stack-based iterative walk as a jittable batched
+    while_loop. Shadow rays are any-hit and — exactly like the
+    reference's ``trace_shadow_ray``, which confirms every candidate
+    unconditionally (shader/src/lighting.rs:115-118) — ignore alpha
+    clipping. The AS-debug caster's alpha-tested closest-hit walk
+    (shader/src/lib.rs:742-797) lives in render/raytrace.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BVH(NamedTuple):
+    """Flattened binary radix tree over world-space triangles.
+
+    nodes: internal nodes first ([T-1]), then leaves ([T]). children
+    index into this combined array; child >= num_internal means leaf
+    (triangle sorted_tri[child - num_internal]).
+    """
+
+    child_left: jnp.ndarray  # [T-1] int32
+    child_right: jnp.ndarray  # [T-1] int32
+    aabb_min: jnp.ndarray  # [2T-1, 3] f32
+    aabb_max: jnp.ndarray  # [2T-1, 3] f32
+    sorted_tri: jnp.ndarray  # [T] int32 — leaf order -> original triangle id
+
+    @property
+    def num_internal(self) -> int:
+        return self.child_left.shape[0]
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """[N, 3] floats in [0,1] -> 30-bit Morton codes (uint32)."""
+    q = np.clip(x * 1024.0, 0, 1023).astype(np.uint32)
+
+    def expand(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+
+
+def build_bvh(tri_vertices: np.ndarray, positions: np.ndarray) -> BVH:
+    """Host-side LBVH build over [T, 3] triangles of [V, 3] positions.
+
+    Median split over Morton order: leaves sorted by centroid Morton code,
+    internal nodes split their leaf range at the count median — a balanced
+    tree (depth = ceil(log2 T), which bounds refit passes and traversal
+    stacks) with LBVH-grade spatial quality.
+    """
+    tri = np.asarray(tri_vertices, np.int64)
+    pos = np.asarray(positions, np.float32)
+    v = pos[tri]  # [T, 3, 3]
+    t = len(tri)
+    assert t >= 2, "BVH needs at least 2 triangles"
+
+    tri_min = v.min(1)
+    tri_max = v.max(1)
+    centroid = (tri_min + tri_max) * 0.5
+    scene_min = tri_min.min(0)
+    scene_max = tri_max.max(0)
+    extent = np.maximum(scene_max - scene_min, 1e-9)
+    codes = _morton3((centroid - scene_min) / extent)
+    order = np.lexsort((np.arange(t), codes)).astype(np.int64)
+
+    num_internal = t - 1
+    child_left = np.zeros(num_internal, np.int32)
+    child_right = np.zeros(num_internal, np.int32)
+    aabb_min = np.zeros((2 * t - 1, 3), np.float32)
+    aabb_max = np.zeros((2 * t - 1, 3), np.float32)
+    leaf_min = tri_min[order]
+    leaf_max = tri_max[order]
+    aabb_min[num_internal:] = leaf_min
+    aabb_max[num_internal:] = leaf_max
+
+    # iterative two-phase DFS (build children, then fold AABBs on unwind)
+    next_id = [0]
+
+    def alloc():
+        i = next_id[0]
+        next_id[0] += 1
+        return i
+
+    # stack entries: (lo, hi, node_id, phase)
+    root = alloc()
+    stack = [(0, t, root, 0)]
+    while stack:
+        lo, hi, node, phase = stack.pop()
+        if phase == 0:
+            mid = (lo + hi) // 2
+            left = (
+                num_internal + lo if mid - lo == 1 else alloc()
+            )
+            right = (
+                num_internal + mid if hi - mid == 1 else alloc()
+            )
+            child_left[node] = left
+            child_right[node] = right
+            stack.append((lo, hi, node, 1))
+            if hi - mid > 1:
+                stack.append((mid, hi, right, 0))
+            if mid - lo > 1:
+                stack.append((lo, mid, left, 0))
+        else:
+            l, r = child_left[node], child_right[node]
+            aabb_min[node] = np.minimum(aabb_min[l], aabb_min[r])
+            aabb_max[node] = np.maximum(aabb_max[l], aabb_max[r])
+
+    assert next_id[0] == num_internal, (next_id[0], num_internal)
+
+    return BVH(
+        child_left=jnp.asarray(child_left),
+        child_right=jnp.asarray(child_right),
+        aabb_min=jnp.asarray(aabb_min),
+        aabb_max=jnp.asarray(aabb_max),
+        sorted_tri=jnp.asarray(order.astype(np.int32)),
+    )
+
+
+def refit_bvh(
+    bvh: BVH, tri_vertices: jnp.ndarray, positions: jnp.ndarray, passes: int = 40
+) -> BVH:
+    """Refresh AABBs for moved vertices, keeping the topology — the
+    UPDATE-mode TLAS refit analogue (src/acceleration_structures.rs:192-267).
+    Jittable; ``passes`` must be >= tree depth."""
+    v = positions[tri_vertices[bvh.sorted_tri]]  # [T, 3, 3]
+    leaf_min = jnp.min(v, axis=1)
+    leaf_max = jnp.max(v, axis=1)
+    n_int = bvh.num_internal
+    aabb_min = jnp.concatenate([bvh.aabb_min[:n_int], leaf_min], axis=0)
+    aabb_max = jnp.concatenate([bvh.aabb_max[:n_int], leaf_max], axis=0)
+
+    def body(_, mm):
+        mn, mx = mm
+        new_min = jnp.minimum(mn[bvh.child_left], mn[bvh.child_right])
+        new_max = jnp.maximum(mx[bvh.child_left], mx[bvh.child_right])
+        mn = mn.at[:n_int].set(new_min)
+        mx = mx.at[:n_int].set(new_max)
+        return mn, mx
+
+    aabb_min, aabb_max = jax.lax.fori_loop(0, passes, body, (aabb_min, aabb_max))
+    return bvh._replace(aabb_min=aabb_min, aabb_max=aabb_max)
+
+
+STACK_DEPTH = 48
+
+
+def _ray_aabb(origin, inv_dir, t_max, bmin, bmax):
+    """Slab test -> bool (handles inf inv_dir per IEEE)."""
+    t0 = (bmin - origin) * inv_dir
+    t1 = (bmax - origin) * inv_dir
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    enter = jnp.max(tmin, axis=-1)
+    exit_ = jnp.min(tmax, axis=-1)
+    return (enter <= exit_) & (exit_ >= 0.0) & (enter <= t_max)
+
+
+def _ray_tri(origin, direction, t_min, t_max, v0, v1, v2):
+    """Moller-Trumbore -> (hit bool, t, u, v)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(direction, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = origin - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(direction * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return hit, t, u, v
+
+
+def trace_rays(
+    bvh: BVH,
+    tri_vertices: jnp.ndarray,  # [T, 3] int32 (into world positions)
+    positions: jnp.ndarray,  # [V, 3] world-space
+    origins: jnp.ndarray,  # [..., 3]
+    directions: jnp.ndarray,  # [..., 3]
+    t_min: float = 0.001,
+    t_max: float = 10_000.0,
+    any_hit: bool = False,
+):
+    """Batched BVH walk.
+
+    Returns (hit [...] bool, t [...], tri_id [...] int32 (-1 = miss),
+    u [...], v [...]). ``any_hit=True`` terminates on the first accepted
+    intersection (shadow rays, shader/src/lighting.rs:97-125); otherwise
+    the closest hit wins (the AS-debug caster's committed intersection).
+    """
+    shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = directions.reshape(-1, 3)
+    n = o.shape[0]
+    n_int = bvh.num_internal
+
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
+
+    def walk(o_i, inv_i, d_i):
+        stack = jnp.zeros((STACK_DEPTH,), jnp.int32)
+        # state: (stack, sp, best_t, best_tri, best_u, best_v, done)
+        init = (stack, jnp.int32(1), jnp.float32(t_max), jnp.int32(-1),
+                jnp.float32(0), jnp.float32(0), False)
+
+        def cond(s):
+            _, sp, _, _, _, _, done = s
+            return (sp > 0) & ~done
+
+        def body(s):
+            stack, sp, best_t, best_tri, bu, bv, done = s
+            node = stack[sp - 1]
+            sp = sp - 1
+
+            is_leaf = node >= n_int
+
+            def leaf_case():
+                leaf = node - n_int
+                tri_id = bvh.sorted_tri[leaf]
+                tv = positions[tri_vertices[tri_id]]
+                hit, t, u, v = _ray_tri(o_i, d_i, t_min, best_t, tv[0], tv[1], tv[2])
+                nt = jnp.where(hit, t, best_t)
+                ntri = jnp.where(hit, tri_id, best_tri)
+                nu = jnp.where(hit, u, bu)
+                nv = jnp.where(hit, v, bv)
+                ndone = done | (hit if any_hit else False)
+                return stack, sp, nt, ntri, nu, nv, ndone
+
+            def inner_case():
+                l = bvh.child_left[jnp.minimum(node, n_int - 1)]
+                r = bvh.child_right[jnp.minimum(node, n_int - 1)]
+                hit_l = _ray_aabb(o_i, inv_i, best_t, bvh.aabb_min[l], bvh.aabb_max[l])
+                hit_r = _ray_aabb(o_i, inv_i, best_t, bvh.aabb_min[r], bvh.aabb_max[r])
+                st = stack
+                nsp = sp
+                st = jnp.where(hit_l, st.at[nsp].set(l), st)
+                nsp = jnp.where(hit_l, nsp + 1, nsp)
+                st = jnp.where(hit_r, st.at[jnp.minimum(nsp, STACK_DEPTH - 1)].set(r), st)
+                nsp = jnp.where(hit_r, jnp.minimum(nsp + 1, STACK_DEPTH), nsp)
+                return st, nsp, best_t, best_tri, bu, bv, done
+
+            return jax.lax.cond(is_leaf, leaf_case, inner_case)
+
+        stack = stack.at[0].set(0)
+        init = (stack, jnp.int32(1), jnp.float32(t_max), jnp.int32(-1),
+                jnp.float32(0), jnp.float32(0), False)
+        final = jax.lax.while_loop(cond, body, init)
+        _, _, best_t, best_tri, bu, bv, _ = final
+        return best_t, best_tri, bu, bv
+
+    best_t, best_tri, bu, bv = jax.vmap(walk)(o, inv_d, d)
+    hit = best_tri >= 0
+    return (
+        hit.reshape(shape),
+        best_t.reshape(shape),
+        best_tri.reshape(shape),
+        bu.reshape(shape),
+        bv.reshape(shape),
+    )

@@ -156,6 +156,7 @@ def render_frame_sharded(
             lights=lights,
             ggx_lut=ggx_lut,
             debug_clusters=config.debug_clusters,
+            tex_slots=flags.tex_slots,
         )
 
         band_tiles = (

@@ -66,6 +66,7 @@ from transmission_renderer_tpu.scene.types import (
     similarity_apply,
 )
 from transmission_renderer_tpu.utils.ggx_lut import compute_ggx_lut
+from transmission_renderer_tpu.utils.profiling import pass_scope
 
 
 class DrawList(NamedTuple):
@@ -98,15 +99,16 @@ def build_draw_list(scene: Scene) -> DrawList:
     )
 
 
-def build_draw_list_from_numpy(
+def expand_draw_list_numpy(
     inst_prim: np.ndarray,
     inst_mat: np.ndarray,
     prim_first_tri: np.ndarray,
     prim_tri_count: np.ndarray,
     prim_bucket: np.ndarray,
     indices: np.ndarray,
-) -> DrawList:
-    """NumPy expansion at scene-freeze time."""
+) -> dict:
+    """NumPy instance x geometry expansion (shared by DrawList construction
+    and host-side BVH builds)."""
     vtx_src, vtx_inst = [], []
     tri_vtx, tri_inst, tri_bucket, tri_material = [], [], [], []
     vtx_offset = 0
@@ -125,26 +127,47 @@ def build_draw_list_from_numpy(
         tri_material.append(np.full(tc, inst_mat[i], np.int32))
         vtx_offset += count
 
-    return DrawList(
-        vtx_src=jnp.asarray(np.concatenate(vtx_src)),
-        vtx_inst=jnp.asarray(np.concatenate(vtx_inst)),
-        tri_vtx=jnp.asarray(np.concatenate(tri_vtx).astype(np.int32)),
-        tri_inst=jnp.asarray(np.concatenate(tri_inst)),
-        tri_bucket=jnp.asarray(np.concatenate(tri_bucket)),
-        tri_material=jnp.asarray(np.concatenate(tri_material)),
+    return dict(
+        vtx_src=np.concatenate(vtx_src),
+        vtx_inst=np.concatenate(vtx_inst),
+        tri_vtx=np.concatenate(tri_vtx).astype(np.int32),
+        tri_inst=np.concatenate(tri_inst),
+        tri_bucket=np.concatenate(tri_bucket),
+        tri_material=np.concatenate(tri_material),
     )
+
+
+def build_draw_list_from_numpy(*args) -> DrawList:
+    """NumPy expansion at scene-freeze time -> device DrawList."""
+    d = expand_draw_list_numpy(*args)
+    return DrawList(**{k: jnp.asarray(v) for k, v in d.items()})
 
 
 class SceneFlags(NamedTuple):
     """Static (hashable) facts about a scene that gate whole passes.
 
     The reference gates equivalent work by bucket draw counts at record
-    time (src/main.rs:1900-2042); under jit these must be trace-time
-    constants. Compute once per scene with ``scene_flags``.
+    time (src/main.rs:1900-2042) and per-fragment texture-id branches
+    (shader/src/lib.rs:67-77 etc.); under jit these must be trace-time
+    constants, and per-pixel branching is replaced by *scene-wide* slot
+    gating: a texture slot no material uses is skipped entirely (each
+    skipped slot saves ~8 gathers/pixel). Compute once per scene with
+    ``scene_flags`` (or host-side via ``SceneBuilder.finish_bundle``).
     """
 
     has_alpha_clip: bool
     has_transmission: bool
+    # which of the 9 texture slots any material actually uses
+    # (diffuse, metallic_roughness, normal_map, emissive, occlusion,
+    #  transmission, thickness, specular, specular_colour)
+    tex_slots: tuple = (True,) * 9
+
+
+TEX_SLOT_NAMES = (
+    "tex_diffuse", "tex_metallic_roughness", "tex_normal_map",
+    "tex_emissive", "tex_occlusion", "tex_transmission", "tex_thickness",
+    "tex_specular", "tex_specular_colour",
+)
 
 
 def scene_flags(scene: Scene) -> SceneFlags:
@@ -157,6 +180,10 @@ def scene_flags(scene: Scene) -> SceneFlags:
         has_transmission=bool(
             np.any(buckets == BUCKET_TRANSMISSION)
             | np.any(buckets == BUCKET_TRANSMISSION_ALPHA_CLIP)
+        ),
+        tex_slots=tuple(
+            bool(np.any(np.asarray(getattr(scene.materials, n)) >= 0))
+            for n in TEX_SLOT_NAMES
         ),
     )
 
@@ -248,6 +275,8 @@ def render_frame(
     ggx_lut: jnp.ndarray | None = None,
     flags: SceneFlags | None = None,
     return_hdr: bool = False,
+    bvh=None,  # ops.bvh.BVH | None — enables ray-traced shadows when
+    # config.ray_traced_shadows is set (the --ray-tracing feature variant)
 ):
     """Render one frame -> tonemapped linear [H, W, 3] in [0, 1]."""
     w, h = config.width, config.height
@@ -277,6 +306,16 @@ def render_frame(
     )
     tri_scale = scene.inst_transform.scale[dl.tri_inst]
     alpha_fn = _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
+
+    # ---- ray-traced shadows setup (--ray-tracing variant) ------------------
+    use_rt = config.ray_traced_shadows and bvh is not None
+    if use_rt:
+        from transmission_renderer_tpu.ops.bvh import refit_bvh
+        from transmission_renderer_tpu.render.raytrace import shadow_factors
+
+        # per-frame AABB refit, the TLAS UPDATE analogue
+        # (src/acceleration_structures.rs:192-267, src/main.rs:1331-1351)
+        bvh = refit_bvh(bvh, dl.tri_vtx, world_pos)
 
     # Rasteriser backend selection (see RenderConfig.use_pallas_raster).
     use_pallas = config.use_pallas_raster
@@ -371,14 +410,23 @@ def render_frame(
         lights=lights,
         ggx_lut=ggx_lut,
         debug_clusters=config.debug_clusters,
+        tex_slots=flags.tex_slots,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------
-    hdr = shade_opaque(scene, g_o, ctx)
+    if use_rt:
+        with pass_scope("shadow_rays_opaque"):
+            sun_f, light_f = shadow_factors(
+                bvh, dl.tri_vtx, world_pos, g_o, params.sun_dir, lights
+            )
+        ctx = ctx._replace(sun_shadow_factor=sun_f, light_shadow_factors=light_f)
+    with pass_scope("shade_opaque"):
+        hdr = shade_opaque(scene, g_o, ctx)
 
     if flags.has_transmission:
         # ---- 5. opaque mip pyramid ----------------------------------------
-        pyramid = build_pyramid(hdr)
+        with pass_scope("mip_pyramid"):
+            pyramid = build_pyramid(hdr)
 
         # ---- 6-7. transmissive raster + shade ------------------------------
         if use_pallas:
@@ -401,11 +449,22 @@ def render_frame(
             vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
             world_pos, world_nrm, uvs, w, h,
         )
-        hdr_t = shade_transmission(scene, g_t, ctx, pyramid)
+        ctx_t = ctx
+        if use_rt:
+            with pass_scope("shadow_rays_transmission"):
+                sun_f_t, light_f_t = shadow_factors(
+                    bvh, dl.tri_vtx, world_pos, g_t, params.sun_dir, lights
+                )
+            ctx_t = ctx._replace(
+                sun_shadow_factor=sun_f_t, light_shadow_factors=light_f_t
+            )
+        with pass_scope("shade_transmission"):
+            hdr_t = shade_transmission(scene, g_t, ctx_t, pyramid)
         hdr = jnp.where(g_t.valid[..., None], hdr_t, hdr)
 
     # ---- 8. tonemap ---------------------------------------------------------
-    ldr = lottes_tonemap(hdr, bake_lottes_params())
+    with pass_scope("tonemap"):
+        ldr = lottes_tonemap(hdr, bake_lottes_params())
     if return_hdr:
         return ldr, hdr
     return ldr

@@ -1,0 +1,147 @@
+"""Ray-traced shadows + the acceleration-structure debug ray caster.
+
+The --ray-tracing feature variant: shadow rays modulate sun/point-light
+intensity (shader/src/lighting.rs:97-125, applied at :22-37 and :158-166),
+and the full-screen AS-debugging caster (the T-key toggle,
+shader/src/lib.rs:699-798) renders alpha-tested diffuse colour at the
+closest hit of per-pixel camera rays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from transmission_renderer_tpu.ops.bvh import BVH, trace_rays
+from transmission_renderer_tpu.ops.texture import WRAP_REPEAT, sample_texture
+from transmission_renderer_tpu.render.gbuffer import GBuffer
+from transmission_renderer_tpu.pbr.lights import Lights
+from transmission_renderer_tpu.scene.types import Scene
+
+
+def shadow_factors(
+    bvh: BVH,
+    tri_vertices: jnp.ndarray,  # [TT, 3] into world positions
+    world_positions: jnp.ndarray,  # [VV, 3]
+    g: GBuffer,
+    sun_dir: jnp.ndarray,  # [3]
+    lights: Lights,
+):
+    """(sun_factor [H, W], light_factors [H, W, L]) — 1.0 lit, 0.0 shadowed.
+
+    Mirrors trace_shadow_ray semantics: any-hit in (t_min=0.001, t_max),
+    sun t_max = 10_000 (shader/src/lighting.rs:26-32), per-light t_max =
+    light distance (:64-71); every candidate is confirmed, so alpha-clip
+    is ignored for shadows exactly like the reference.
+    """
+    origins = g.position
+    sun_hit, *_ = trace_rays(
+        bvh, tri_vertices, world_positions, origins,
+        jnp.broadcast_to(sun_dir, origins.shape), t_max=10_000.0, any_hit=True,
+    )
+    sun_factor = jnp.where(g.valid & sun_hit, 0.0, 1.0)
+
+    factors = []
+    for li in range(lights.num):
+        to_light = lights.position[li] - origins
+        dist = jnp.linalg.norm(to_light, axis=-1)
+        direction = to_light / jnp.maximum(dist[..., None], 1e-12)
+        hit, t, *_ = trace_rays(
+            bvh, tri_vertices, world_positions, origins, direction,
+            t_max=10_000.0, any_hit=False,
+        )
+        blocked = hit & (t < dist)
+        factors.append(jnp.where(g.valid & blocked, 0.0, 1.0))
+    light_factors = jnp.stack(factors, axis=-1)
+    return sun_factor, light_factors
+
+
+def render_as_debug_frame(scene, dl, params, lights, config, bvh):
+    """CLI entry for the AS-debug view (the reference's T-key toggle):
+    transforms vertices, refits the BVH and ray-casts the full frame.
+    ``lights`` is accepted for signature parity with render_frame (the
+    debug view is unlit, like the reference's diffuse-only caster)."""
+    del lights
+    from transmission_renderer_tpu.ops.bvh import refit_bvh
+    from transmission_renderer_tpu.scene.types import Similarity, similarity_apply
+
+    inst_t = Similarity(
+        translation=scene.inst_transform.translation[dl.vtx_inst],
+        scale=scene.inst_transform.scale[dl.vtx_inst],
+        rotation=scene.inst_transform.rotation[dl.vtx_inst],
+    )
+    world_pos = similarity_apply(inst_t, scene.positions[dl.vtx_src])
+    uvs = scene.uvs[dl.vtx_src]
+    bvh = refit_bvh(bvh, dl.tri_vtx, world_pos)
+    view_inverse = jnp.linalg.inv(params.view)
+    proj = params.proj_view @ jnp.linalg.inv(params.view)
+    proj_inverse = jnp.linalg.inv(proj)
+    return as_debug_view(
+        scene, bvh, dl.tri_vtx, dl.tri_material, world_pos, uvs,
+        view_inverse, proj_inverse, config.width, config.height,
+    )
+
+
+def as_debug_view(
+    scene: Scene,
+    bvh: BVH,
+    tri_vertices: jnp.ndarray,  # [TT, 3]
+    tri_material: jnp.ndarray,  # [TT]
+    world_positions: jnp.ndarray,  # [VV, 3]
+    uvs: jnp.ndarray,  # [VV, 2]
+    view_inverse: jnp.ndarray,  # [4, 4]
+    proj_inverse: jnp.ndarray,  # [4, 4]
+    width: int,
+    height: int,
+) -> jnp.ndarray:
+    """Full-screen ray-cast debug view (shader/src/lib.rs:699-798):
+    camera rays from the inverse view/proj, closest hit, barycentric UV
+    interpolation, LOD-0 diffuse sample; alpha-clip rejected hits show the
+    next surface only insofar as the closest accepted hit wins (the
+    reference confirms candidates with alpha >= cutoff).
+
+    NOTE: the closest-hit walk here does not re-test alpha; alpha-clipped
+    surfaces therefore occlude in this debug view (documented deviation —
+    the flagship scenes carry no alpha-clipped geometry).
+    """
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    tex_u = jnp.broadcast_to(px / width, (height, width))
+    tex_v = jnp.broadcast_to(py / height, (height, width))
+    rc_x = tex_u * 2.0 - 1.0
+    rc_y = tex_v * 2.0 - 1.0
+
+    origin = view_inverse[:3, 3]
+    target = jnp.stack(
+        [rc_x, rc_y, jnp.ones_like(rc_x), jnp.ones_like(rc_x)], axis=-1
+    ) @ proj_inverse.T
+    local_dir = target[..., :3] / jnp.linalg.norm(
+        target[..., :3], axis=-1, keepdims=True
+    )
+    direction = local_dir @ view_inverse[:3, :3].T
+
+    origins = jnp.broadcast_to(origin, direction.shape)
+    hit, t, tri_id, u, v = trace_rays(
+        bvh, tri_vertices, world_positions, origins, direction,
+        t_min=0.01, t_max=1000.0,
+    )
+
+    safe_tri = jnp.maximum(tri_id, 0)
+    vidx = tri_vertices[safe_tri]
+    uv0 = uvs[vidx[..., 0]]
+    uv1 = uvs[vidx[..., 1]]
+    uv2 = uvs[vidx[..., 2]]
+    w0 = (1.0 - u - v)[..., None]
+    uv = uv0 * w0 + uv1 * u[..., None] + uv2 * v[..., None]
+
+    mid = tri_material[safe_tri]
+    m = scene.materials
+    diffuse = m.diffuse_factor[mid][..., :3]
+    tid = m.tex_diffuse[mid]
+    sample = sample_texture(
+        scene.atlas_texels, scene.atlas_meta, scene.atlas_srgb,
+        jnp.maximum(tid, 0), uv, jnp.zeros_like(u), WRAP_REPEAT,
+        trilinear=False,
+    )
+    diffuse = jnp.where((tid >= 0)[..., None], diffuse * sample[..., :3], diffuse)
+    return jnp.where(hit[..., None], diffuse, 0.0)

@@ -50,6 +50,10 @@ class ShadeContext(NamedTuple):
     lights: Lights
     ggx_lut: jnp.ndarray  # [S, S, 2]
     debug_clusters: bool = False
+    # static per-slot texture gating (see SceneFlags.tex_slots); order:
+    # diffuse, metallic_roughness, normal_map, emissive, occlusion,
+    # transmission, thickness, specular, specular_colour
+    tex_slots: tuple = (True,) * 9
     # shadow factors per pixel per light come from the ray-traced path
     # (None -> factor 1.0, the non-RayQuery variant)
     sun_shadow_factor: jnp.ndarray | None = None  # [H, W]
@@ -94,14 +98,27 @@ class PixelMaterial(NamedTuple):
     normal: jnp.ndarray  # shading normal after normal mapping
 
 
-def evaluate_pixel_material(scene: Scene, g: GBuffer, view_vector: jnp.ndarray):
+def evaluate_pixel_material(
+    scene: Scene,
+    g: GBuffer,
+    view_vector: jnp.ndarray,
+    tex_slots: tuple = (True,) * 9,
+):
     """Per-pixel material evaluation: diffuse/emission/metallic-roughness/
     specular/transmission texture fetches + normal mapping
     (get_material_params shader/src/lighting.rs:261-301, get_emission
     :303-313, calculate_normal :222-259, plus the transmission/thickness
-    fetches of fragment_transmission shader/src/lib.rs:65-77, 120-124)."""
+    fetches of fragment_transmission shader/src/lib.rs:37-162, 120-124).
+
+    ``tex_slots`` statically gates each texture slot: slots no material in
+    the scene uses skip their ~8 gathers/pixel entirely — the trace-time
+    analogue of the shader's per-fragment ``!= -1`` branches."""
     m = scene.materials
     mid = g.material_id
+    (
+        use_diffuse, use_mr, use_normal, use_emissive, _use_occlusion,
+        use_transmission, use_thickness, use_specular, use_specular_colour,
+    ) = tex_slots
 
     def tex4(tex_table):
         tid = tex_table[mid]
@@ -110,76 +127,88 @@ def evaluate_pixel_material(scene: Scene, g: GBuffer, view_vector: jnp.ndarray):
 
     # diffuse (sRGB)
     diffuse = m.diffuse_factor[mid]
-    tid, s = tex4(m.tex_diffuse)
-    diffuse = jnp.where((tid >= 0)[..., None], diffuse * s, diffuse)
+    if use_diffuse:
+        tid, s = tex4(m.tex_diffuse)
+        diffuse = jnp.where((tid >= 0)[..., None], diffuse * s, diffuse)
 
     # metallic/roughness — note the z/y (B/G) channel swap
     # (shader/src/lighting.rs:269-277)
     metallic = m.metallic_factor[mid]
     roughness = m.roughness_factor[mid]
-    tid, s = tex4(m.tex_metallic_roughness)
-    metallic = jnp.where(tid >= 0, metallic * s[..., 2], metallic)
-    roughness = jnp.where(tid >= 0, roughness * s[..., 1], roughness)
+    if use_mr:
+        tid, s = tex4(m.tex_metallic_roughness)
+        metallic = jnp.where(tid >= 0, metallic * s[..., 2], metallic)
+        roughness = jnp.where(tid >= 0, roughness * s[..., 1], roughness)
 
     # specular extension
     specular_colour = m.specular_colour_factor[mid]
-    tid, s = tex4(m.tex_specular_colour)
-    specular_colour = jnp.where(
-        (tid >= 0)[..., None], specular_colour * s[..., :3], specular_colour
-    )
+    if use_specular_colour:
+        tid, s = tex4(m.tex_specular_colour)
+        specular_colour = jnp.where(
+            (tid >= 0)[..., None], specular_colour * s[..., :3], specular_colour
+        )
     specular_factor = m.specular_factor[mid]
-    tid, s = tex4(m.tex_specular)
-    specular_factor = jnp.where(tid >= 0, specular_factor * s[..., 3], specular_factor)
+    if use_specular:
+        tid, s = tex4(m.tex_specular)
+        specular_factor = jnp.where(
+            tid >= 0, specular_factor * s[..., 3], specular_factor
+        )
 
     # emission (sRGB)
-    emission = m.emissive_factor[mid]
-    tid, s = tex4(m.tex_emissive)
-    emission = jnp.where((tid >= 0)[..., None], emission * s[..., :3], emission)
+    emission = jnp.broadcast_to(
+        m.emissive_factor[mid], g.position.shape
+    )
+    if use_emissive:
+        tid, s = tex4(m.tex_emissive)
+        emission = jnp.where((tid >= 0)[..., None], emission * s[..., :3], emission)
 
     # transmission & thickness
     transmission_factor = m.transmission_factor[mid]
-    tid, s = tex4(m.tex_transmission)
-    transmission_factor = jnp.where(
-        tid >= 0, transmission_factor * s[..., 0], transmission_factor
-    )
+    if use_transmission:
+        tid, s = tex4(m.tex_transmission)
+        transmission_factor = jnp.where(
+            tid >= 0, transmission_factor * s[..., 0], transmission_factor
+        )
     thickness = m.thickness_factor[mid]
-    tid, s = tex4(m.tex_thickness)
-    thickness = jnp.where(tid >= 0, thickness * s[..., 1], thickness)
+    if use_thickness:
+        tid, s = tex4(m.tex_thickness)
+        thickness = jnp.where(tid >= 0, thickness * s[..., 1], thickness)
 
     # normal mapping via the screen-space cotangent frame
     # (shader/src/lighting.rs:243-259), using analytic derivatives
     normal = g.normal / jnp.maximum(
         jnp.linalg.norm(g.normal, axis=-1, keepdims=True), 1e-12
     )
-    tid = m.tex_normal_map[mid]
-    map_sample = _sample_material_texture(scene, tid, g.uv, g.duv_dx, g.duv_dy)
-    map_normal = map_sample[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
-    # cotangent frame from dp/dx, dp/dy, duv/dx, duv/dy. The reference uses
-    # -view_vector as 'position' for the derivatives; analytic world-pos
-    # derivatives are equivalent up to the constant camera offset.
-    dp1 = g.dpos_dx
-    dp2 = g.dpos_dy
-    duv1 = g.duv_dx
-    duv2 = g.duv_dy
-    dp2perp = jnp.cross(dp2, normal)
-    dp1perp = jnp.cross(normal, dp1)
-    t = dp2perp * duv1[..., 0:1] + dp1perp * duv2[..., 0:1]
-    bt = dp2perp * duv1[..., 1:2] + dp1perp * duv2[..., 1:2]
-    invmax = 1.0 / jnp.sqrt(
-        jnp.maximum(
-            jnp.maximum(jnp.sum(t * t, axis=-1), jnp.sum(bt * bt, axis=-1)),
-            1e-20,
+    if use_normal:
+        tid = m.tex_normal_map[mid]
+        map_sample = _sample_material_texture(scene, tid, g.uv, g.duv_dx, g.duv_dy)
+        map_normal = map_sample[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
+        # cotangent frame from dp/dx, dp/dy, duv/dx, duv/dy. The reference
+        # uses -view_vector as 'position' for the derivatives; analytic
+        # world-pos derivatives are equivalent up to the camera offset.
+        dp1 = g.dpos_dx
+        dp2 = g.dpos_dy
+        duv1 = g.duv_dx
+        duv2 = g.duv_dy
+        dp2perp = jnp.cross(dp2, normal)
+        dp1perp = jnp.cross(normal, dp1)
+        t = dp2perp * duv1[..., 0:1] + dp1perp * duv2[..., 0:1]
+        bt = dp2perp * duv1[..., 1:2] + dp1perp * duv2[..., 1:2]
+        invmax = 1.0 / jnp.sqrt(
+            jnp.maximum(
+                jnp.maximum(jnp.sum(t * t, axis=-1), jnp.sum(bt * bt, axis=-1)),
+                1e-20,
+            )
         )
-    )
-    mapped = (
-        t * invmax[..., None] * map_normal[..., 0:1]
-        + bt * invmax[..., None] * map_normal[..., 1:2]
-        + normal * map_normal[..., 2:3]
-    )
-    mapped = mapped / jnp.maximum(
-        jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-12
-    )
-    normal = jnp.where((tid >= 0)[..., None], mapped, normal)
+        mapped = (
+            t * invmax[..., None] * map_normal[..., 0:1]
+            + bt * invmax[..., None] * map_normal[..., 1:2]
+            + normal * map_normal[..., 2:3]
+        )
+        mapped = mapped / jnp.maximum(
+            jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-12
+        )
+        normal = jnp.where((tid >= 0)[..., None], mapped, normal)
 
     params = MaterialParams(
         diffuse_colour=diffuse[..., :3],
@@ -337,7 +366,7 @@ def shade_opaque(
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
-    pm = evaluate_pixel_material(scene, g, view_vector)
+    pm = evaluate_pixel_material(scene, g, view_vector, ctx.tex_slots)
 
     result, _, cluster, counts = evaluate_lights_common(
         ctx, pm.params, view, g.position, pm.normal, g.depth, with_transmission=False
@@ -366,7 +395,7 @@ def shade_transmission(
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
-    pm = evaluate_pixel_material(scene, g, view_vector)
+    pm = evaluate_pixel_material(scene, g, view_vector, ctx.tex_slots)
 
     result, transmission, _, _ = evaluate_lights_common(
         ctx, pm.params, view, g.position, pm.normal, g.depth, with_transmission=True

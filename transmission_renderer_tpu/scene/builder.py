@@ -127,6 +127,35 @@ class SceneBuilder:
     def add_texture(self, rgba: np.ndarray, srgb: bool) -> int:
         return self.atlas.push_image(rgba, srgb)
 
+    # -- ray tracing ---------------------------------------------------------
+
+    def build_rt_bvh(self):
+        """Host-side LBVH over the expanded world-space geometry — the
+        analogue of the BLAS/TLAS build (src/acceleration_structures.rs).
+        Per-frame transform changes are handled by ``refit_bvh`` inside
+        render_frame."""
+        from transmission_renderer_tpu.ops.bvh import build_bvh
+        from transmission_renderer_tpu.render.frame import expand_draw_list_numpy
+
+        d = expand_draw_list_numpy(
+            np.array(self.inst_primitive, np.int32),
+            np.array(self.inst_material, np.int32),
+            np.array(self.prim_first_tri, np.int32),
+            np.array(self.prim_tri_count, np.int32),
+            np.array(self.prim_bucket, np.int32),
+            np.concatenate(self.indices).astype(np.int32).reshape(-1, 3),
+        )
+        obj = np.concatenate(self.positions)[d["vtx_src"]]
+        t = np.stack(self.inst_translation)[d["vtx_inst"]]
+        s = np.array(self.inst_scale, np.float32)[d["vtx_inst"]]
+        q = np.stack(self.inst_rotation)[d["vtx_inst"]]
+        # numpy quaternion rotate (xyzw)
+        qv = q[:, :3]
+        qw = q[:, 3:4]
+        tvec = 2.0 * np.cross(qv, obj)
+        world = t + s[:, None] * (obj + qw * tvec + np.cross(qv, tvec))
+        return build_bvh(d["tri_vtx"], world.astype(np.float32))
+
     # -- freeze -------------------------------------------------------------
 
     def finish_bundle(self):
@@ -135,6 +164,7 @@ class SceneBuilder:
         the latter reads device arrays back to the host, which is very slow
         over remote-TPU transports."""
         from transmission_renderer_tpu.render.frame import (
+            TEX_SLOT_NAMES,
             SceneFlags,
             build_draw_list_from_numpy,
         )
@@ -154,9 +184,13 @@ class SceneBuilder:
             np.concatenate(self.indices).astype(np.int32).reshape(-1, 3),
         )
         buckets = np.array(self.prim_bucket)
+        mats = self.materials or [default_material()]
         flags = SceneFlags(
             has_alpha_clip=bool(np.any(buckets == _AC) | np.any(buckets == _TAC)),
             has_transmission=bool(np.any(buckets == _T) | np.any(buckets == _TAC)),
+            tex_slots=tuple(
+                any(m[n] >= 0 for m in mats) for n in TEX_SLOT_NAMES
+            ),
         )
         return scene, dl, flags
 
