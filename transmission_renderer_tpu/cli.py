@@ -212,6 +212,23 @@ def main(argv=None) -> int:
         render = jax.jit(
             partial(render_as_debug_frame, config=config, bvh=bvh)
         )
+    elif args.devices > 1:
+        from transmission_renderer_tpu.parallel import (
+            make_band_mesh,
+            render_frame_sharded,
+        )
+
+        if len(jax.devices()) < args.devices:
+            print(
+                f"error: --devices {args.devices} but only "
+                f"{len(jax.devices())} available",
+                file=sys.stderr,
+            )
+            return 2
+        mesh = make_band_mesh(args.devices)
+        render = jax.jit(
+            partial(render_frame_sharded, config=config, mesh=mesh, flags=flags)
+        )
     else:
         render = jax.jit(
             partial(render_frame, config=config, flags=flags, bvh=bvh)
@@ -219,6 +236,28 @@ def main(argv=None) -> int:
 
     for frame in range(args.frames):
         rig.update()
+        if args.spotlights and frame > 0:
+            # rotate the two spots (src/main.rs:1243-1256)
+            angle = 0.5 / 60.0 * frame
+            base = np.asarray(lights.spot_direction)
+            new_dirs = base.copy()
+            for k, phase in ((len(light_list) - 2, 0.0), (len(light_list) - 1, np.pi)):
+                a = angle + phase
+                new_dirs[k] = [np.sin(a), 0.0, np.cos(a)]
+            lights = lights._replace(spot_direction=jnp.asarray(new_dirs))
+        if args.rotate_model and frame > 0:
+            # rotate the last instance (src/main.rs:1258-1283)
+            from transmission_renderer_tpu.scene.types import (
+                quat_from_rotation_y,
+                quat_mul,
+            )
+
+            delta = jnp.asarray(quat_from_rotation_y(1.0 / 60.0))
+            rot = scene.inst_transform.rotation
+            rot = rot.at[-1].set(quat_mul(delta, rot[-1]))
+            scene = scene._replace(
+                inst_transform=scene.inst_transform._replace(rotation=rot)
+            )
         params = make_frame_params(
             config, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
         )

@@ -83,6 +83,20 @@ def build_bvh(tri_vertices: np.ndarray, positions: np.ndarray) -> BVH:
     codes = _morton3((centroid - scene_min) / extent)
     order = np.lexsort((np.arange(t), codes)).astype(np.int64)
 
+    # fast path: native C++ builder (same layout contract)
+    from transmission_renderer_tpu import native
+
+    built = native.bvh_median_build(tri_min[order], tri_max[order])
+    if built is not None:
+        child_left, child_right, aabb_min, aabb_max = built
+        return BVH(
+            child_left=jnp.asarray(child_left),
+            child_right=jnp.asarray(child_right),
+            aabb_min=jnp.asarray(aabb_min),
+            aabb_max=jnp.asarray(aabb_max),
+            sorted_tri=jnp.asarray(order.astype(np.int32)),
+        )
+
     num_internal = t - 1
     child_left = np.zeros(num_internal, np.int32)
     child_right = np.zeros(num_internal, np.int32)

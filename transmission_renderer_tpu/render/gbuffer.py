@@ -8,6 +8,12 @@ and position derivatives — the ddx/ddy the fragment shaders rely on
 (shader/src/lighting.rs:243-259) — are computed *analytically* from the
 homogeneous edge equations, which is exact (quad-difference hardware
 derivatives are an approximation of these).
+
+Performance note: TPU gathers cost by index count, not element width
+(~13 ms per 2M-index gather on v5e), so per-pixel fetches are fused into
+two wide gathers — one [VV, 8] vertex-attribute table (pos+nrm+uv) at the
+3 corner indices, and one [T, 12] per-triangle table (adjugate rows +
+material id + scale) — instead of ~10 narrow ones.
 """
 
 from __future__ import annotations
@@ -53,28 +59,41 @@ def interpolate_gbuffer(
     valid = vis.tri_id >= 0
     tri = jnp.maximum(vis.tri_id, 0)
 
+    # ---- fused per-triangle gather: adj (9) + material (1) + scale (1) ----
+    t = setup.adj.shape[0]
+    tri_table = jnp.concatenate(
+        [
+            setup.adj.reshape(t, 9),
+            tri_material.astype(jnp.float32)[:, None],
+            tri_scale[:, None],
+        ],
+        axis=1,
+    )
+    tri_vals = tri_table[tri]  # [H, W, 11]
+    adj = tri_vals[..., :9].reshape(tri.shape + (3, 3))
+    material_id = tri_vals[..., 9].astype(jnp.int32)
+    model_scale = tri_vals[..., 10]
+
+    # ---- fused per-vertex gather: pos (3) + nrm (3) + uv (2) ---------------
+    attr8 = jnp.concatenate([world_positions, world_normals, uvs], axis=1)
     vidx = tri_vertices[tri]  # [H, W, 3]
+    vals = attr8[vidx]  # [H, W, 3(corner), 8]
+
     b1 = vis.bary[..., 0]
     b2 = vis.bary[..., 1]
     b0 = 1.0 - b1 - b2
     b = jnp.stack([b0, b1, b2], axis=-1)  # [H, W, 3]
 
-    def blend(attr):  # attr [VV, C] -> [H, W, C]
-        vals = attr[vidx]  # [H, W, 3, C]
-        return jnp.sum(vals * b[..., None], axis=-2)
+    blended = jnp.sum(vals * b[..., None], axis=-2)  # [H, W, 8]
+    position = blended[..., 0:3]
+    normal = blended[..., 3:6]
+    uv = blended[..., 6:8]
 
-    position = blend(world_positions)
-    normal = blend(world_normals)
-    uv = blend(uvs)
-
-    # ---- analytic derivatives ------------------------------------------
+    # ---- analytic derivatives ----------------------------------------------
     # e_i(nx, ny) = a_i nx + b_i ny + c_i; a rational attribute
     # A(q) = N(q)/D(q) with N = sum(e_i A_i), D = sum(e_i) has
     # dA/dnx = (sum(a_i A_i) D - N sum(a_i)) / D^2, and d(nx)/d(px) = 2/W.
-    adj = setup.adj[tri]  # [H, W, 3(edge), 3(a,b,c)]
     h_px, w_px = vis.tri_id.shape
-    # Reconstruct per-pixel e_i from the stored barycentrics is ill-posed
-    # (they are normalised); instead re-evaluate e at the pixel centre.
     px = jnp.arange(w_px, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(h_px, dtype=jnp.float32)[:, None] + 0.5 + row_offset
     nx = jnp.broadcast_to(px * (2.0 / width) - 1.0, (h_px, w_px))
@@ -82,22 +101,21 @@ def interpolate_gbuffer(
     e = (
         adj[..., 0] * nx[..., None] + adj[..., 1] * ny[..., None] + adj[..., 2]
     )  # [H, W, 3]
-    d_sum = jnp.sum(e, axis=-1)  # [H, W]
+    d_sum = jnp.sum(e, axis=-1)
     a_sum = jnp.sum(adj[..., 0], axis=-1)
     b_sum = jnp.sum(adj[..., 1], axis=-1)
 
-    def derivs(attr):  # [VV, C] -> (d/dx [H,W,C], d/dy [H,W,C])
-        vals = attr[vidx]  # [H, W, 3, C]
-        n = jnp.sum(e[..., None] * vals, axis=-2)  # [H, W, C]
-        na = jnp.sum(adj[..., 0][..., None] * vals, axis=-2)
-        nb = jnp.sum(adj[..., 1][..., None] * vals, axis=-2)
-        inv_d2 = 1.0 / (d_sum * d_sum)
-        ddnx = (na * d_sum[..., None] - n * a_sum[..., None]) * inv_d2[..., None]
-        ddny = (nb * d_sum[..., None] - n * b_sum[..., None]) * inv_d2[..., None]
-        return ddnx * (2.0 / width), ddny * (2.0 / height)
+    n8 = jnp.sum(e[..., None] * vals, axis=-2)  # [H, W, 8]
+    na8 = jnp.sum(adj[..., 0][..., None] * vals, axis=-2)
+    nb8 = jnp.sum(adj[..., 1][..., None] * vals, axis=-2)
+    inv_d2 = (1.0 / (d_sum * d_sum))[..., None]
+    ddnx8 = (na8 * d_sum[..., None] - n8 * a_sum[..., None]) * inv_d2 * (2.0 / width)
+    ddny8 = (nb8 * d_sum[..., None] - n8 * b_sum[..., None]) * inv_d2 * (2.0 / height)
 
-    duv_dx, duv_dy = derivs(uvs)
-    dpos_dx, dpos_dy = derivs(world_positions)
+    dpos_dx = ddnx8[..., 0:3]
+    dpos_dy = ddny8[..., 0:3]
+    duv_dx = ddnx8[..., 6:8]
+    duv_dy = ddny8[..., 6:8]
 
     zero2 = jnp.zeros_like(uv)
     zero3 = jnp.zeros_like(position)
@@ -112,7 +130,7 @@ def interpolate_gbuffer(
         duv_dy=jnp.where(vmask2, duv_dy, zero2),
         dpos_dx=jnp.where(vmask2, dpos_dx, zero3),
         dpos_dy=jnp.where(vmask2, dpos_dy, zero3),
-        material_id=jnp.where(valid, tri_material[tri], 0),
-        model_scale=jnp.where(valid, tri_scale[tri], 1.0),
+        material_id=jnp.where(valid, material_id, 0),
+        model_scale=jnp.where(valid, model_scale, 1.0),
         tri_id=vis.tri_id,
     )

@@ -268,8 +268,20 @@ def evaluate_lights_common(
     """
     h, w = depth.shape
     cluster = _cluster_index(ctx, depth, (h, w))
-    counts = ctx.cluster_light_counts[cluster]  # [H, W]
     num_lights = ctx.lights.num
+
+    # Fused cluster fetch: [count, idx_0..idx_{S-1}] in ONE row gather
+    # (TPU gathers cost by index count, not row width).
+    max_slots = min(num_lights, ctx.cluster_light_indices.shape[1])
+    cluster_table = jnp.concatenate(
+        [
+            ctx.cluster_light_counts[:, None].astype(jnp.int32),
+            ctx.cluster_light_indices[:, :max_slots].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    cluster_rows = cluster_table[cluster]  # [H, W, 1 + S]
+    counts = cluster_rows[..., 0]
 
     sun_factor = (
         ctx.sun_shadow_factor
@@ -290,9 +302,8 @@ def evaluate_lights_common(
 
     # Clustered loop: slot i reads the cluster's i-th accepted light.
     # num_lights is tiny (<= a handful) so a Python loop unrolls cleanly.
-    max_slots = min(num_lights, ctx.cluster_light_indices.shape[1])
     for slot in range(max_slots):
-        light_idx = ctx.cluster_light_indices[cluster, slot].astype(jnp.int32)
+        light_idx = cluster_rows[..., 1 + slot]
         active = slot < counts
 
         l_pos = ctx.lights.position[light_idx]
