@@ -44,10 +44,14 @@ class RenderConfig:
     tile_w: int = 128
     # Static capacity of the per-tile triangle bins. Triangles whose screen
     # bounding box covers more tiles than `max_tiles_per_tri` fall back to
-    # the (small, every-tile-visits-it) big-triangle list.
+    # the (every-tile-visits-it) big-triangle list. K=16 keeps the binning
+    # sort at T*16 pairs; mid-size triangles (> 16 tiles) ride the big
+    # list, which is capped — raise max_big_tris for scenes with many
+    # large triangles (overflow drops draws, like an undersized indirect
+    # buffer would in the reference).
     max_tris_per_tile: int = 2048
-    max_tiles_per_tri: int = 32
-    max_big_tris: int = 256
+    max_tiles_per_tri: int = 16
+    max_big_tris: int = 1024
 
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
     # shape is the kernel's native 8x128 and the batch has no alpha-clip;
