@@ -54,9 +54,13 @@ class RenderConfig:
     max_big_tris: int = 1024
 
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
-    # shape is the kernel's native 8x128 and the batch has no alpha-clip;
-    # pure-JAX vmapped raster otherwise). True/False force it.
+    # shape is the kernel's native 8x128; pure-JAX vmapped raster
+    # otherwise). Alpha-clip buckets always rasterise through the JAX path
+    # (in-raster texture fetch) and depth-race-merge with the Pallas
+    # output. True/False force the backend.
     use_pallas_raster: bool | None = None
+    # Run the Pallas kernel in interpreter mode (CPU testing only).
+    pallas_interpret: bool = False
 
     # --- precision ---------------------------------------------------------
     # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,

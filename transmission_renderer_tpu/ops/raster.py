@@ -337,6 +337,19 @@ def _raster_tile(
     return carry
 
 
+def merge_visibility(a: VisibilityBuffer, b: VisibilityBuffer) -> VisibilityBuffer:
+    """Depth-race merge of two visibility buffers (reversed-Z GREATER);
+    ``a`` wins ties — pass the earlier-drawn batch as ``a`` to preserve
+    draw-order tie semantics. Used to combine the Pallas raster's output
+    (opaque buckets) with the JAX raster's (alpha-clip buckets)."""
+    win_b = b.depth > a.depth
+    return VisibilityBuffer(
+        tri_id=jnp.where(win_b, b.tri_id, a.tri_id),
+        depth=jnp.maximum(a.depth, b.depth),
+        bary=jnp.where(win_b[..., None], b.bary, a.bary),
+    )
+
+
 def tile_image(img: jnp.ndarray, tile_w: int, tile_h: int) -> jnp.ndarray:
     """[H, W, ...] -> [n_tiles, tile_h, tile_w, ...] (zero-padded)."""
     h, w = img.shape[:2]

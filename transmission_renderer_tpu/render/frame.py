@@ -318,15 +318,15 @@ def render_frame(
         bvh = refit_bvh(bvh, dl.tri_vtx, world_pos)
 
     # Rasteriser backend selection (see RenderConfig.use_pallas_raster).
+    # Alpha-clip buckets need in-raster texture fetches the Pallas kernel
+    # doesn't do; they rasterise through the JAX path and depth-race-merge
+    # with the Pallas output (draw order preserved: clip buckets draw
+    # after their opaque siblings, matching src/main.rs:1900-1944).
     use_pallas = config.use_pallas_raster
     if use_pallas is None:
         import jax
 
-        use_pallas = (
-            jax.default_backend() != "cpu"
-            and (tw, th) == (128, 8)
-            and alpha_fn is None
-        )
+        use_pallas = jax.default_backend() != "cpu" and (tw, th) == (128, 8)
     mask_o = bucket_triangle_masks(
         dl.tri_inst, dl.tri_bucket, visible, (BUCKET_OPAQUE, BUCKET_ALPHA_CLIP)
     )
@@ -336,9 +336,20 @@ def render_frame(
             (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
         )
 
+    def jax_raster_pass(setup, init_depth=None):
+        bins = bin_triangles(
+            setup, tiles_x, tiles_y, config.max_tiles_per_tri,
+            config.max_tris_per_tile, config.max_big_tris,
+        )
+        return rasterize(
+            setup, bins, w, h, tw, th,
+            alpha_coverage_fn=alpha_fn, init_depth=init_depth,
+        )
+
     if use_pallas:
         # Pallas path: ONE shared setup + binning sort for both passes;
         # records carry a draw-class flag the kernel filters on.
+        from transmission_renderer_tpu.ops.raster import merge_visibility
         from transmission_renderer_tpu.ops.raster_pallas import (
             gather_bin_payload,
             rasterize_pallas,
@@ -347,29 +358,36 @@ def render_frame(
         is_transmissive_tri = (dl.tri_bucket == BUCKET_TRANSMISSION) | (
             dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
         )
+        is_clip_tri = (dl.tri_bucket == BUCKET_ALPHA_CLIP) | (
+            dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
+        )
         mask_all = mask_o | mask_t if flags.has_transmission else mask_o
         setup_all = setup_triangles(clip, dl.tri_vtx, mask_all, w, h, tw, th)
+        setup_pallas = setup_all._replace(
+            valid=setup_all.valid & ~is_clip_tri
+        )
         bins_all = bin_triangles(
-            setup_all, tiles_x, tiles_y, config.max_tiles_per_tri,
+            setup_pallas, tiles_x, tiles_y, config.max_tiles_per_tri,
             config.max_tris_per_tile, config.max_big_tris, materialize=False,
         )
-        payload = gather_bin_payload(setup_all, bins_all, is_transmissive_tri)
+        payload = gather_bin_payload(setup_pallas, bins_all, is_transmissive_tri)
 
         # ---- 2. opaque + alpha-clip raster --------------------------------
         setup_o = setup_all
         vis_o = rasterize_pallas(
-            setup_all, bins_all, w, h, pass_class=0, payload=payload
+            setup_pallas, bins_all, w, h, pass_class=0, payload=payload,
+            interpret=config.pallas_interpret,
         )
+        if flags.has_alpha_clip:
+            mask_oc = bucket_triangle_masks(
+                dl.tri_inst, dl.tri_bucket, visible, (BUCKET_ALPHA_CLIP,)
+            )
+            setup_oc = setup_all._replace(valid=setup_all.valid & mask_oc)
+            vis_o = merge_visibility(vis_o, jax_raster_pass(setup_oc))
     else:
         # ---- 2. opaque + alpha-clip raster --------------------------------
         setup_o = setup_triangles(clip, dl.tri_vtx, mask_o, w, h, tw, th)
-        bins_o = bin_triangles(
-            setup_o, tiles_x, tiles_y, config.max_tiles_per_tri,
-            config.max_tris_per_tile, config.max_big_tris,
-        )
-        vis_o = rasterize(
-            setup_o, bins_o, w, h, tw, th, alpha_coverage_fn=alpha_fn
-        )
+        vis_o = jax_raster_pass(setup_o)
     g_o = interpolate_gbuffer(
         vis_o, setup_o, dl.tri_vtx, dl.tri_material, tri_scale,
         world_pos, world_nrm, uvs, w, h,
@@ -432,19 +450,21 @@ def render_frame(
         if use_pallas:
             setup_t = setup_all
             vis_t = rasterize_pallas(
-                setup_all, bins_all, w, h, pass_class=1, payload=payload,
-                init_depth=vis_o.depth,
+                setup_pallas, bins_all, w, h, pass_class=1, payload=payload,
+                init_depth=vis_o.depth, interpret=config.pallas_interpret,
             )
+            if flags.has_alpha_clip:
+                mask_tc = bucket_triangle_masks(
+                    dl.tri_inst, dl.tri_bucket, visible,
+                    (BUCKET_TRANSMISSION_ALPHA_CLIP,),
+                )
+                setup_tc = setup_all._replace(valid=setup_all.valid & mask_tc)
+                vis_t = merge_visibility(
+                    vis_t, jax_raster_pass(setup_tc, init_depth=vis_o.depth)
+                )
         else:
             setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
-            bins_t = bin_triangles(
-                setup_t, tiles_x, tiles_y, config.max_tiles_per_tri,
-                config.max_tris_per_tile, config.max_big_tris,
-            )
-            vis_t = rasterize(
-                setup_t, bins_t, w, h, tw, th,
-                alpha_coverage_fn=alpha_fn, init_depth=vis_o.depth,
-            )
+            vis_t = jax_raster_pass(setup_t, init_depth=vis_o.depth)
         g_t = interpolate_gbuffer(
             vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
             world_pos, world_nrm, uvs, w, h,

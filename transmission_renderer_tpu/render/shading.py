@@ -16,7 +16,7 @@ from transmission_renderer_tpu.ops.mipchain import MipPyramid, sample_pyramid_lo
 from transmission_renderer_tpu.ops.texture import (
     WRAP_REPEAT,
     sample_lut_2ch,
-    sample_texture,
+    sample_texture_rows,
 )
 from transmission_renderer_tpu.pbr import (
     ClusterCoefficients,
@@ -76,15 +76,14 @@ def _mip_lod(duv_dx, duv_dy, tex_w, tex_h):
 def _sample_material_texture(
     scene: Scene, tex_id, uv, duv_dx, duv_dy
 ):
-    """Implicit-LOD trilinear sample; callers mask tex_id == -1."""
-    meta = scene.atlas_meta
+    """Implicit-LOD trilinear sample; callers mask tex_id == -1.
+
+    One meta-row gather serves both the LOD computation (level-0 size)
+    and the level lookups inside the sampler."""
     safe = jnp.maximum(tex_id, 0)
-    w0 = meta[safe, 3]  # level-0 width
-    h0 = meta[safe, 4]  # level-0 height
-    lod = _mip_lod(duv_dx, duv_dy, w0, h0)
-    return sample_texture(
-        scene.atlas_texels, meta, scene.atlas_srgb, safe, uv, lod, WRAP_REPEAT
-    )
+    rows = scene.atlas_meta[safe]  # [..., META_COLS]
+    lod = _mip_lod(duv_dx, duv_dy, rows[..., 3], rows[..., 4])
+    return sample_texture_rows(scene.atlas_texels, rows, uv, lod, WRAP_REPEAT)
 
 
 class PixelMaterial(NamedTuple):
@@ -120,58 +119,86 @@ def evaluate_pixel_material(
         use_transmission, use_thickness, use_specular, use_specular_colour,
     ) = tex_slots
 
-    def tex4(tex_table):
-        tid = tex_table[mid]
+    # Pack all material columns into two matrices so the per-pixel fetch is
+    # TWO row gathers instead of ~25 (TPU gathers cost by index count).
+    f32col = lambda x: x[:, None].astype(jnp.float32)
+    fmat = jnp.concatenate(
+        [
+            f32col(m.metallic_factor),          # 0
+            f32col(m.roughness_factor),         # 1
+            m.diffuse_factor,                   # 2:6
+            m.emissive_factor,                  # 6:9
+            f32col(m.index_of_refraction),      # 9
+            f32col(m.transmission_factor),      # 10
+            f32col(m.thickness_factor),         # 11
+            f32col(m.attenuation_distance),     # 12
+            m.attenuation_colour,               # 13:16
+            f32col(m.specular_factor),          # 16
+            m.specular_colour_factor,           # 17:20
+        ],
+        axis=1,
+    )
+    imat = jnp.stack(
+        [
+            m.tex_diffuse, m.tex_metallic_roughness, m.tex_normal_map,
+            m.tex_emissive, m.tex_transmission, m.tex_thickness,
+            m.tex_specular, m.tex_specular_colour,
+        ],
+        axis=1,
+    )
+    frow = fmat[mid]  # [H, W, 20]
+    irow = imat[mid]  # [H, W, 8]
+
+    def tex4(slot):
+        tid = irow[..., slot]
         sample = _sample_material_texture(scene, tid, g.uv, g.duv_dx, g.duv_dy)
         return tid, sample
 
     # diffuse (sRGB)
-    diffuse = m.diffuse_factor[mid]
+    diffuse = frow[..., 2:6]
     if use_diffuse:
-        tid, s = tex4(m.tex_diffuse)
+        tid, s = tex4(0)
         diffuse = jnp.where((tid >= 0)[..., None], diffuse * s, diffuse)
 
     # metallic/roughness — note the z/y (B/G) channel swap
     # (shader/src/lighting.rs:269-277)
-    metallic = m.metallic_factor[mid]
-    roughness = m.roughness_factor[mid]
+    metallic = frow[..., 0]
+    roughness = frow[..., 1]
     if use_mr:
-        tid, s = tex4(m.tex_metallic_roughness)
+        tid, s = tex4(1)
         metallic = jnp.where(tid >= 0, metallic * s[..., 2], metallic)
         roughness = jnp.where(tid >= 0, roughness * s[..., 1], roughness)
 
     # specular extension
-    specular_colour = m.specular_colour_factor[mid]
+    specular_colour = frow[..., 17:20]
     if use_specular_colour:
-        tid, s = tex4(m.tex_specular_colour)
+        tid, s = tex4(7)
         specular_colour = jnp.where(
             (tid >= 0)[..., None], specular_colour * s[..., :3], specular_colour
         )
-    specular_factor = m.specular_factor[mid]
+    specular_factor = frow[..., 16]
     if use_specular:
-        tid, s = tex4(m.tex_specular)
+        tid, s = tex4(6)
         specular_factor = jnp.where(
             tid >= 0, specular_factor * s[..., 3], specular_factor
         )
 
     # emission (sRGB)
-    emission = jnp.broadcast_to(
-        m.emissive_factor[mid], g.position.shape
-    )
+    emission = frow[..., 6:9]
     if use_emissive:
-        tid, s = tex4(m.tex_emissive)
+        tid, s = tex4(3)
         emission = jnp.where((tid >= 0)[..., None], emission * s[..., :3], emission)
 
     # transmission & thickness
-    transmission_factor = m.transmission_factor[mid]
+    transmission_factor = frow[..., 10]
     if use_transmission:
-        tid, s = tex4(m.tex_transmission)
+        tid, s = tex4(4)
         transmission_factor = jnp.where(
             tid >= 0, transmission_factor * s[..., 0], transmission_factor
         )
-    thickness = m.thickness_factor[mid]
+    thickness = frow[..., 11]
     if use_thickness:
-        tid, s = tex4(m.tex_thickness)
+        tid, s = tex4(5)
         thickness = jnp.where(tid >= 0, thickness * s[..., 1], thickness)
 
     # normal mapping via the screen-space cotangent frame
@@ -180,7 +207,7 @@ def evaluate_pixel_material(
         jnp.linalg.norm(g.normal, axis=-1, keepdims=True), 1e-12
     )
     if use_normal:
-        tid = m.tex_normal_map[mid]
+        tid = irow[..., 2]
         map_sample = _sample_material_texture(scene, tid, g.uv, g.duv_dx, g.duv_dy)
         map_normal = map_sample[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
         # cotangent frame from dp/dx, dp/dy, duv/dx, duv/dy. The reference
@@ -214,7 +241,7 @@ def evaluate_pixel_material(
         diffuse_colour=diffuse[..., :3],
         metallic=metallic,
         perceptual_roughness=roughness,
-        index_of_refraction=m.index_of_refraction[mid],
+        index_of_refraction=frow[..., 9],
         specular_colour=specular_colour,
         specular_factor=specular_factor,
     )
@@ -224,8 +251,8 @@ def evaluate_pixel_material(
         emission=emission,
         transmission_factor=transmission_factor,
         thickness=thickness,
-        attenuation_distance=m.attenuation_distance[mid],
-        attenuation_colour=m.attenuation_colour[mid],
+        attenuation_distance=frow[..., 12],
+        attenuation_colour=frow[..., 13:16],
         normal=normal,
     )
 
