@@ -217,3 +217,38 @@ def test_node_hierarchy_composition(tmp_path):
     assert float(scene.inst_transform.scale[0]) == 2.0
     # default material appended for primitives without one
     assert scene.materials.num == 1
+
+
+def test_strided_accessor(tmp_path):
+    """Interleaved vertex buffer (byteStride) decodes correctly."""
+    import numpy as np
+
+    # interleave position (12B) + normal (12B): stride 24
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    nrm = np.tile(np.array([0, 0, 1], np.float32), (3, 1))
+    inter = np.concatenate([pos, nrm], axis=1).astype(np.float32)  # [3, 6]
+    idx = np.array([0, 1, 2], np.uint32)
+    blob = inter.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2}]}
+        ],
+        "accessors": [
+            {"bufferView": 0, "byteOffset": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 0, "byteOffset": 12, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5125, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 72, "byteStride": 24},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 12},
+        ],
+        "buffers": [{"uri": _buffer_uri(blob), "byteLength": len(blob)}],
+    }
+    p = tmp_path / "strided.gltf"
+    p.write_text(json.dumps(doc))
+    g = GltfDocument.load(str(p))
+    np.testing.assert_allclose(g.read_accessor(0), pos)
+    np.testing.assert_allclose(g.read_accessor(1), nrm)

@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend (the axon TPU sitecustomize "
                    "ignores JAX_PLATFORMS; this flag reliably overrides)")
+    p.add_argument("--interactive", action="store_true",
+                   help="Headless interactive loop: read WASD/QE (move), "
+                   "IJKL (look), arrows (sun, reference src/main.rs:1198), "
+                   "<enter> renders a frame, 'x' quits")
+    p.add_argument("--check-nan", action="store_true",
+                   help="Validate each frame for NaN/Inf (the debug-mode "
+                   "stand-in for the reference's always-on validation layer)")
     p.add_argument("--profile", action="store_true",
                    help="Print per-pass timings via jax.profiler")
     return p
@@ -234,6 +241,49 @@ def main(argv=None) -> int:
             partial(render_frame, config=config, flags=flags, bvh=bvh)
         )
 
+    def check_frame(ldr):
+        if args.check_nan:
+            bad = int(np.isnan(ldr).sum() + np.isinf(ldr).sum())
+            if bad:
+                print(f"VALIDATION: {bad} non-finite pixels!", file=sys.stderr)
+
+    if args.interactive:
+        # Headless analogue of the reference's winit loop
+        # (src/main.rs:923-1456): keys move the dolly rig / sun; each
+        # <enter> simulates + renders a frame to --output.
+        print("interactive: w/a/s/d/q/e move, i/j/k/l look, "
+              "u/o/p/; sun, <enter> render, x quit", file=sys.stderr)
+        frame = 0
+        for line in sys.stdin:
+            for ch in line.strip():
+                if ch == "x":
+                    return 0
+                move = {"w": (1, 0, 0), "s": (-1, 0, 0), "a": (0, -1, 0),
+                        "d": (0, 1, 0), "q": (0, 0, -1), "e": (0, 0, 1)}
+                look = {"i": (0, 0.1), "k": (0, -0.1), "j": (0.1, 0),
+                        "l": (-0.1, 0)}
+                if ch in move:
+                    rig.move_relative(*move[ch], speed=0.5)
+                elif ch in look:
+                    rig.rotate(*look[ch])
+                elif ch in "uop;":
+                    rig.update_sun(ch == "u", ch == ";", ch == "o", ch == "p",
+                                   1 / 60)
+            rig.update()
+            params = make_frame_params(
+                config, rig.camera.view_matrix(), rig.camera.position,
+                rig.sun_dir(),
+            )
+            t0 = time.time()
+            ldr = np.asarray(render(scene, dl, params, lights))
+            check_frame(ldr)
+            out = args.output.replace(".png", f"_{frame:03d}.png")
+            save_png(out, linear_to_srgb(ldr))
+            print(f"frame {frame}: {(time.time()-t0)*1000:.1f} ms -> {out}",
+                  file=sys.stderr)
+            frame += 1
+        return 0
+
     for frame in range(args.frames):
         rig.update()
         if args.spotlights and frame > 0:
@@ -263,6 +313,7 @@ def main(argv=None) -> int:
         )
         t0 = time.time()
         ldr = np.asarray(render(scene, dl, params, lights))
+        check_frame(ldr)
         dt = time.time() - t0
         out = (
             args.output

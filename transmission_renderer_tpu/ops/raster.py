@@ -191,10 +191,22 @@ def bin_triangles(
     flat_tiles = tile_id.reshape(-1)
     flat_tris = tri_ids.reshape(-1)
 
-    # Stable sort by tile keeps triangle order inside each tile = draw order.
-    order = jnp.argsort(flat_tiles, stable=True)
-    sorted_tiles = flat_tiles[order]
-    sorted_tris = flat_tris[order]
+    # Sort pairs by (tile, tri). When both ids fit in 31 bits together,
+    # pack them into ONE int32 key — a single-array sort is ~2x cheaper
+    # than the stable argsort (which internally sorts key+index pairs),
+    # and tri-ascending-within-tile IS draw order, so the packed sort is
+    # exactly the stable sort's result.
+    tri_bits = max(num_tris.bit_length(), 1)
+    tile_bits = (n_tiles + 1).bit_length()
+    if tri_bits + tile_bits <= 31:
+        keys = (flat_tiles << tri_bits) | flat_tris
+        sorted_keys = jnp.sort(keys)
+        sorted_tiles = sorted_keys >> tri_bits
+        sorted_tris = sorted_keys & ((1 << tri_bits) - 1)
+    else:
+        order = jnp.argsort(flat_tiles, stable=True)
+        sorted_tiles = flat_tiles[order]
+        sorted_tris = flat_tris[order]
 
     tile_start = jnp.searchsorted(
         sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)

@@ -1,0 +1,390 @@
+"""Pallas raster kernel variant that emits an interpolated G-buffer.
+
+The plain kernel (ops/raster_pallas.py) outputs a visibility buffer that a
+separate gather-based pass (render/gbuffer.py) expands into attributes —
+two ~6M-index gathers per pass on TPU. This variant carries the three
+vertices' attributes *in the record stream* (they're SMEM scalars anyway)
+and interpolates at depth-race win time, writing the G-buffer channels
+directly: no per-pixel attribute gathers at all.
+
+Record layout: 48 f32 (2 records per 128-lane row would need 64; we use
+one record per 48 lanes? No — rows must be 128 lanes, so records are
+padded to 64 f32, 2 per row):
+  [0:9]   adjugate rows (a0 b0 c0 a1 b1 c1 a2 b2 c2)
+  [9:12]  z_clip,  [12:15] w_clip
+  [15]    tri id (+CLASS_BIT for transmissive) as float value
+  [16:24] v0: pos.xyz, nrm.xyz, uv.xy
+  [24:32] v1, [32:40] v2
+  [40]    material id (float value), [41] instance scale
+  [42:64] padding
+
+Derivatives are the same closed forms as render/gbuffer.py: for an
+attribute with vertex values A_i, N = sum(e_i A_i), D = sum(e_i),
+dA/dnx = (sum(a_i A_i) D - N sum(a_i)) / D^2 — and sum(a_i A_i) is a
+per-record *scalar*, so the per-pixel cost is a handful of VPU ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from transmission_renderer_tpu.ops.raster import TileBins, TriangleSetup
+from transmission_renderer_tpu.ops.raster_pallas import CLASS_BIT
+
+TILE_H = 8
+TILE_W = 128
+REC_F32 = 64
+RECS_PER_ROW = 128 // REC_F32  # 2
+CHUNK_ROWS = 16  # 32 records / chunk, 8 KB
+
+# output channel order (each [n_tiles, TILE_H, TILE_W] f32 unless noted)
+GBUF_CHANNELS = (
+    "tri",  # int32
+    "depth",
+    "pos_x", "pos_y", "pos_z",
+    "nrm_x", "nrm_y", "nrm_z",
+    "uv_u", "uv_v",
+    "duvdx_u", "duvdx_v", "duvdy_u", "duvdy_v",
+    "dposdx_x", "dposdx_y", "dposdx_z",
+    "dposdy_x", "dposdy_y", "dposdy_z",
+    "material",  # int32
+    "scale",
+)
+N_OUT = len(GBUF_CHANNELS)
+
+
+def pack_gbuf_payload(
+    setup: TriangleSetup,
+    tri_vertices: jnp.ndarray,  # [T, 3]
+    tri_material: jnp.ndarray,  # [T]
+    tri_scale: jnp.ndarray,  # [T]
+    world_positions: jnp.ndarray,  # [VV, 3]
+    world_normals: jnp.ndarray,  # [VV, 3]
+    uvs: jnp.ndarray,  # [VV, 2]
+    class_flags: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[T, 64] records (per-frame; the vertex gathers here are T-sized,
+    not pixel-sized)."""
+    t = setup.adj.shape[0]
+    ids = jnp.arange(t, dtype=jnp.int32)
+    if class_flags is not None:
+        ids = ids + CLASS_BIT * class_flags.astype(jnp.int32)
+    attr8 = jnp.concatenate([world_positions, world_normals, uvs], axis=1)
+    v = attr8[tri_vertices]  # [T, 3, 8]
+    rec = jnp.concatenate(
+        [
+            setup.adj.reshape(t, 9),
+            setup.z_clip,
+            setup.w_clip,
+            ids.astype(jnp.float32)[:, None],
+            v.reshape(t, 24),
+            tri_material.astype(jnp.float32)[:, None],
+            tri_scale[:, None],
+            jnp.zeros((t, REC_F32 - 42), jnp.float32),
+        ],
+        axis=1,
+    )
+    return rec
+
+
+def gather_gbuf_payload(records: jnp.ndarray, bins: TileBins):
+    """Sorted/big payload rows for the kernel ([R, 128] lane-aligned)."""
+    t = records.shape[0]
+    degenerate = jnp.zeros((1, REC_F32), jnp.float32).at[0, 15].set(-1.0)
+    rec_ext = jnp.concatenate([records, degenerate], axis=0)
+    sorted_ids = jnp.where(bins.sorted_tri_ids >= 0, bins.sorted_tri_ids, t)
+    big_ids = jnp.where(bins.big_tri_ids >= 0, bins.big_tri_ids, t)
+
+    def pack_rows(recs, extra_pad):
+        n = recs.shape[0]
+        pad = (-n) % RECS_PER_ROW
+        recs = jnp.pad(recs, ((0, pad), (0, 0)))
+        rows = recs.reshape(-1, 128)
+        if extra_pad:
+            rows = jnp.pad(rows, ((0, extra_pad), (0, 0)))
+        return rows
+
+    return (
+        pack_rows(rec_ext[sorted_ids], CHUNK_ROWS),
+        pack_rows(rec_ext[big_ids], 0),
+    )
+
+
+def _kernel(
+    # scalar prefetch
+    tile_start_ref,
+    tile_ids_ref,
+    big_count_ref,
+    # inputs
+    payload_hbm,  # ANY (HBM)
+    big_payload_ref,  # SMEM
+    init_depth_ref,  # VMEM [1, TILE_H, TILE_W]
+    # outputs: N_OUT per-tile blocks
+    *refs,
+    tiles_x: int,
+    width: int,
+    height: int,
+    pass_class: int | None,
+):
+    outs = refs[:N_OUT]
+    chunk_ref, sems = refs[N_OUT], refs[N_OUT + 1]
+    # VMEM accumulators live in the output blocks directly.
+    (tri_o, depth_o, px_o, py_o, pz_o, nx_o, ny_o, nz_o, u_o, v_o,
+     duxu_o, duxv_o, duyu_o, duyv_o,
+     dpxx_o, dpxy_o, dpxz_o, dpyx_o, dpyy_o, dpyz_o,
+     mat_o, scale_o) = outs
+
+    t = pl.program_id(0)
+    tile_id = tile_ids_ref[t]
+    ty = tile_id // tiles_x
+    tx = tile_id % tiles_x
+
+    rows_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32
+    )
+    cols_f = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32
+    )
+    pxc = tx.astype(jnp.float32) * TILE_W + cols_f + 0.5
+    pyc = ty.astype(jnp.float32) * TILE_H + rows_f + 0.5
+    nx = pxc * (2.0 / width) - 1.0
+    ny = pyc * (2.0 / height) - 1.0
+
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    tri_o[0] = jnp.full((TILE_H, TILE_W), -1, jnp.int32)
+    depth_o[0] = init_depth_ref[0]
+    for ref in (px_o, py_o, pz_o, nx_o, ny_o, u_o, v_o, duxu_o, duxv_o,
+                duyu_o, duyv_o, dpxx_o, dpxy_o, dpxz_o, dpyx_o, dpyy_o,
+                dpyz_o, mat_o):
+        if ref is mat_o:
+            ref[0] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+        else:
+            ref[0] = zero
+    nz_o[0] = zero + 1.0  # background normal = +z (gbuffer convention)
+    scale_o[0] = zero + 1.0
+
+    start = tile_start_ref[t]
+    count = tile_start_ref[t + 1] - start
+
+    def record_body(ref, row, off):
+        rec = lambda k: ref[row, off + k]
+        a0, b0, c0 = rec(0), rec(1), rec(2)
+        a1, b1_, c1 = rec(3), rec(4), rec(5)
+        a2, b2_, c2 = rec(6), rec(7), rec(8)
+        z0, z1, z2 = rec(9), rec(10), rec(11)
+        w0, w1, w2 = rec(12), rec(13), rec(14)
+        tri_enc = rec(15).astype(jnp.int32)
+        is_trans = tri_enc >= CLASS_BIT
+        tri = jnp.where(is_trans, tri_enc - CLASS_BIT, tri_enc)
+
+        e0 = a0 * nx + b0 * ny + c0
+        e1 = a1 * nx + b1_ * ny + c1
+        e2 = a2 * nx + b2_ * ny + c2
+
+        def covered(e, a, b):
+            tl = (a > 0) | ((a == 0) & (b < 0))
+            return (e > 0) | ((e == 0) & tl)
+
+        inside = (
+            covered(e0, a0, b0) & covered(e1, a1, b1_) & covered(e2, a2, b2_)
+        )
+        w_int = e0 * w0 + e1 * w1 + e2 * w2
+        z_int = e0 * z0 + e1 * z1 + e2 * z2
+        depth = z_int / w_int
+        inside &= (w_int > 0) & (depth >= 0.0) & (depth <= 1.0)
+        if pass_class is not None:
+            inside &= is_trans == (pass_class == 1)
+
+        win = inside & (depth > depth_o[0])
+
+        d_sum = e0 + e1 + e2
+        inv_d = 1.0 / d_sum
+        a_sum = a0 + a1 + a2
+        b_sum = b0 + b1_ + b2_
+        inv_d2x = inv_d * inv_d * (2.0 / width)
+        inv_d2y = inv_d * inv_d * (2.0 / height)
+
+        def store(out_ref, val):
+            out_ref[0] = jnp.where(win, val, out_ref[0])
+
+        # 8 attribute channels: v0 at 16.., v1 at 24.., v2 at 32..
+        attr_outs = (px_o, py_o, pz_o, nx_o, ny_o, nz_o, u_o, v_o)
+        dx_outs = (dpxx_o, dpxy_o, dpxz_o, None, None, None, duxu_o, duxv_o)
+        dy_outs = (dpyx_o, dpyy_o, dpyz_o, None, None, None, duyu_o, duyv_o)
+        for k in range(8):
+            A0, A1, A2 = rec(16 + k), rec(24 + k), rec(32 + k)
+            n_attr = e0 * A0 + e1 * A1 + e2 * A2
+            store(attr_outs[k], n_attr * inv_d)
+            na = a0 * A0 + a1 * A1 + a2 * A2
+            nb = b0 * A0 + b1_ * A1 + b2_ * A2
+            if dx_outs[k] is not None:
+                store(dx_outs[k], (na * d_sum - n_attr * a_sum) * inv_d2x)
+                store(dy_outs[k], (nb * d_sum - n_attr * b_sum) * inv_d2y)
+
+        store(tri_o, tri)
+        store(mat_o, rec(40).astype(jnp.int32))
+        store(scale_o, rec(41))
+        # depth LAST (the win mask reads depth_o)
+        store(depth_o, depth)
+
+    def big_body(j, _):
+        record_body(
+            big_payload_ref, j // RECS_PER_ROW, (j % RECS_PER_ROW) * REC_F32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, big_count_ref[0], big_body, 0)
+
+    row0 = start // RECS_PER_ROW
+    rem = start - row0 * RECS_PER_ROW
+    total = rem + count
+    chunk_recs = CHUNK_ROWS * RECS_PER_ROW
+    num_chunks = pl.cdiv(total, chunk_recs)
+
+    def get_dma(slot, ci):
+        return pltpu.make_async_copy(
+            payload_hbm.at[pl.ds(row0 + ci * CHUNK_ROWS, CHUNK_ROWS)],
+            chunk_ref.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chunk_body(ci, _):
+        slot = ci % 2
+
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            get_dma(1 - slot, ci + 1).start()
+
+        get_dma(slot, ci).wait()
+        l_lo = jnp.maximum(rem - ci * chunk_recs, 0)
+        l_hi = jnp.minimum(total - ci * chunk_recs, chunk_recs)
+
+        def rec_loop(l, _):
+            record_body(
+                chunk_ref.at[slot], l // RECS_PER_ROW,
+                (l % RECS_PER_ROW) * REC_F32,
+            )
+            return 0
+
+        jax.lax.fori_loop(l_lo, l_hi, rec_loop, 0)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
+class GBufferTiles(NamedTuple):
+    """Raw per-tile kernel outputs, keyed like GBUF_CHANNELS."""
+
+    arrays: tuple
+
+
+def rasterize_gbuffer_pallas(
+    records: jnp.ndarray,  # [T, 64] from pack_gbuf_payload
+    bins: TileBins,
+    width: int,
+    height: int,
+    init_depth: jnp.ndarray | None = None,
+    pass_class: int | None = None,
+    payload=None,  # optional precomputed (rows, big_rows)
+    interpret: bool = False,
+):
+    """Full-frame G-buffer raster. Returns a render.gbuffer.GBuffer."""
+    from transmission_renderer_tpu.ops.raster import tile_image, untile_image
+    from transmission_renderer_tpu.render.gbuffer import GBuffer
+
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    n_tiles = tiles_x * tiles_y
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    payload_rows, big_rows = (
+        payload if payload is not None else gather_gbuf_payload(records, bins)
+    )
+    init_tiles = (
+        tile_image(init_depth, TILE_W, TILE_H)
+        if init_depth is not None
+        else jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
+    )
+    n_big_recs = bins.big_tri_ids.shape[0]
+    big_count = jnp.minimum(bins.big_tri_count, n_big_recs).astype(jnp.int32)[None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                big_rows.shape, lambda t, *_: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(N_OUT)
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct(
+            (n_tiles, TILE_H, TILE_W),
+            jnp.int32 if GBUF_CHANNELS[i] in ("tri", "material") else jnp.float32,
+        )
+        for i in range(N_OUT)
+    ]
+    kernel = functools.partial(
+        _kernel, tiles_x=tiles_x, width=width, height=height,
+        pass_class=pass_class,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        bins.tile_start.astype(jnp.int32),
+        tile_ids,
+        big_count,
+        payload_rows,
+        big_rows,
+        init_tiles,
+    )
+
+    def ut(a):
+        return untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H, width, height)
+
+    ch = {name: ut(a) for name, a in zip(GBUF_CHANNELS, outs)}
+    valid = ch["tri"] >= 0
+    vmask = valid[..., None]
+    stack3 = lambda a, b, c: jnp.stack([ch[a], ch[b], ch[c]], axis=-1)
+    stack2 = lambda a, b: jnp.stack([ch[a], ch[b]], axis=-1)
+    return GBuffer(
+        valid=valid,
+        depth=ch["depth"],
+        position=jnp.where(vmask, stack3("pos_x", "pos_y", "pos_z"), 0.0),
+        normal=jnp.where(
+            vmask, stack3("nrm_x", "nrm_y", "nrm_z"),
+            jnp.array([0.0, 0.0, 1.0]),
+        ),
+        uv=jnp.where(vmask, stack2("uv_u", "uv_v"), 0.0),
+        duv_dx=jnp.where(vmask, stack2("duvdx_u", "duvdx_v"), 0.0),
+        duv_dy=jnp.where(vmask, stack2("duvdy_u", "duvdy_v"), 0.0),
+        dpos_dx=jnp.where(vmask, stack3("dposdx_x", "dposdx_y", "dposdx_z"), 0.0),
+        dpos_dy=jnp.where(vmask, stack3("dposdy_x", "dposdy_y", "dposdy_z"), 0.0),
+        material_id=jnp.where(valid, ch["material"], 0),
+        model_scale=jnp.where(valid, ch["scale"], 1.0),
+        tri_id=ch["tri"],
+    )

@@ -223,7 +223,11 @@ def render_frame_sharded(
                 init_depth_tiles=init_tiles,
             )
             g_t = gbuffer_for(vis_t, setup_t)
-            hdr_t = shade_transmission(scene, g_t, ctx, pyramid)
+            hdr_t = shade_transmission(
+                scene, g_t,
+                ctx._replace(tex_slots=flags.tex_slots_transmission),
+                pyramid,
+            )
             hdr_band = jnp.where(g_t.valid[..., None], hdr_t, hdr_band)
 
         return lottes_tonemap(hdr_band, bake_lottes_params())

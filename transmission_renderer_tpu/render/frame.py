@@ -161,6 +161,10 @@ class SceneFlags(NamedTuple):
     # (diffuse, metallic_roughness, normal_map, emissive, occlusion,
     #  transmission, thickness, specular, specular_colour)
     tex_slots: tuple = (True,) * 9
+    # slot usage restricted to materials referenced by transmissive-bucket
+    # instances — the transmission shade pass only ever keeps those pixels,
+    # so texture slots other materials use can be skipped there.
+    tex_slots_transmission: tuple = (True,) * 9
 
 
 TEX_SLOT_NAMES = (
@@ -170,8 +174,33 @@ TEX_SLOT_NAMES = (
 )
 
 
+def compute_tex_slot_flags(
+    tex_columns: dict, inst_material: np.ndarray | None = None,
+    restrict_to: np.ndarray | None = None,
+) -> tuple:
+    """Per-slot usage flags; optionally restricted to the materials used by
+    a subset of instances (``restrict_to`` boolean over instances)."""
+    if restrict_to is not None and inst_material is not None:
+        mids = np.unique(inst_material[restrict_to])
+        if len(mids) == 0:
+            return (False,) * len(TEX_SLOT_NAMES)
+        return tuple(
+            bool(np.any(np.asarray(tex_columns[n])[mids] >= 0))
+            for n in TEX_SLOT_NAMES
+        )
+    return tuple(
+        bool(np.any(np.asarray(tex_columns[n]) >= 0)) for n in TEX_SLOT_NAMES
+    )
+
+
 def scene_flags(scene: Scene) -> SceneFlags:
     buckets = np.asarray(scene.prim_draw_bucket)
+    inst_bucket = buckets[np.asarray(scene.inst_primitive_id)]
+    inst_mat = np.asarray(scene.inst_material_id)
+    cols = {n: getattr(scene.materials, n) for n in TEX_SLOT_NAMES}
+    trans_inst = (inst_bucket == BUCKET_TRANSMISSION) | (
+        inst_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
+    )
     return SceneFlags(
         has_alpha_clip=bool(
             np.any(buckets == BUCKET_ALPHA_CLIP)
@@ -181,9 +210,9 @@ def scene_flags(scene: Scene) -> SceneFlags:
             np.any(buckets == BUCKET_TRANSMISSION)
             | np.any(buckets == BUCKET_TRANSMISSION_ALPHA_CLIP)
         ),
-        tex_slots=tuple(
-            bool(np.any(np.asarray(getattr(scene.materials, n)) >= 0))
-            for n in TEX_SLOT_NAMES
+        tex_slots=compute_tex_slot_flags(cols),
+        tex_slots_transmission=compute_tex_slot_flags(
+            cols, inst_mat, trans_inst
         ),
     )
 
@@ -346,6 +375,10 @@ def render_frame(
             alpha_coverage_fn=alpha_fn, init_depth=init_depth,
         )
 
+    # The fused G-buffer kernel handles clip-free scenes in one shot (no
+    # per-pixel attribute gathers); scenes with alpha-clip use the
+    # vis-buffer route with the JAX raster merged in.
+    use_gbuf_kernel = use_pallas and not flags.has_alpha_clip
     if use_pallas:
         # Pallas path: ONE shared setup + binning sort for both passes;
         # records carry a draw-class flag the kernel filters on.
@@ -370,6 +403,25 @@ def render_frame(
             setup_pallas, tiles_x, tiles_y, config.max_tiles_per_tri,
             config.max_tris_per_tile, config.max_big_tris, materialize=False,
         )
+
+    if use_gbuf_kernel:
+        from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+            gather_gbuf_payload,
+            pack_gbuf_payload,
+            rasterize_gbuffer_pallas,
+        )
+
+        records = pack_gbuf_payload(
+            setup_pallas, dl.tri_vtx, dl.tri_material, tri_scale,
+            world_pos, world_nrm, uvs, is_transmissive_tri,
+        )
+        gpayload = gather_gbuf_payload(records, bins_all)
+        # ---- 2. opaque raster + G-buffer in one kernel ---------------------
+        g_o = rasterize_gbuffer_pallas(
+            records, bins_all, w, h, pass_class=0, payload=gpayload,
+            interpret=config.pallas_interpret,
+        )
+    elif use_pallas:
         payload = gather_bin_payload(setup_pallas, bins_all, is_transmissive_tri)
 
         # ---- 2. opaque + alpha-clip raster --------------------------------
@@ -378,20 +430,20 @@ def render_frame(
             setup_pallas, bins_all, w, h, pass_class=0, payload=payload,
             interpret=config.pallas_interpret,
         )
-        if flags.has_alpha_clip:
-            mask_oc = bucket_triangle_masks(
-                dl.tri_inst, dl.tri_bucket, visible, (BUCKET_ALPHA_CLIP,)
-            )
-            setup_oc = setup_all._replace(valid=setup_all.valid & mask_oc)
-            vis_o = merge_visibility(vis_o, jax_raster_pass(setup_oc))
+        mask_oc = bucket_triangle_masks(
+            dl.tri_inst, dl.tri_bucket, visible, (BUCKET_ALPHA_CLIP,)
+        )
+        setup_oc = setup_all._replace(valid=setup_all.valid & mask_oc)
+        vis_o = merge_visibility(vis_o, jax_raster_pass(setup_oc))
     else:
         # ---- 2. opaque + alpha-clip raster --------------------------------
         setup_o = setup_triangles(clip, dl.tri_vtx, mask_o, w, h, tw, th)
         vis_o = jax_raster_pass(setup_o)
-    g_o = interpolate_gbuffer(
-        vis_o, setup_o, dl.tri_vtx, dl.tri_material, tri_scale,
-        world_pos, world_nrm, uvs, w, h,
-    )
+    if not use_gbuf_kernel:
+        g_o = interpolate_gbuffer(
+            vis_o, setup_o, dl.tri_vtx, dl.tri_material, tri_scale,
+            world_pos, world_nrm, uvs, w, h,
+        )
 
     # ---- 3. clustered lighting -------------------------------------------
     coeffs = cluster_coefficients(
@@ -447,29 +499,34 @@ def render_frame(
             pyramid = build_pyramid(hdr)
 
         # ---- 6-7. transmissive raster + shade ------------------------------
-        if use_pallas:
+        if use_gbuf_kernel:
+            g_t = rasterize_gbuffer_pallas(
+                records, bins_all, w, h, pass_class=1, payload=gpayload,
+                init_depth=g_o.depth, interpret=config.pallas_interpret,
+            )
+        elif use_pallas:
             setup_t = setup_all
             vis_t = rasterize_pallas(
                 setup_pallas, bins_all, w, h, pass_class=1, payload=payload,
                 init_depth=vis_o.depth, interpret=config.pallas_interpret,
             )
-            if flags.has_alpha_clip:
-                mask_tc = bucket_triangle_masks(
-                    dl.tri_inst, dl.tri_bucket, visible,
-                    (BUCKET_TRANSMISSION_ALPHA_CLIP,),
-                )
-                setup_tc = setup_all._replace(valid=setup_all.valid & mask_tc)
-                vis_t = merge_visibility(
-                    vis_t, jax_raster_pass(setup_tc, init_depth=vis_o.depth)
-                )
+            mask_tc = bucket_triangle_masks(
+                dl.tri_inst, dl.tri_bucket, visible,
+                (BUCKET_TRANSMISSION_ALPHA_CLIP,),
+            )
+            setup_tc = setup_all._replace(valid=setup_all.valid & mask_tc)
+            vis_t = merge_visibility(
+                vis_t, jax_raster_pass(setup_tc, init_depth=vis_o.depth)
+            )
         else:
             setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
             vis_t = jax_raster_pass(setup_t, init_depth=vis_o.depth)
-        g_t = interpolate_gbuffer(
-            vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
-            world_pos, world_nrm, uvs, w, h,
-        )
-        ctx_t = ctx
+        if not use_gbuf_kernel:
+            g_t = interpolate_gbuffer(
+                vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
+                world_pos, world_nrm, uvs, w, h,
+            )
+        ctx_t = ctx._replace(tex_slots=flags.tex_slots_transmission)
         if use_rt:
             with pass_scope("shadow_rays_transmission"):
                 sun_f_t, light_f_t = shadow_factors(

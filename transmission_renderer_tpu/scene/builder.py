@@ -185,11 +185,23 @@ class SceneBuilder:
         )
         buckets = np.array(self.prim_bucket)
         mats = self.materials or [default_material()]
+        inst_bucket = buckets[np.array(self.inst_primitive, np.int32)]
+        inst_mat = np.array(self.inst_material, np.int32)
+        trans_inst = (inst_bucket == _T) | (inst_bucket == _TAC)
+        trans_mids = set(np.unique(inst_mat[trans_inst]).tolist())
         flags = SceneFlags(
             has_alpha_clip=bool(np.any(buckets == _AC) | np.any(buckets == _TAC)),
             has_transmission=bool(np.any(buckets == _T) | np.any(buckets == _TAC)),
             tex_slots=tuple(
                 any(m[n] >= 0 for m in mats) for n in TEX_SLOT_NAMES
+            ),
+            tex_slots_transmission=tuple(
+                any(
+                    m[n] >= 0
+                    for i, m in enumerate(mats)
+                    if i in trans_mids
+                )
+                for n in TEX_SLOT_NAMES
             ),
         )
         return scene, dl, flags
