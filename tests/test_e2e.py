@@ -88,3 +88,17 @@ def test_jit_no_recompile_on_param_change():
         _ = f(scene, dl, p2, lights).block_until_ready()
         logging.getLogger("jax").removeHandler(handler)
         assert "Compiling" not in stream.getvalue()
+
+
+def test_half_res_refraction_close_to_exact():
+    """The half-res framebuffer fetch must stay close to the exact path on
+    a volume-transmission scene (LOD >= 1 everywhere at this size)."""
+    import dataclasses
+
+    cfg_half = dataclasses.replace(CFG, half_res_refraction=True)
+    exact = _render(build_attenuation_scene(), cam_pos=(0.0, 5.0, 3.0), pitch=-0.75)
+    half = _render(
+        build_attenuation_scene(), cfg=cfg_half, cam_pos=(0.0, 5.0, 3.0), pitch=-0.75
+    )
+    rmse = float(np.sqrt(np.mean((half - exact) ** 2)))
+    assert rmse < 0.02, rmse

@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-leaks", action="store_true",
                    help="Accepted for parity; JAX buffers are GC-managed")
     # TPU-build extensions
-    p.add_argument("--procedural", choices=["test", "helmet", "dragon", "attenuation"],
+    p.add_argument("--procedural", choices=["test", "helmet", "dragon", "attenuation", "stress"],
                    default=None, help="Render a built-in procedural scene")
     p.add_argument("--detail", type=float, default=1.0,
                    help="Geometry detail multiplier for procedural scenes "
@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Headless interactive loop: read WASD/QE (move), "
                    "IJKL (look), arrows (sun, reference src/main.rs:1198), "
                    "<enter> renders a frame, 'x' quits")
+    p.add_argument("--half-res-refraction", action="store_true",
+                   help="Half-res framebuffer fetch in the transmission "
+                   "pass (~2.5x cheaper; near-lossless at LOD >= 1)")
     p.add_argument("--check-nan", action="store_true",
                    help="Validate each frame for NaN/Inf (the debug-mode "
                    "stand-in for the reference's always-on validation layer)")
@@ -109,6 +112,7 @@ def main(argv=None) -> int:
         build_attenuation_scene,
         build_dragon_scene,
         build_opaque_scene,
+        build_stress_scene,
         build_test_scene,
     )
     from transmission_renderer_tpu.pbr.lights import pack_lights, point_light, spot_light
@@ -131,6 +135,7 @@ def main(argv=None) -> int:
         spotlights=args.spotlights,
         rotate_model=args.rotate_model,
         debug_clusters=args.debug_clusters,
+        half_res_refraction=args.half_res_refraction,
     )
 
     # ---- scene -------------------------------------------------------------
@@ -147,6 +152,7 @@ def main(argv=None) -> int:
                 roughness_override=args.roughness_override,
             ),
             "attenuation": build_attenuation_scene,
+            "stress": lambda: build_stress_scene(grid=max(int(5 * d), 2)),
         }[args.procedural]()
     elif args.gltf_sample_model_name:
         from transmission_renderer_tpu.scene.gltf import load_gltf, path_for_gltf_model

@@ -61,6 +61,12 @@ class RenderConfig:
     use_pallas_raster: bool | None = None
     # Run the Pallas kernel in interpreter mode (CPU testing only).
     pallas_interpret: bool = False
+    # Sample the transmission pass's framebuffer mip fetch on a half-res
+    # grid and bilinearly upsample. Near-lossless when the per-pixel LOD is
+    # >= 1 (the fetched signal is already bandlimited below half-res) and
+    # ~2.5x cheaper in gather cost; OFF by default for exact reference
+    # sampling. Expect 1-px halos at glass silhouettes when enabled.
+    half_res_refraction: bool = False
 
     # --- precision ---------------------------------------------------------
     # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,

@@ -17,5 +17,6 @@ from transmission_renderer_tpu.models.procedural import (  # noqa: F401
     build_test_scene,
     build_opaque_scene,
     build_dragon_scene,
+    build_stress_scene,
     build_attenuation_scene,
 )

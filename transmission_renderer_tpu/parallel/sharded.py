@@ -157,6 +157,7 @@ def render_frame_sharded(
             ggx_lut=ggx_lut,
             debug_clusters=config.debug_clusters,
             tex_slots=flags.tex_slots,
+            half_res_refraction=config.half_res_refraction,
         )
 
         band_tiles = (

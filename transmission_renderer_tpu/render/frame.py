@@ -481,6 +481,7 @@ def render_frame(
         ggx_lut=ggx_lut,
         debug_clusters=config.debug_clusters,
         tex_slots=flags.tex_slots,
+        half_res_refraction=config.half_res_refraction,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------

@@ -54,6 +54,9 @@ class ShadeContext(NamedTuple):
     # diffuse, metallic_roughness, normal_map, emissive, occlusion,
     # transmission, thickness, specular, specular_colour
     tex_slots: tuple = (True,) * 9
+    # half-res framebuffer fetch in the transmission pass (see
+    # RenderConfig.half_res_refraction)
+    half_res_refraction: bool = False
     # shadow factors per pixel per light come from the ray-traced path
     # (None -> factor 1.0, the non-RayQuery variant)
     sun_shadow_factor: jnp.ndarray | None = None  # [H, W]
@@ -439,7 +442,17 @@ def shade_transmission(
         ctx, pm.params, view, g.position, pm.normal, g.depth, with_transmission=True
     )
 
-    fb_sampler = lambda uv, lod: sample_pyramid_lod(opaque_pyramid, uv, lod)
+    if ctx.half_res_refraction:
+        import jax
+
+        def fb_sampler(uv, lod):
+            c = sample_pyramid_lod(
+                opaque_pyramid, uv[::2, ::2], lod[::2, ::2]
+            )
+            return jax.image.resize(c, uv.shape[:2] + (3,), "linear")
+
+    else:
+        fb_sampler = lambda uv, lod: sample_pyramid_lod(opaque_pyramid, uv, lod)
     lut_sampler = lambda nov, rough: sample_lut_2ch(ctx.ggx_lut, nov, rough)
 
     transmission = transmission + ibl_volume_refraction(
