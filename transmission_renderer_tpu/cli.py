@@ -89,8 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check-nan", action="store_true",
                    help="Validate each frame for NaN/Inf (the debug-mode "
                    "stand-in for the reference's always-on validation layer)")
-    p.add_argument("--profile", action="store_true",
-                   help="Print per-pass timings via jax.profiler")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="Capture a jax.profiler trace of the frame loop "
+                   "into DIR (view in Perfetto/TensorBoard; per-pass "
+                   "named_scope zones mirror the reference's Tracy zones)")
     return p
 
 
@@ -116,13 +118,8 @@ def main(argv=None) -> int:
         build_test_scene,
     )
     from transmission_renderer_tpu.pbr.lights import pack_lights, point_light, spot_light
-    from transmission_renderer_tpu.render import (
-        build_draw_list,
-        make_frame_params,
-        render_frame,
-        scene_flags,
-    )
-    from transmission_renderer_tpu.scene.camera import CameraRig, sun_normal
+    from transmission_renderer_tpu.render import make_frame_params, render_frame
+    from transmission_renderer_tpu.scene.camera import CameraRig
     from transmission_renderer_tpu.scene.textures import linear_to_srgb
     from transmission_renderer_tpu.utils import save_png
 
@@ -164,7 +161,6 @@ def main(argv=None) -> int:
             else path_for_gltf_model(args.gltf_sample_model_name)
         )
         from transmission_renderer_tpu.scene.builder import SceneBuilder
-        from transmission_renderer_tpu.scene.types import Similarity as _S
 
         builder = SceneBuilder()
         if not args.no_sponza:
@@ -290,6 +286,13 @@ def main(argv=None) -> int:
             frame += 1
         return 0
 
+    profile_cm = None
+    if args.profile:
+        from transmission_renderer_tpu.utils.profiling import trace
+
+        profile_cm = trace(args.profile)
+        profile_cm.__enter__()
+
     for frame in range(args.frames):
         rig.update()
         if args.spotlights and frame > 0:
@@ -330,6 +333,10 @@ def main(argv=None) -> int:
         print(f"frame {frame}: {dt*1000:.1f} ms -> {out}")
         # simple orbit for multi-frame renders
         rig.target_yaw += 0.1
+
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
     return 0
 

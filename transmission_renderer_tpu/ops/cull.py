@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from transmission_renderer_tpu.scene.types import Scene, Similarity, similarity_apply
+from transmission_renderer_tpu.scene.types import Scene, similarity_apply
 
 
 def frustum_planes_from_projection(perspective: np.ndarray):

@@ -16,8 +16,6 @@ The output is the full tonemapped frame, sharded over rows.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ from transmission_renderer_tpu.config import (
 )
 from transmission_renderer_tpu.scene.textures import AtlasBuilder
 from transmission_renderer_tpu.scene.types import (
-    MaterialsSoA,
     Scene,
     Similarity,
     default_material,
