@@ -18,7 +18,7 @@ from transmission_renderer_tpu.scene.camera import CameraRig
 
 CFG = RenderConfig(
     width=128, height=72, tile_w=32, tile_h=8,
-    max_tris_per_tile=128, max_tiles_per_tri=16, max_big_tris=32,
+    max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
 )
 
 

@@ -24,7 +24,7 @@ from transmission_renderer_tpu.scene.camera import CameraRig
 # Pallas-native tile shape (the kernel requires 8x128)
 CFG_JAX = RenderConfig(
     width=256, height=64, tile_w=128, tile_h=8,
-    max_tris_per_tile=128, max_tiles_per_tri=16, max_big_tris=32,
+    max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
     use_pallas_raster=False,
 )
 import dataclasses

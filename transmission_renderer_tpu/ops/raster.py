@@ -146,6 +146,13 @@ class TileBins(NamedTuple):
     # raw sorted pairs, consumed by the Pallas raster path
     sorted_tri_ids: jnp.ndarray  # [T*K] int32
     tile_start: jnp.ndarray  # [n_tiles + 1] int32
+    # diagnostics: the busiest tile's UNCLAMPED count. If this exceeds
+    # max_tris_per_tile, the materialised JAX-path bins silently dropped
+    # triangles (like an undersized indirect buffer would); the Pallas
+    # path is unaffected (it reads tile_start directly).
+    # (default is a plain int: creating a jnp scalar at import time would
+    # initialise the backend before callers can select one)
+    max_bin_count: jnp.ndarray | int = 0
 
 
 def bin_triangles(
@@ -212,7 +219,8 @@ def bin_triangles(
         sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
-    counts = jnp.minimum(tile_start[1:] - tile_start[:-1], max_tris_per_tile)
+    raw_counts = tile_start[1:] - tile_start[:-1]
+    counts = jnp.minimum(raw_counts, max_tris_per_tile)
 
     if materialize:
         # Fixed-size per-tile lists for the JAX raster path. NOTE: this
@@ -241,6 +249,7 @@ def bin_triangles(
         big_tri_count=big_count,
         sorted_tri_ids=sorted_tris,
         tile_start=tile_start,
+        max_bin_count=jnp.max(raw_counts).astype(jnp.int32),
     )
 
 

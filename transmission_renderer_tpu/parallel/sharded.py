@@ -62,6 +62,7 @@ from transmission_renderer_tpu.render.shading import (
 )
 from transmission_renderer_tpu.scene.types import Scene, Similarity, quat_rotate, similarity_apply
 from transmission_renderer_tpu.utils.ggx_lut import compute_ggx_lut
+from transmission_renderer_tpu.utils.platform import f32_matmuls
 
 
 def make_band_mesh(n_devices: int | None = None) -> Mesh:
@@ -77,6 +78,7 @@ def _band_tile_rows(config: RenderConfig, n_bands: int) -> int:
     return -(-config.tiles_y // n_bands)
 
 
+@f32_matmuls
 def render_frame_sharded(
     scene: Scene,
     dl: DrawList,

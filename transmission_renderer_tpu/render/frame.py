@@ -66,6 +66,7 @@ from transmission_renderer_tpu.scene.types import (
     similarity_apply,
 )
 from transmission_renderer_tpu.utils.ggx_lut import compute_ggx_lut
+from transmission_renderer_tpu.utils.platform import f32_matmuls
 from transmission_renderer_tpu.utils.profiling import pass_scope
 
 
@@ -295,6 +296,7 @@ def _make_alpha_fn(scene: Scene, dl: DrawList, uvs_expanded: jnp.ndarray):
     return alpha_fn
 
 
+@f32_matmuls
 def render_frame(
     scene: Scene,
     dl: DrawList,

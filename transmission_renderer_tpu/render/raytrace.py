@@ -17,6 +17,7 @@ from transmission_renderer_tpu.ops.texture import WRAP_REPEAT, sample_texture
 from transmission_renderer_tpu.render.gbuffer import GBuffer
 from transmission_renderer_tpu.pbr.lights import Lights
 from transmission_renderer_tpu.scene.types import Scene
+from transmission_renderer_tpu.utils.platform import f32_matmuls
 
 
 def shadow_factors(
@@ -56,6 +57,7 @@ def shadow_factors(
     return sun_factor, light_factors
 
 
+@f32_matmuls
 def render_as_debug_frame(scene, dl, params, lights, config, bvh):
     """CLI entry for the AS-debug view (the reference's T-key toggle):
     transforms vertices, refits the BVH and ray-casts the full frame.

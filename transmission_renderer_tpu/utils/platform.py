@@ -23,3 +23,23 @@ def force_cpu() -> None:
         xla_bridge._clear_backends()
         jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+def f32_matmuls(fn):
+    """Run ``fn`` with full-f32 matmul precision.
+
+    TPU matmuls default to bf16 inputs; the camera/clip transforms are in
+    the RMSE-critical chain (SURVEY.md §7 hard part 6) and visibly shift
+    geometry at default precision (measured RMSE 0.013 vs CPU at 128x72).
+    The frame's matmuls are all tiny (Nx4 @ 4x4), so "highest" is free.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        import jax
+
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapper
