@@ -68,6 +68,20 @@ class RenderConfig:
     # sampling. Expect 1-px halos at glass silhouettes when enabled.
     half_res_refraction: bool = False
 
+    # --- block-sparse shading (render/sparse.py) ----------------------------
+    # The reference shades only covered fragments (raster hardware +
+    # depth pre-pass, readme.md:74); these caps recover that economics on
+    # TPU by compacting 128-pixel blocks containing active pixels into a
+    # static worklist sized cap_frac * num_blocks. Exact while the active
+    # block count fits the cap; overflow leaves blocks unshaded and is
+    # reported via FrameDiagnostics (the analogue of an undersized
+    # indirect DrawBuffer, src/main.rs:2423-2476). None = dense shading.
+    # Transmissive coverage is almost always a small screen fraction, so
+    # the transmission pass defaults to sparse; opaque coverage can reach
+    # 100%, so it defaults to dense (enable per scene/camera).
+    opaque_block_cap_frac: float | None = None
+    transmission_block_cap_frac: float | None = 0.5
+
     # --- precision ---------------------------------------------------------
     # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,
     # hard part 6); bf16 is only used where it cannot affect fidelity.

@@ -1,10 +1,15 @@
-"""Gather-based texture sampling over the flat texel atlas.
+"""Gather-based texture sampling over the quad-block texel atlas.
 
 Replaces Vulkan sampler hardware (SURVEY.md §2.5 "Texture sampling"):
 bilinear + trilinear filtering, REPEAT / CLAMP_TO_EDGE wrap, sRGB decode.
 All sampling is explicit-LOD; implicit-LOD call sites compute LODs from
 analytic UV derivatives in the deferred shading pass (the TPU analogue of
 ddx/ddy, SURVEY.md §2.5 "derivative hardware").
+
+The atlas stores each mip level as 2x2 blocks in four phase-shifted copies
+(scene/textures.py), so one bilinear tap is ONE [4]-uint32 row gather and
+trilinear is two — TPU gathers cost by index count (~13 ms per 2M on
+v5e), so this is 4x cheaper than a row-major texel pool.
 
 Conventions match Vulkan: texel centres at integer+0.5, LOD0 = full res.
 """
@@ -13,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from transmission_renderer_tpu.scene.textures import META_COLS  # noqa: F401
+from transmission_renderer_tpu.scene.textures import MAX_MIPS, META_COLS  # noqa: F401
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -34,22 +39,22 @@ def _srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
 
 
-def _wrap(coord: jnp.ndarray, size: jnp.ndarray, mode: int) -> jnp.ndarray:
-    if mode == WRAP_REPEAT:
-        return jnp.mod(coord, size)
-    return jnp.clip(coord, 0, size - 1)
-
-
-def _bilinear_level(
-    texels: jnp.ndarray,  # [N] uint32 atlas pool
-    offset: jnp.ndarray,  # [...] int32 level offset
-    width: jnp.ndarray,  # [...] int32
+def _bilinear_level_quad(
+    quads: jnp.ndarray,  # [B, 4] uint32 atlas pool
+    qoff: jnp.ndarray,  # [...] int32 level block offset
+    width: jnp.ndarray,  # [...] int32 level size in texels
     height: jnp.ndarray,  # [...] int32
     uv: jnp.ndarray,  # [..., 2]
     srgb: jnp.ndarray,  # [...] bool
     wrap_mode: int,
 ) -> jnp.ndarray:
-    """One bilinear tap at a single mip level. 4 gathers."""
+    """One bilinear tap at a single mip level. ONE gather.
+
+    The footprint {x0, x0+1} x {y0, y0+1} lives entirely in the block of
+    phase (y0 & 1, x0 & 1) at (y0 >> 1, x0 >> 1); edge wrap behaviour is
+    baked into boundary blocks at build time (scene/textures.py), so the
+    only in-sampler wrap work is folding x0/y0 into range.
+    """
     wf = width.astype(jnp.float32)
     hf = height.astype(jnp.float32)
     x = uv[..., 0] * wf - 0.5
@@ -60,52 +65,57 @@ def _bilinear_level(
     fy = (y - y0)[..., None]
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-
-    def tap(xi, yi):
-        xi = _wrap(xi, width, wrap_mode)
-        yi = _wrap(yi, height, wrap_mode)
-        idx = offset + yi * width + xi
-        rgba = _unpack_rgba8(texels[idx])
-        rgb = jnp.where(
-            srgb[..., None], _srgb_to_linear(rgba[..., :3]), rgba[..., :3]
-        )
-        return jnp.concatenate([rgb, rgba[..., 3:]], axis=-1)
-
-    c00 = tap(x0, y0)
-    c10 = tap(x0 + 1, y0)
-    c01 = tap(x0, y0 + 1)
-    c11 = tap(x0 + 1, y0 + 1)
+    if wrap_mode == WRAP_REPEAT:
+        x0 = jnp.mod(x0, width)
+        y0 = jnp.mod(y0, height)
+    else:
+        # CLAMP_TO_EDGE: when x0 < 0 both Vulkan taps clamp to texel 0, so
+        # the blend must collapse onto the block's first column (fx = 0);
+        # the upper edge (x0 >= w-1) is baked into the boundary block.
+        fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+        fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+        x0 = jnp.clip(x0, 0, width - 1)
+        y0 = jnp.clip(y0, 0, height - 1)
+    bw = (width + 1) >> 1
+    bh = (height + 1) >> 1
+    phase = (y0 & 1) * 2 + (x0 & 1)
+    qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+    q = _unpack_rgba8(quads[qidx])  # [..., 4 texels, 4 ch]
+    rgb = jnp.where(
+        srgb[..., None, None], _srgb_to_linear(q[..., :3]), q[..., :3]
+    )
+    q = jnp.concatenate([rgb, q[..., 3:]], axis=-1)
+    c00 = q[..., 0, :]
+    c10 = q[..., 1, :]
+    c01 = q[..., 2, :]
+    c11 = q[..., 3, :]
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy
 
 
 def _level_meta_from_rows(rows: jnp.ndarray, level: jnp.ndarray):
-    """(offset, width, height) of a clamped mip level from pre-gathered
+    """(quad offset, width, height) of a clamped mip level from pre-gathered
     meta rows [..., META_COLS].
 
-    Implemented as a static select chain over the (small, static) mip
-    count instead of dynamic per-pixel gathers: TPU gathers cost ~13 ms
-    per 2M indices, while MAX_MIPS*3 selects are nearly free VPU work.
+    Level sizes are the closed form max(size0 >> level, 1); offsets come
+    from a static select chain over the (small, static) mip count — both
+    nearly-free VPU work vs per-pixel gathers.
     """
     num_mips = rows[..., 0]
     level = jnp.clip(level, 0, num_mips - 1)
-    max_mips = (rows.shape[-1] - 2) // 3
-    offset = rows[..., 2]
-    width = rows[..., 3]
-    height = rows[..., 4]
-    for k in range(1, max_mips):
-        pick = level == k
-        offset = jnp.where(pick, rows[..., 2 + 3 * k], offset)
-        width = jnp.where(pick, rows[..., 3 + 3 * k], width)
-        height = jnp.where(pick, rows[..., 4 + 3 * k], height)
+    width = jnp.maximum(rows[..., 2] >> level, 1)
+    height = jnp.maximum(rows[..., 3] >> level, 1)
+    offset = rows[..., 4]
+    for k in range(1, MAX_MIPS):
+        offset = jnp.where(level == k, rows[..., 4 + k], offset)
     return offset, width, height
 
 
 def sample_texture(
-    texels: jnp.ndarray,  # [N] uint32
+    quads: jnp.ndarray,  # [B, 4] uint32
     meta: jnp.ndarray,  # [num_images, META_COLS] int32
-    srgb_table: jnp.ndarray,  # [num_images] bool
+    srgb_table: jnp.ndarray,  # [num_images] bool (unused: srgb rides in meta)
     texture_id: jnp.ndarray,  # [...] int32 (callers mask id==-1 themselves)
     uv: jnp.ndarray,  # [..., 2]
     lod: jnp.ndarray,  # [...] float32
@@ -120,11 +130,11 @@ def sample_texture(
     texture_id = jnp.maximum(texture_id, 0)  # -1 handled by caller masks
     # ONE meta-row gather per sample (srgb flag rides in column 1).
     rows = meta[texture_id]  # [..., META_COLS]
-    return sample_texture_rows(texels, rows, uv, lod, wrap_mode, trilinear)
+    return sample_texture_rows(quads, rows, uv, lod, wrap_mode, trilinear)
 
 
 def sample_texture_rows(
-    texels: jnp.ndarray,
+    quads: jnp.ndarray,
     rows: jnp.ndarray,  # [..., META_COLS] pre-gathered meta rows
     uv: jnp.ndarray,
     lod: jnp.ndarray,
@@ -132,18 +142,19 @@ def sample_texture_rows(
     trilinear: bool = True,
 ) -> jnp.ndarray:
     """Like sample_texture but with the per-pixel meta rows already
-    gathered — callers that also need level-0 sizes (for LOD computation)
-    can share the single gather."""
+    fetched — callers that also need level-0 sizes (for LOD computation)
+    can share the fetch (e.g. via the one-hot material matrix,
+    render/shading.py)."""
     srgb = rows[..., 1] != 0
     lod = jnp.maximum(lod, 0.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
 
     o0, w0, h0 = _level_meta_from_rows(rows, l0)
-    c0 = _bilinear_level(texels, o0, w0, h0, uv, srgb, wrap_mode)
+    c0 = _bilinear_level_quad(quads, o0, w0, h0, uv, srgb, wrap_mode)
     if not trilinear:
         return c0
     o1, w1, h1 = _level_meta_from_rows(rows, l0 + 1)
-    c1 = _bilinear_level(texels, o1, w1, h1, uv, srgb, wrap_mode)
+    c1 = _bilinear_level_quad(quads, o1, w1, h1, uv, srgb, wrap_mode)
     frac = (lod - l0.astype(jnp.float32))[..., None]
     return c0 + (c1 - c0) * frac
 

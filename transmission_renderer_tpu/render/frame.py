@@ -56,7 +56,16 @@ from transmission_renderer_tpu.render.gbuffer import interpolate_gbuffer
 from transmission_renderer_tpu.render.shading import (
     ShadeContext,
     shade_opaque,
+    shade_opaque_flat,
     shade_transmission,
+    shade_transmission_flat,
+)
+from transmission_renderer_tpu.render.sparse import (
+    block_gather,
+    block_scatter,
+    compact_blocks,
+    num_blocks,
+    pixel_coords,
 )
 from transmission_renderer_tpu.scene.camera import perspective_matrix_reversed
 from transmission_renderer_tpu.scene.types import (
@@ -218,6 +227,32 @@ def scene_flags(scene: Scene) -> SceneFlags:
     )
 
 
+class FrameDiagnostics(NamedTuple):
+    """Runtime capacity diagnostics (the analogue of Vulkan's validation
+    layer catching undersized indirect buffers). All fields are scalars;
+    hosts should check them and warn loudly — see cli.py. A value above
+    its capacity means the frame silently lost work."""
+
+    max_bin_count: jnp.ndarray  # busiest tile's unclamped triangle count
+    bin_capacity: int  # max_tris_per_tile (JAX raster path only)
+    big_tri_count: jnp.ndarray  # unclamped big-triangle list demand
+    big_tri_capacity: int  # max_big_tris
+    opaque_blocks: jnp.ndarray  # active 128-px blocks in the opaque pass
+    opaque_block_capacity: int  # worklist cap (0 = dense, no cap)
+    transmission_blocks: jnp.ndarray
+    transmission_block_capacity: int
+
+    def overflowed(self) -> bool:
+        """Host-side check (call outside jit on fetched values)."""
+        checks = [
+            (int(self.max_bin_count), self.bin_capacity),
+            (int(self.big_tri_count), self.big_tri_capacity),
+            (int(self.opaque_blocks), self.opaque_block_capacity),
+            (int(self.transmission_blocks), self.transmission_block_capacity),
+        ]
+        return any(cap and n > cap for n, cap in checks)
+
+
 class FrameParams(NamedTuple):
     """Per-frame camera/sun uniforms (PushConstants + Uniforms +
     CullingPushConstants, shared-structs/src/lib.rs:11-29, 273-280)."""
@@ -253,6 +288,13 @@ def make_frame_params(
         sun_dir=jnp.asarray(np.asarray(sun_dir, np.float32)),
         sun_intensity=jnp.asarray(np.asarray(sun_intensity, np.float32)),
     )
+
+
+def _gather_gbuffer(wk, g):
+    """Gather every G-buffer channel's active blocks -> flat worklist."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda a: block_gather(wk, a), g)
 
 
 def _make_alpha_fn(scene: Scene, dl: DrawList, uvs_expanded: jnp.ndarray):
@@ -308,8 +350,12 @@ def render_frame(
     return_hdr: bool = False,
     bvh=None,  # ops.bvh.BVH | None — enables ray-traced shadows when
     # config.ray_traced_shadows is set (the --ray-tracing feature variant)
+    return_diagnostics: bool = False,
 ):
-    """Render one frame -> tonemapped linear [H, W, 3] in [0, 1]."""
+    """Render one frame -> tonemapped linear [H, W, 3] in [0, 1].
+
+    With ``return_diagnostics`` the result is (image, FrameDiagnostics);
+    hosts should check ``diagnostics.overflowed()`` (see cli.py)."""
     w, h = config.width, config.height
     tw, th = config.tile_w, config.tile_h
     tiles_x, tiles_y = config.tiles_x, config.tiles_y
@@ -367,11 +413,23 @@ def render_frame(
             (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
         )
 
+    # capacity diagnostics accumulated across every binning call this frame
+    max_bin_count = jnp.int32(0)
+    big_tri_demand = jnp.int32(0)
+
+    def _track_bins(bins):
+        nonlocal max_bin_count, big_tri_demand
+        max_bin_count = jnp.maximum(max_bin_count, bins.max_bin_count)
+        big_tri_demand = jnp.maximum(
+            big_tri_demand, bins.big_tri_count.astype(jnp.int32)
+        )
+        return bins
+
     def jax_raster_pass(setup, init_depth=None):
-        bins = bin_triangles(
+        bins = _track_bins(bin_triangles(
             setup, tiles_x, tiles_y, config.max_tiles_per_tri,
             config.max_tris_per_tile, config.max_big_tris,
-        )
+        ))
         return rasterize(
             setup, bins, w, h, tw, th,
             alpha_coverage_fn=alpha_fn, init_depth=init_depth,
@@ -404,6 +462,11 @@ def render_frame(
         bins_all = bin_triangles(
             setup_pallas, tiles_x, tiles_y, config.max_tiles_per_tri,
             config.max_tris_per_tile, config.max_big_tris, materialize=False,
+        )
+        # the Pallas tile lists are uncapped (they read tile_start), but
+        # the big-triangle list is a static buffer in both paths
+        big_tri_demand = jnp.maximum(
+            big_tri_demand, bins_all.big_tri_count.astype(jnp.int32)
         )
 
     if use_gbuf_kernel:
@@ -493,9 +556,40 @@ def render_frame(
                 bvh, dl.tri_vtx, world_pos, g_o, params.sun_dir, lights
             )
         ctx = ctx._replace(sun_shadow_factor=sun_f, light_shadow_factors=light_f)
-    with pass_scope("shade_opaque"):
-        hdr = shade_opaque(scene, g_o, ctx)
 
+    nb = num_blocks(h, w)
+    cap_o = (
+        min(int(np.ceil(nb * config.opaque_block_cap_frac)), nb)
+        if config.opaque_block_cap_frac is not None
+        else 0
+    )
+    opaque_blocks = jnp.int32(0)
+    with pass_scope("shade_opaque"):
+        if cap_o:
+            # block-sparse opaque shade: only blocks with coverage pay
+            # their gathers (render/sparse.py)
+            wk_o = compact_blocks(g_o.valid, cap_o)
+            opaque_blocks = wk_o.count
+            g_of = _gather_gbuffer(wk_o, g_o)
+            ctx_f = ctx
+            if ctx.sun_shadow_factor is not None:
+                ctx_f = ctx_f._replace(
+                    sun_shadow_factor=block_gather(wk_o, ctx.sun_shadow_factor)
+                )
+            if ctx.light_shadow_factors is not None:
+                ctx_f = ctx_f._replace(
+                    light_shadow_factors=block_gather(
+                        wk_o, ctx.light_shadow_factors
+                    )
+                )
+            px, py = pixel_coords(wk_o)
+            hdr_flat = shade_opaque_flat(scene, g_of, ctx_f, px, py)
+            hdr = block_scatter(wk_o, hdr_flat, jnp.zeros((h, w, 3), jnp.float32))
+        else:
+            hdr = shade_opaque(scene, g_o, ctx)
+
+    transmission_blocks = jnp.int32(0)
+    cap_t = 0
     if flags.has_transmission:
         # ---- 5. opaque mip pyramid ----------------------------------------
         with pass_scope("mip_pyramid"):
@@ -538,13 +632,61 @@ def render_frame(
             ctx_t = ctx._replace(
                 sun_shadow_factor=sun_f_t, light_shadow_factors=light_f_t
             )
+        cap_t = (
+            min(int(np.ceil(nb * config.transmission_block_cap_frac)), nb)
+            if config.transmission_block_cap_frac is not None
+            and not config.half_res_refraction  # half-res needs the 2D grid
+            else 0
+        )
         with pass_scope("shade_transmission"):
-            hdr_t = shade_transmission(scene, g_t, ctx_t, pyramid)
-        hdr = jnp.where(g_t.valid[..., None], hdr_t, hdr)
+            if cap_t:
+                wk_t = compact_blocks(g_t.valid, cap_t)
+                transmission_blocks = wk_t.count
+                g_tf = _gather_gbuffer(wk_t, g_t)
+                ctx_tf = ctx_t
+                if ctx_t.sun_shadow_factor is not None:
+                    ctx_tf = ctx_tf._replace(
+                        sun_shadow_factor=block_gather(
+                            wk_t, ctx_t.sun_shadow_factor
+                        )
+                    )
+                if ctx_t.light_shadow_factors is not None:
+                    ctx_tf = ctx_tf._replace(
+                        light_shadow_factors=block_gather(
+                            wk_t, ctx_t.light_shadow_factors
+                        )
+                    )
+                px_t, py_t = pixel_coords(wk_t)
+                hdr_t_flat = shade_transmission_flat(
+                    scene, g_tf, ctx_tf, pyramid, px_t, py_t
+                )
+                # transmission replaces covered pixels (the reference's
+                # blend-disabled transmission pipeline)
+                merged = jnp.where(
+                    g_tf.valid[..., None], hdr_t_flat, block_gather(wk_t, hdr)
+                )
+                hdr = block_scatter(wk_t, merged, hdr)
+            else:
+                hdr_t = shade_transmission(scene, g_t, ctx_t, pyramid)
+                hdr = jnp.where(g_t.valid[..., None], hdr_t, hdr)
 
     # ---- 8. tonemap ---------------------------------------------------------
     with pass_scope("tonemap"):
         ldr = lottes_tonemap(hdr, bake_lottes_params())
+    if return_diagnostics:
+        diags = FrameDiagnostics(
+            max_bin_count=max_bin_count,
+            bin_capacity=config.max_tris_per_tile,
+            big_tri_count=big_tri_demand,
+            big_tri_capacity=config.max_big_tris,
+            opaque_blocks=opaque_blocks,
+            opaque_block_capacity=cap_o,
+            transmission_blocks=transmission_blocks,
+            transmission_block_capacity=cap_t,
+        )
+        if return_hdr:
+            return ldr, hdr, diags
+        return ldr, diags
     if return_hdr:
         return ldr, hdr
     return ldr

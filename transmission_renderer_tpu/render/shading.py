@@ -2,14 +2,28 @@
 
 ``shade_opaque`` reproduces ``fragment`` (shader/src/lib.rs:164-249);
 ``shade_transmission`` reproduces ``fragment_transmission``
-(shader/src/lib.rs:37-162). Both run dense over the G-buffer; per-pixel
-material/texture fetches are gathers into the material SoA / texel atlas.
+(shader/src/lib.rs:37-162).
+
+Shading operates on FLAT pixel worklists ([M] arrays + explicit pixel
+coords) so the same code serves the dense [H, W] passes and the
+block-sparse worklists (render/sparse.py). Per-pixel fetch strategy (TPU
+gathers cost ~13 ms per 2M indices; MXU one-hot row fetch from a small
+table costs ~3 ms at 2M pixels, measured on v5e):
+
+  * material factors + texture ids + per-slot texture metadata are fused
+    into ONE per-material f32 matrix and fetched with a single one-hot
+    matmul (exact: weights are 0/1 and accumulation over disjoint parts
+    is lossless at HIGHEST precision),
+  * per-slot light columns in the clustered loop are fused the same way,
+  * only the texel taps themselves (atlas quad-block rows) and the
+    cluster table rows remain true gathers.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from transmission_renderer_tpu.ops.mipchain import MipPyramid, sample_pyramid_lod
@@ -30,6 +44,7 @@ from transmission_renderer_tpu.pbr import (
 )
 from transmission_renderer_tpu.pbr.lights import Lights
 from transmission_renderer_tpu.render.gbuffer import GBuffer
+from transmission_renderer_tpu.scene.textures import MAX_MIPS
 from transmission_renderer_tpu.scene.types import Scene
 
 
@@ -55,12 +70,30 @@ class ShadeContext(NamedTuple):
     # transmission, thickness, specular, specular_colour
     tex_slots: tuple = (True,) * 9
     # half-res framebuffer fetch in the transmission pass (see
-    # RenderConfig.half_res_refraction)
+    # RenderConfig.half_res_refraction) — dense path only
     half_res_refraction: bool = False
     # shadow factors per pixel per light come from the ray-traced path
-    # (None -> factor 1.0, the non-RayQuery variant)
-    sun_shadow_factor: jnp.ndarray | None = None  # [H, W]
-    light_shadow_factors: jnp.ndarray | None = None  # [H, W, L]
+    # (None -> factor 1.0, the non-RayQuery variant); flat [M] / [M, L]
+    sun_shadow_factor: jnp.ndarray | None = None
+    light_shadow_factors: jnp.ndarray | None = None
+
+
+def onehot_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """[n, C] f32 table, [M] int32 ids -> [M, C] rows via one-hot matmul.
+
+    Exact for finite table values: the one-hot weights are 0/1, so each
+    output element is v*1 + 0*... accumulated losslessly (HIGHEST
+    precision splits v into disjoint bf16 parts that re-sum exactly).
+    Callers must keep inf/NaN out of the table (0 * inf = NaN would
+    poison every row).
+    """
+    n = table.shape[0]
+    oh = (ids[:, None] == jnp.arange(n, dtype=ids.dtype)[None, :]).astype(
+        jnp.float32
+    )
+    return jax.lax.dot_general(
+        oh, table, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def _mip_lod(duv_dx, duv_dy, tex_w, tex_h):
@@ -76,17 +109,83 @@ def _mip_lod(duv_dx, duv_dy, tex_w, tex_h):
     return 0.5 * jnp.log2(jnp.maximum(rho, 1e-12))
 
 
-def _sample_material_texture(
-    scene: Scene, tex_id, uv, duv_dx, duv_dy
-):
-    """Implicit-LOD trilinear sample; callers mask tex_id == -1.
+# Texture slots that participate in the fused material matrix, in imat
+# order (occlusion is loaded but not applied, matching the reference).
+_MAT_SLOTS = (
+    "tex_diffuse", "tex_metallic_roughness", "tex_normal_map",
+    "tex_emissive", "tex_transmission", "tex_thickness",
+    "tex_specular", "tex_specular_colour",
+)
+# tex_slots tuple positions for each _MAT_SLOTS entry
+_SLOT_FLAG_POS = (0, 1, 2, 3, 5, 6, 7, 8)
+_META_BLOCK = 4 + 2 * MAX_MIPS  # num_mips, srgb, w0, h0, off_hi*13, off_lo*13
 
-    One meta-row gather serves both the LOD computation (level-0 size)
-    and the level lookups inside the sampler."""
-    safe = jnp.maximum(tex_id, 0)
-    rows = scene.atlas_meta[safe]  # [..., META_COLS]
-    lod = _mip_lod(duv_dx, duv_dy, rows[..., 3], rows[..., 4])
-    return sample_texture_rows(scene.atlas_texels, rows, uv, lod, WRAP_REPEAT)
+
+class MaterialMatrix(NamedTuple):
+    """The fused per-material fetch table + its column layout."""
+
+    table: jnp.ndarray  # [n_mat, C] f32, inf-free
+    meta_col: dict  # slot name -> column start of its meta block (or None)
+
+
+def build_material_matrix(scene: Scene, tex_slots: tuple) -> MaterialMatrix:
+    """Fuse material factors, texture ids, and per-slot texture metadata
+    into one f32 matrix (trace-time work over [n_materials] arrays).
+
+    Layout: [0:20] factors (see below), [20:28] texture ids, then one
+    30-col metadata block per *used* sampled slot. attenuation_distance's
+    infinity default (src/model_loading.rs:318) is encoded as
+    (finite value, is_inf flag) to keep the table inf-free; atlas block
+    offsets are split into 12-bit halves so they survive the f32 matmul
+    exactly for atlases beyond 2^24 blocks.
+    """
+    m = scene.materials
+    f32col = lambda x: x[:, None].astype(jnp.float32)
+    att = m.attenuation_distance
+    att_isinf = jnp.isinf(att)
+    att_safe = jnp.where(att_isinf, 0.0, att)
+    cols = [
+        f32col(m.metallic_factor),          # 0
+        f32col(m.roughness_factor),         # 1
+        m.diffuse_factor,                   # 2:6
+        m.emissive_factor,                  # 6:9
+        f32col(m.index_of_refraction),      # 9
+        f32col(m.transmission_factor),      # 10
+        f32col(m.thickness_factor),         # 11
+        f32col(att_safe),                   # 12
+        m.attenuation_colour,               # 13:16
+        f32col(m.specular_factor),          # 16
+        m.specular_colour_factor,           # 17:20
+        f32col(att_isinf),                  # 20 (att_distance is +inf flag)
+    ]
+    tids = [getattr(m, name) for name in _MAT_SLOTS]
+    cols.append(jnp.stack(tids, axis=1).astype(jnp.float32))  # 21:29
+
+    meta_col = {}
+    c = 29
+    for name, flag_pos in zip(_MAT_SLOTS, _SLOT_FLAG_POS):
+        if not tex_slots[flag_pos]:
+            meta_col[name] = None
+            continue
+        tid = jnp.maximum(getattr(m, name), 0)
+        rows = scene.atlas_meta[tid].astype(jnp.int32)  # [n_mat, 4+13]
+        head = rows[:, :4].astype(jnp.float32)
+        offs = rows[:, 4:]
+        off_hi = (offs >> 12).astype(jnp.float32)
+        off_lo = (offs & 0xFFF).astype(jnp.float32)
+        cols.append(jnp.concatenate([head, off_hi, off_lo], axis=1))
+        meta_col[name] = c
+        c += _META_BLOCK
+    return MaterialMatrix(table=jnp.concatenate(cols, axis=1), meta_col=meta_col)
+
+
+def _meta_rows_from(mrow: jnp.ndarray, col: int) -> jnp.ndarray:
+    """Decode a 30-col meta block back to int32 [..., 4 + MAX_MIPS] rows
+    in the atlas META layout (num_mips, srgb, w0, h0, quad offsets)."""
+    head = mrow[..., col : col + 4].astype(jnp.int32)
+    hi = mrow[..., col + 4 : col + 4 + MAX_MIPS].astype(jnp.int32)
+    lo = mrow[..., col + 4 + MAX_MIPS : col + 4 + 2 * MAX_MIPS].astype(jnp.int32)
+    return jnp.concatenate([head, (hi << 12) | lo], axis=-1)
 
 
 class PixelMaterial(NamedTuple):
@@ -105,81 +204,62 @@ def evaluate_pixel_material(
     g: GBuffer,
     view_vector: jnp.ndarray,
     tex_slots: tuple = (True,) * 9,
+    mat_matrix: MaterialMatrix | None = None,
 ):
-    """Per-pixel material evaluation: diffuse/emission/metallic-roughness/
-    specular/transmission texture fetches + normal mapping
-    (get_material_params shader/src/lighting.rs:261-301, get_emission
-    :303-313, calculate_normal :222-259, plus the transmission/thickness
-    fetches of fragment_transmission shader/src/lib.rs:37-162, 120-124).
+    """Per-pixel material evaluation on a FLAT [M] G-buffer: diffuse/
+    emission/metallic-roughness/specular/transmission texture fetches +
+    normal mapping (get_material_params shader/src/lighting.rs:261-301,
+    get_emission :303-313, calculate_normal :222-259, plus the
+    transmission/thickness fetches of fragment_transmission
+    shader/src/lib.rs:37-162, 120-124).
 
     ``tex_slots`` statically gates each texture slot: slots no material in
-    the scene uses skip their ~8 gathers/pixel entirely — the trace-time
-    analogue of the shader's per-fragment ``!= -1`` branches."""
-    m = scene.materials
+    the scene uses skip their taps entirely — the trace-time analogue of
+    the shader's per-fragment ``!= -1`` branches."""
+    if mat_matrix is None:
+        mat_matrix = build_material_matrix(scene, tex_slots)
+    mm = mat_matrix
     mid = g.material_id
     (
         use_diffuse, use_mr, use_normal, use_emissive, _use_occlusion,
         use_transmission, use_thickness, use_specular, use_specular_colour,
     ) = tex_slots
 
-    # Pack all material columns into two matrices so the per-pixel fetch is
-    # TWO row gathers instead of ~25 (TPU gathers cost by index count).
-    f32col = lambda x: x[:, None].astype(jnp.float32)
-    fmat = jnp.concatenate(
-        [
-            f32col(m.metallic_factor),          # 0
-            f32col(m.roughness_factor),         # 1
-            m.diffuse_factor,                   # 2:6
-            m.emissive_factor,                  # 6:9
-            f32col(m.index_of_refraction),      # 9
-            f32col(m.transmission_factor),      # 10
-            f32col(m.thickness_factor),         # 11
-            f32col(m.attenuation_distance),     # 12
-            m.attenuation_colour,               # 13:16
-            f32col(m.specular_factor),          # 16
-            m.specular_colour_factor,           # 17:20
-        ],
-        axis=1,
-    )
-    imat = jnp.stack(
-        [
-            m.tex_diffuse, m.tex_metallic_roughness, m.tex_normal_map,
-            m.tex_emissive, m.tex_transmission, m.tex_thickness,
-            m.tex_specular, m.tex_specular_colour,
-        ],
-        axis=1,
-    )
-    frow = fmat[mid]  # [H, W, 20]
-    irow = imat[mid]  # [H, W, 8]
+    mrow = onehot_rows(mm.table, mid)  # [M, C] — ONE fused fetch
 
-    def tex4(slot):
-        tid = irow[..., slot]
-        sample = _sample_material_texture(scene, tid, g.uv, g.duv_dx, g.duv_dy)
+    def tex4(slot_idx):
+        name = _MAT_SLOTS[slot_idx]
+        tid = mrow[..., 21 + slot_idx].astype(jnp.int32)
+        rows = _meta_rows_from(mrow, mm.meta_col[name])
+        lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
+        sample = sample_texture_rows(
+            scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT
+        )
         return tid, sample
 
     # diffuse (sRGB)
-    diffuse = frow[..., 2:6]
+    diffuse = mrow[..., 2:6]
     if use_diffuse:
         tid, s = tex4(0)
         diffuse = jnp.where((tid >= 0)[..., None], diffuse * s, diffuse)
 
     # metallic/roughness — note the z/y (B/G) channel swap
     # (shader/src/lighting.rs:269-277)
-    metallic = frow[..., 0]
-    roughness = frow[..., 1]
+    metallic = mrow[..., 0]
+    roughness = mrow[..., 1]
     if use_mr:
         tid, s = tex4(1)
         metallic = jnp.where(tid >= 0, metallic * s[..., 2], metallic)
         roughness = jnp.where(tid >= 0, roughness * s[..., 1], roughness)
 
     # specular extension
-    specular_colour = frow[..., 17:20]
+    specular_colour = mrow[..., 17:20]
     if use_specular_colour:
         tid, s = tex4(7)
         specular_colour = jnp.where(
             (tid >= 0)[..., None], specular_colour * s[..., :3], specular_colour
         )
-    specular_factor = frow[..., 16]
+    specular_factor = mrow[..., 16]
     if use_specular:
         tid, s = tex4(6)
         specular_factor = jnp.where(
@@ -187,19 +267,19 @@ def evaluate_pixel_material(
         )
 
     # emission (sRGB)
-    emission = frow[..., 6:9]
+    emission = mrow[..., 6:9]
     if use_emissive:
         tid, s = tex4(3)
         emission = jnp.where((tid >= 0)[..., None], emission * s[..., :3], emission)
 
     # transmission & thickness
-    transmission_factor = frow[..., 10]
+    transmission_factor = mrow[..., 10]
     if use_transmission:
         tid, s = tex4(4)
         transmission_factor = jnp.where(
             tid >= 0, transmission_factor * s[..., 0], transmission_factor
         )
-    thickness = frow[..., 11]
+    thickness = mrow[..., 11]
     if use_thickness:
         tid, s = tex4(5)
         thickness = jnp.where(tid >= 0, thickness * s[..., 1], thickness)
@@ -210,8 +290,7 @@ def evaluate_pixel_material(
         jnp.linalg.norm(g.normal, axis=-1, keepdims=True), 1e-12
     )
     if use_normal:
-        tid = irow[..., 2]
-        map_sample = _sample_material_texture(scene, tid, g.uv, g.duv_dx, g.duv_dy)
+        tid, map_sample = tex4(2)
         map_normal = map_sample[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
         # cotangent frame from dp/dx, dp/dy, duv/dx, duv/dy. The reference
         # uses -view_vector as 'position' for the derivatives; analytic
@@ -244,41 +323,55 @@ def evaluate_pixel_material(
         diffuse_colour=diffuse[..., :3],
         metallic=metallic,
         perceptual_roughness=roughness,
-        index_of_refraction=frow[..., 9],
+        index_of_refraction=mrow[..., 9],
         specular_colour=specular_colour,
         specular_factor=specular_factor,
     )
+    att_dist = jnp.where(mrow[..., 20] > 0.5, jnp.inf, mrow[..., 12])
     return PixelMaterial(
         params=params,
         diffuse_alpha=diffuse[..., 3],
         emission=emission,
         transmission_factor=transmission_factor,
         thickness=thickness,
-        attenuation_distance=frow[..., 12],
-        attenuation_colour=frow[..., 13:16],
+        attenuation_distance=att_dist,
+        attenuation_colour=mrow[..., 13:16],
         normal=normal,
     )
 
 
-def _cluster_index(ctx: ShadeContext, depth: jnp.ndarray, shape):
-    """Fragment -> cluster id (shader/src/lib.rs:205-215)."""
-    h, w = shape
+def _cluster_index(ctx: ShadeContext, depth, px, py):
+    """Fragment -> cluster id (shader/src/lib.rs:205-215); px/py are the
+    integer pixel coordinates of each (flat) worklist entry."""
     cx, cy = ctx.num_clusters_xy
-    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    fx = px.astype(jnp.float32) + 0.5
+    fy = py.astype(jnp.float32) + 0.5
     cluster_x = jnp.minimum(
-        (px / ctx.cluster_size_in_pixels[0]).astype(jnp.uint32), cx - 1
+        (fx / ctx.cluster_size_in_pixels[0]).astype(jnp.uint32), cx - 1
     )
     cluster_y = jnp.minimum(
-        (py / ctx.cluster_size_in_pixels[1]).astype(jnp.uint32), cy - 1
+        (fy / ctx.cluster_size_in_pixels[1]).astype(jnp.uint32), cy - 1
     )
     cluster_z = get_depth_slice(ctx.cluster_coeffs, depth)
     cluster_z = jnp.minimum(cluster_z, ctx.cluster_coeffs.num_depth_slices - 1)
-    return (
-        cluster_z * (cx * cy)
-        + jnp.broadcast_to(cluster_y, (h, w)) * cx
-        + jnp.broadcast_to(cluster_x, (h, w))
-    ).astype(jnp.int32)
+    return (cluster_z * (cx * cy) + cluster_y * cx + cluster_x).astype(jnp.int32)
+
+
+def _light_matrix(lights: Lights) -> jnp.ndarray:
+    """Fuse the per-light columns the clustered loop reads into one
+    [L, 12] table: position(3) colour_emission(3) spot_direction(3)
+    spot_outer_angle spot_epsilon is_spot."""
+    return jnp.concatenate(
+        [
+            lights.position,
+            lights.colour_emission,
+            lights.spot_direction,
+            lights.spot_outer_angle[:, None],
+            lights.spot_epsilon[:, None],
+            lights.is_a_spotlight().astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
 
 
 def evaluate_lights_common(
@@ -288,16 +381,18 @@ def evaluate_lights_common(
     position: jnp.ndarray,
     normal: jnp.ndarray,
     depth: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
     with_transmission: bool,
 ):
     """The clustered light loop shared by both fragment shaders
     (evaluate_lights / evaluate_lights_transmission,
-    shader/src/lighting.rs:13-95, 145-220).
+    shader/src/lighting.rs:13-95, 145-220), on flat [M] pixels.
 
-    Returns (BrdfResult sum, transmission accumulation [H, W, 3] or None).
+    Returns (BrdfResult sum, transmission accumulation [M, 3] or None,
+    cluster ids, per-pixel light counts).
     """
-    h, w = depth.shape
-    cluster = _cluster_index(ctx, depth, (h, w))
+    cluster = _cluster_index(ctx, depth, px, py)
     num_lights = ctx.lights.num
 
     # Fused cluster fetch: [count, idx_0..idx_{S-1}] in ONE row gather
@@ -310,13 +405,13 @@ def evaluate_lights_common(
         ],
         axis=1,
     )
-    cluster_rows = cluster_table[cluster]  # [H, W, 1 + S]
+    cluster_rows = cluster_table[cluster]  # [M, 1 + S]
     counts = cluster_rows[..., 0]
 
     sun_factor = (
         ctx.sun_shadow_factor
         if ctx.sun_shadow_factor is not None
-        else jnp.ones((h, w), jnp.float32)
+        else jnp.ones(depth.shape, jnp.float32)
     )
     if not with_transmission and ctx.sun_shadow_factor is not None:
         # ambient floor on ray-traced sun shadows (shader/src/lighting.rs:166)
@@ -330,13 +425,16 @@ def evaluate_lights_common(
             material, normal, view, jnp.broadcast_to(ctx.sun_dir, position.shape)
         )
 
-    # Clustered loop: slot i reads the cluster's i-th accepted light.
-    # num_lights is tiny (<= a handful) so a Python loop unrolls cleanly.
+    lmat = _light_matrix(ctx.lights)
+    # Clustered loop: slot i reads the cluster's i-th accepted light. The
+    # unrolled-slot structure matches the shader's bounded loop; per-slot
+    # light columns come from ONE one-hot fetch instead of ~7 gathers.
     for slot in range(max_slots):
         light_idx = cluster_rows[..., 1 + slot]
         active = slot < counts
 
-        l_pos = ctx.lights.position[light_idx]
+        lrow = onehot_rows(lmat, light_idx)  # [M, 12]
+        l_pos = lrow[..., 0:3]
         direction, distance, attenuation = light_direction_and_attenuation(
             position, l_pos
         )
@@ -346,24 +444,17 @@ def evaluate_lights_common(
                 ctx.light_shadow_factors, light_idx[..., None], axis=-1
             )[..., 0]
         # spotlight factor (guard epsilon=0 point lights)
-        is_spot = ctx.lights.is_a_spotlight()[light_idx]
-        eps = jnp.where(
-            ctx.lights.spot_epsilon[light_idx] == 0.0,
-            1.0,
-            ctx.lights.spot_epsilon[light_idx],
-        )
+        is_spot = lrow[..., 11] > 0.5
+        eps = jnp.where(lrow[..., 10] == 0.0, 1.0, lrow[..., 10])
         spot = spotlight_factor(
-            direction,
-            ctx.lights.spot_direction[light_idx],
-            ctx.lights.spot_outer_angle[light_idx],
-            eps,
+            direction, lrow[..., 6:9], lrow[..., 9], eps
         )
         if not with_transmission:
             # only evaluate_lights applies the spot factor
             # (shader/src/lighting.rs:201-203)
             factor = factor * jnp.where(is_spot, spot, 1.0)
 
-        light_emission = ctx.lights.colour_emission[light_idx] * factor[..., None]
+        light_emission = lrow[..., 3:6] * factor[..., None]
         radiance = light_emission * attenuation[..., None]
         contrib = basic_brdf(normal, direction, radiance, view, material)
         result = result + contrib
@@ -397,12 +488,28 @@ _DEBUG_COLOURS = jnp.array(
 )
 
 
-def shade_opaque(
-    scene: Scene, g: GBuffer, ctx: ShadeContext
+def flatten_gbuffer(g: GBuffer) -> GBuffer:
+    """[H, W(,C)] G-buffer -> flat [M(,C)] G-buffer."""
+    h, w = g.depth.shape
+
+    def f(a):
+        return a.reshape((h * w,) + a.shape[2:])
+
+    return GBuffer(*[f(x) for x in g])
+
+
+def _dense_coords(h: int, w: int):
+    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)).reshape(-1)
+    py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w)).reshape(-1)
+    return px, py
+
+
+def shade_opaque_flat(
+    scene: Scene, g: GBuffer, ctx: ShadeContext, px, py
 ) -> jnp.ndarray:
-    """The opaque PBR fragment shader (shader/src/lib.rs:164-249).
-    Returns [H, W, 3] HDR; background pixels are black (the draw pass
-    clears to zero)."""
+    """The opaque PBR fragment shader (shader/src/lib.rs:164-249) over a
+    flat [M] worklist. Returns [M, 3] HDR; invalid pixels are black (the
+    draw pass clears to zero)."""
     view_vector = ctx.view_position - g.position
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
@@ -410,7 +517,8 @@ def shade_opaque(
     pm = evaluate_pixel_material(scene, g, view_vector, ctx.tex_slots)
 
     result, _, cluster, counts = evaluate_lights_common(
-        ctx, pm.params, view, g.position, pm.normal, g.depth, with_transmission=False
+        ctx, pm.params, view, g.position, pm.normal, g.depth, px, py,
+        with_transmission=False,
     )
     out = result.diffuse + result.specular + pm.emission
 
@@ -423,15 +531,37 @@ def shade_opaque(
     return jnp.where(g.valid[..., None], out, 0.0)
 
 
-def shade_transmission(
+def shade_opaque(scene: Scene, g: GBuffer, ctx: ShadeContext) -> jnp.ndarray:
+    """Dense [H, W] wrapper over shade_opaque_flat."""
+    h, w = g.depth.shape
+    px, py = _dense_coords(h, w)
+    ctx = _flatten_ctx_factors(ctx)
+    out = shade_opaque_flat(scene, flatten_gbuffer(g), ctx, px, py)
+    return out.reshape(h, w, 3)
+
+
+def _flatten_ctx_factors(ctx: ShadeContext) -> ShadeContext:
+    """Flatten [H, W]-shaped shadow factors for the flat cores."""
+    rep = {}
+    if ctx.sun_shadow_factor is not None and ctx.sun_shadow_factor.ndim == 2:
+        rep["sun_shadow_factor"] = ctx.sun_shadow_factor.reshape(-1)
+    if ctx.light_shadow_factors is not None and ctx.light_shadow_factors.ndim == 3:
+        f = ctx.light_shadow_factors
+        rep["light_shadow_factors"] = f.reshape(-1, f.shape[-1])
+    return ctx._replace(**rep) if rep else ctx
+
+
+def shade_transmission_flat(
     scene: Scene,
     g: GBuffer,
     ctx: ShadeContext,
     opaque_pyramid: MipPyramid,
+    px,
+    py,
+    fb_sampler=None,
 ) -> jnp.ndarray:
-    """The transmission fragment shader (shader/src/lib.rs:37-162).
-    Returns [H, W, 3] HDR for transmissive-covered pixels (callers select
-    by g.valid)."""
+    """The transmission fragment shader (shader/src/lib.rs:37-162) over a
+    flat [M] worklist. Returns [M, 3] HDR for valid pixels."""
     view_vector = ctx.view_position - g.position
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
@@ -439,19 +569,11 @@ def shade_transmission(
     pm = evaluate_pixel_material(scene, g, view_vector, ctx.tex_slots)
 
     result, transmission, _, _ = evaluate_lights_common(
-        ctx, pm.params, view, g.position, pm.normal, g.depth, with_transmission=True
+        ctx, pm.params, view, g.position, pm.normal, g.depth, px, py,
+        with_transmission=True,
     )
 
-    if ctx.half_res_refraction:
-        import jax
-
-        def fb_sampler(uv, lod):
-            c = sample_pyramid_lod(
-                opaque_pyramid, uv[::2, ::2], lod[::2, ::2]
-            )
-            return jax.image.resize(c, uv.shape[:2] + (3,), "linear")
-
-    else:
+    if fb_sampler is None:
         fb_sampler = lambda uv, lod: sample_pyramid_lod(opaque_pyramid, uv, lod)
     lut_sampler = lambda nov, rough: sample_lut_2ch(ctx.ggx_lut, nov, rough)
 
@@ -476,3 +598,30 @@ def shade_transmission(
     ) * pm.transmission_factor[..., None]
     out = diffuse + result.specular + pm.emission
     return jnp.where(g.valid[..., None], out, 0.0)
+
+
+def shade_transmission(
+    scene: Scene,
+    g: GBuffer,
+    ctx: ShadeContext,
+    opaque_pyramid: MipPyramid,
+) -> jnp.ndarray:
+    """Dense [H, W] wrapper over shade_transmission_flat (the only path
+    that supports half_res_refraction, which needs the 2D pixel grid)."""
+    h, w = g.depth.shape
+    px, py = _dense_coords(h, w)
+
+    fb_sampler = None
+    if ctx.half_res_refraction:
+        def fb_sampler(uv, lod):
+            uv2 = uv.reshape(h, w, 2)[::2, ::2]
+            lod2 = lod.reshape(h, w)[::2, ::2]
+            c = sample_pyramid_lod(opaque_pyramid, uv2, lod2)
+            return jax.image.resize(c, (h, w, 3), "linear").reshape(-1, 3)
+
+    ctx = _flatten_ctx_factors(ctx)
+    out = shade_transmission_flat(
+        scene, flatten_gbuffer(g), ctx, opaque_pyramid, px, py,
+        fb_sampler=fb_sampler,
+    )
+    return out.reshape(h, w, 3)

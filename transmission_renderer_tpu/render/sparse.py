@@ -1,0 +1,121 @@
+"""Block-sparse pixel worklists for the shading passes.
+
+The reference pays fragment cost only for covered pixels (raster hardware
+invokes fragment shaders per covered fragment; the dual depth pre-pass
+bounds it to <= 2 screens, readme.md:74). A dense TPU shading pass instead
+pays every gather for every pixel of the frame. This module recovers the
+reference's "shade only what's covered" economics the TPU way:
+
+  * the framebuffer is split into flat blocks of 128 pixels,
+  * a (cheap: ~16k-element) cumsum compacts the ids of blocks containing
+    any active pixel into a static-size worklist,
+  * G-buffer rows are gathered per *block* (~16k wide-row indices, vs 2M
+    per-pixel indices — TPU gathers cost by index count),
+  * shading runs on the [cap_blocks * 128] flat worklist,
+  * results scatter back per block.
+
+Total overhead is ~1-2 ms; every per-pixel gather in the pass (material
+rows, texture taps, pyramid taps, cluster rows) shrinks by the coverage
+ratio. The worklist capacity is static (like the reference's DrawBuffer
+sizing, src/main.rs:2423-2476); overflow leaves blocks unshaded and is
+surfaced via FrameDiagnostics rather than silently (VERDICT round-1 #7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+BLOCK = 128  # flat pixels per work block (one VPU lane row)
+
+
+class BlockWork(NamedTuple):
+    """A compacted block worklist over an [H, W] frame."""
+
+    block_ids: jnp.ndarray  # [cap_b] int32; empty slots hold n_blocks (pad row)
+    count: jnp.ndarray  # [] int32 — number of active blocks (may exceed cap_b)
+    n_blocks: int  # static
+    cap_b: int  # static
+    shape: tuple  # static (H, W)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.cap_b * BLOCK
+
+    def overflow(self) -> jnp.ndarray:
+        """Blocks that did not fit the worklist (0 = exact frame)."""
+        return jnp.maximum(self.count - self.cap_b, 0)
+
+
+def _flat_pad(n: int) -> int:
+    return (-n) % BLOCK
+
+
+def num_blocks(h: int, w: int) -> int:
+    return (h * w + BLOCK - 1) // BLOCK
+
+
+def compact_blocks(mask: jnp.ndarray, cap_b: int) -> BlockWork:
+    """[H, W] bool -> worklist of the blocks containing any True pixel."""
+    h, w = mask.shape
+    flat = mask.reshape(-1)
+    flat = jnp.pad(flat, (0, _flat_pad(flat.shape[0])))
+    blocks = flat.reshape(-1, BLOCK)
+    nb = blocks.shape[0]
+    active = jnp.any(blocks, axis=1)
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    count = jnp.sum(active.astype(jnp.int32))
+    tgt = jnp.where(active & (pos < cap_b), pos, cap_b)
+    ids = (
+        jnp.full((cap_b,), nb, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+    )
+    return BlockWork(block_ids=ids, count=count, n_blocks=nb, cap_b=cap_b,
+                     shape=(h, w))
+
+
+def block_gather(wk: BlockWork, img: jnp.ndarray) -> jnp.ndarray:
+    """Gather an [H, W(,C)] image's active blocks -> [cap_b * 128(, C)].
+
+    One wide-row gather of cap_b indices; empty slots read a zero pad row.
+    """
+    h, w = wk.shape
+    chans = img.shape[2:]
+    flat = img.reshape((h * w,) + chans)
+    pad = _flat_pad(h * w)
+    flat = jnp.pad(flat, ((0, pad + BLOCK),) + ((0, 0),) * len(chans))
+    rows = flat.reshape((wk.n_blocks + 1, BLOCK) + chans)
+    out = rows[wk.block_ids]  # [cap_b, BLOCK, ...]
+    return out.reshape((wk.num_pixels,) + chans)
+
+
+def block_scatter(wk: BlockWork, vals: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+    """Scatter worklist values [cap_b*128(,C)] back over an [H, W(,C)] image.
+
+    Empty slots target the pad row and are sliced away; blocks beyond the
+    cap (overflow) simply keep ``out``'s values.
+    """
+    h, w = wk.shape
+    chans = out.shape[2:]
+    flat = out.reshape((h * w,) + chans)
+    pad = _flat_pad(h * w)
+    flat = jnp.pad(flat, ((0, pad + BLOCK),) + ((0, 0),) * len(chans))
+    rows = flat.reshape((wk.n_blocks + 1, BLOCK) + chans)
+    rows = rows.at[wk.block_ids].set(
+        vals.reshape((wk.cap_b, BLOCK) + chans), mode="drop"
+    )
+    return rows.reshape((-1,) + chans)[: h * w].reshape((h, w) + chans)
+
+
+def pixel_coords(wk: BlockWork) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Framebuffer (x, y) integer coords of each worklist pixel."""
+    w = wk.shape[1]
+    lane = jnp.arange(BLOCK, dtype=jnp.int32)
+    flat_idx = wk.block_ids[:, None] * BLOCK + lane[None, :]
+    flat_idx = flat_idx.reshape(-1)
+    # empty-slot indices point past the frame; clamp (their results are
+    # dropped at scatter time anyway)
+    flat_idx = jnp.minimum(flat_idx, wk.shape[0] * wk.shape[1] - 1)
+    return flat_idx % w, flat_idx // w

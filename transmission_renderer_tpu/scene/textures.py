@@ -3,14 +3,30 @@
 The reference binds up to 193 images as a partially-bound descriptor array
 (src/main.rs:59, src/descriptor_sets.rs:30-80) and lets sampler hardware do
 bilinear/trilinear filtering, wrap modes, and sRGB decode. TPUs have no
-sampler hardware (SURVEY.md §2.5), so:
+sampler hardware (SURVEY.md §2.5), so sampling is gather-based — and TPU
+gathers cost by *index count* (~13 ms per 2M indices on v5e), not element
+width. The atlas layout is therefore built around minimising gathers per
+tap:
 
-  * all images (and their full mip chains, generated here at load time the
-    way ``generate_mips``'s LINEAR blit chain does — 2x2 box) are packed
-    into ONE flat uint32 texel pool (packed RGBA8),
-  * a small int32 metadata table holds per-image mip offsets/sizes,
-  * sampling is gather-based (ops/texture.py) with explicit sRGB decode
-    matching Vulkan's R8G8B8A8_SRGB behaviour (src/model_loading.rs:348-352).
+**Quad-block layout.** Each mip level is stored as 2x2 texel blocks in
+FOUR phase-shifted copies (block origins at (even,even), (even,odd),
+(odd,even), (odd,odd)). Any bilinear footprint {x0,x0+1}x{y0,y0+1} is then
+fully contained in exactly one block of the phase (y0&1, x0&1), so one
+bilinear tap = ONE gather of a [4]-uint32 row (vs 4 scalar gathers for a
+row-major layout), and trilinear = 2 gathers. Wrap behaviour at the edges
+(the +1 neighbour of the last row/column) is baked into the edge blocks at
+build time per image (``wrap`` arg of ``push_image``); sampling with the
+matching mode is exact everywhere, sampling with the other mode is exact
+in the interior.
+
+Memory cost: 4x texels — irrelevant next to HBM capacity, and gathers (not
+bandwidth) are the texture-path bottleneck.
+
+A small int32 metadata table holds per-image level-0 size + per-mip block
+offsets; level sizes are the closed form max(size0 >> level, 1), so no
+per-mip size columns are needed. Mip chains are generated here at load
+time the way ``generate_mips``'s LINEAR blit chain does (2x2 box). sRGB
+decode matches Vulkan's R8G8B8A8_SRGB (src/model_loading.rs:348-352).
 """
 
 from __future__ import annotations
@@ -18,9 +34,14 @@ from __future__ import annotations
 import numpy as np
 
 # Metadata layout per image row:
-#   [0] num_mips, [1] srgb flag, then per mip m < MAX_MIPS: (offset, width, height)
+#   [0] num_mips, [1] srgb flag, [2] level-0 width, [3] level-0 height,
+#   [4 + m] quad-block row offset of mip m (m < MAX_MIPS).
+# Level-m sizes are max(size0 >> m, 1) (floor(n/2) chain == shift chain).
 MAX_MIPS = 13  # up to 4096x4096
-META_COLS = 2 + 3 * MAX_MIPS
+META_COLS = 4 + MAX_MIPS
+
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
 
 
 def mip_levels_for_size(width: int, height: int) -> int:
@@ -50,15 +71,47 @@ def _box_downsample(img: np.ndarray) -> np.ndarray:
 
 
 def _pack_rgba8(img: np.ndarray) -> np.ndarray:
-    """[H, W, 4] uint8 -> [H*W] uint32 (r | g<<8 | b<<16 | a<<24)."""
+    """[H, W, 4] uint8 -> [H, W] uint32 (r | g<<8 | b<<16 | a<<24)."""
     img = img.astype(np.uint32)
-    return (
-        img[..., 0] | (img[..., 1] << 8) | (img[..., 2] << 16) | (img[..., 3] << 24)
-    ).reshape(-1)
+    return img[..., 0] | (img[..., 1] << 8) | (img[..., 2] << 16) | (img[..., 3] << 24)
+
+
+def quad_block_counts(width: int, height: int) -> tuple[int, int]:
+    """(bw, bh): per-phase block-grid size for a level of (width, height)."""
+    return (width + 1) // 2, (height + 1) // 2
+
+
+def _quad_blocks(packed: np.ndarray, wrap: int) -> np.ndarray:
+    """[H, W] uint32 -> [4 * bh * bw, 4] uint32 phase-shifted 2x2 blocks.
+
+    Block (phase=(py,px), by, bx) holds texels at (y0, x0), (y0, x0+1),
+    (y0+1, x0), (y0+1, x0+1) with y0 = 2*by + py, x0 = 2*bx + px, and the
+    wrap mode applied to out-of-range coordinates (REPEAT: mod, CLAMP:
+    clamp-to-edge) — matching what a Vulkan sampler's per-tap wrap does.
+    """
+    h, w = packed.shape
+    bw, bh = quad_block_counts(w, h)
+
+    def wrapc(v, size):
+        return v % size if wrap == WRAP_REPEAT else np.minimum(v, size - 1)
+
+    out = np.empty((4, bh, bw, 4), np.uint32)
+    for py in (0, 1):
+        for px in (0, 1):
+            xs0 = wrapc(2 * np.arange(bw) + px, w)
+            xs1 = wrapc(2 * np.arange(bw) + px + 1, w)
+            ys0 = wrapc(2 * np.arange(bh) + py, h)
+            ys1 = wrapc(2 * np.arange(bh) + py + 1, h)
+            p = 2 * py + px
+            out[p, :, :, 0] = packed[np.ix_(ys0, xs0)]
+            out[p, :, :, 1] = packed[np.ix_(ys0, xs1)]
+            out[p, :, :, 2] = packed[np.ix_(ys1, xs0)]
+            out[p, :, :, 3] = packed[np.ix_(ys1, xs1)]
+    return out.reshape(-1, 4)
 
 
 class AtlasBuilder:
-    """Accumulates images; ``finish()`` yields (texels, meta, srgb) arrays.
+    """Accumulates images; ``finish()`` yields (quads, meta, srgb) arrays.
 
     Plays the role of ``ImageManager`` (src/model_loading.rs:392-436): push
     an image, get back a stable integer id.
@@ -68,10 +121,21 @@ class AtlasBuilder:
         self._chunks: list[np.ndarray] = []
         self._meta: list[np.ndarray] = []
         self._srgb: list[bool] = []
-        self._offset = 0
+        self._offset = 0  # in block rows
 
-    def push_image(self, rgba: np.ndarray, srgb: bool, generate_mips: bool = True) -> int:
-        """Add an RGBA8 image (+ its mip chain); returns its texture id."""
+    def push_image(
+        self,
+        rgba: np.ndarray,
+        srgb: bool,
+        generate_mips: bool = True,
+        wrap: int = WRAP_REPEAT,
+    ) -> int:
+        """Add an RGBA8 image (+ its mip chain); returns its texture id.
+
+        ``wrap`` chooses the edge behaviour baked into boundary blocks; it
+        must match the wrap mode the image will be sampled with. Material
+        textures use REPEAT (the reference's material sampler).
+        """
         assert rgba.dtype == np.uint8 and rgba.ndim == 3 and rgba.shape[2] == 4, rgba.shape
         image_id = len(self._meta)
         levels = mip_levels_for_size(rgba.shape[1], rgba.shape[0]) if generate_mips else 1
@@ -79,21 +143,19 @@ class AtlasBuilder:
         row = np.zeros(META_COLS, np.int32)
         row[0] = levels
         row[1] = int(srgb)
+        row[2] = rgba.shape[1]
+        row[3] = rgba.shape[0]
         level_img = rgba
         for m in range(levels):
-            h, w = level_img.shape[:2]
-            row[2 + 3 * m + 0] = self._offset
-            row[2 + 3 * m + 1] = w
-            row[2 + 3 * m + 2] = h
-            packed = _pack_rgba8(level_img)
-            self._chunks.append(packed)
-            self._offset += packed.size
+            row[4 + m] = self._offset
+            blocks = _quad_blocks(_pack_rgba8(level_img), wrap)
+            self._chunks.append(blocks)
+            self._offset += blocks.shape[0]
             if m + 1 < levels:
                 level_img = _box_downsample(level_img)
         # Unused mip slots alias the last level so out-of-range LOD clamps
         # are just index clamps.
-        for m in range(levels, MAX_MIPS):
-            row[2 + 3 * m :][:3] = row[2 + 3 * (levels - 1) :][:3]
+        row[4 + levels :] = row[4 + levels - 1]
         self._meta.append(row)
         self._srgb.append(srgb)
         return image_id
@@ -106,10 +168,10 @@ class AtlasBuilder:
         if not self._meta:
             # 1x1 white dummy so the pools are never empty.
             self.push_image(np.full((1, 1, 4), 255, np.uint8), srgb=False)
-        texels = np.concatenate(self._chunks)
+        quads = np.concatenate(self._chunks)
         meta = np.stack(self._meta)
         srgb = np.array(self._srgb, bool)
-        return texels, meta, srgb
+        return quads, meta, srgb
 
 
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
