@@ -22,16 +22,21 @@ def test_build_pyramid_averages():
     img = np.zeros((4, 8, 3), np.float32)
     img[0::2, 0::2] = 1.0
     pyr = build_pyramid(jnp.asarray(img))
-    # level 1 = 2x2 averages = 0.25 everywhere
+    # level 1 = 2x2 averages = 0.25 everywhere: sample its texel centres
     w1, h1 = 4, 2
-    off1 = int(pyr.offsets[1])
-    level1 = np.asarray(pyr.texels[off1 : off1 + w1 * h1]).reshape(h1, w1, 3)
+    ys, xs = np.meshgrid(np.arange(h1), np.arange(w1), indexing="ij")
+    uv = jnp.asarray(
+        np.stack([(xs + 0.5) / w1, (ys + 0.5) / h1], -1).astype(np.float32)
+    )
+    level1 = np.asarray(sample_pyramid_lod(pyr, uv, jnp.full((h1, w1), 1.0)))
     np.testing.assert_allclose(level1, 0.25, atol=1e-6)
     # top level = overall mean
-    off_last = int(pyr.offsets[-1])
-    np.testing.assert_allclose(
-        np.asarray(pyr.texels[off_last]), [0.25, 0.25, 0.25], atol=1e-6
+    top = sample_pyramid_lod(
+        pyr,
+        jnp.array([0.5, 0.5], jnp.float32),
+        jnp.float32(pyr.num_levels - 1),
     )
+    np.testing.assert_allclose(np.asarray(top), [0.25, 0.25, 0.25], atol=1e-6)
 
 
 def test_sample_lod0_exact():

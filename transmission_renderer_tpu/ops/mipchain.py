@@ -3,10 +3,17 @@
 The reference blits the opaque-sampled HDR framebuffer down a full mip
 chain every frame (``generate_mips`` call, src/main.rs:2054-2063) and the
 transmission pass samples it at arbitrary UV with an explicit LOD
-(``sample_by_lod`` closure, shader/src/lib.rs:135-138). On TPU the chain
-is a 2x2-average reduction sequence packed into one flat buffer (so the
-per-pixel mip level can be a dynamic gather index), matching the reference
-atlas layout in scene/textures.py.
+(``sample_by_lod`` closure, shader/src/lib.rs:135-138).
+
+TPU layout: like the texture atlas (scene/textures.py), every level is
+stored as 2x2 texel blocks in four phase-shifted copies, so a bilinear tap
+is ONE [12]-f32 row gather and the trilinear fetch is two (TPU gathers
+cost by index count, ~13 ms per 2M on v5e — the row-major layout's 8
+taps were the transmission pass's biggest cost). Building the phase
+copies is dense reshape/pad work (~130 MB of writes at 1080p, well under
+a millisecond of HBM bandwidth). Level sizes/offsets are static Python
+ints (select chains, no meta gathers). CLAMP_TO_EDGE is baked into the
+edge blocks, matching the reference's clamp framebuffer sampler.
 """
 
 from __future__ import annotations
@@ -14,20 +21,21 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from transmission_renderer_tpu.scene.textures import mip_levels_for_size
 
 
 class MipPyramid(NamedTuple):
-    texels: jnp.ndarray  # [N, 3] float32 — all levels, flattened row-major
-    offsets: jnp.ndarray  # [levels] int32
-    widths: jnp.ndarray  # [levels] int32
-    heights: jnp.ndarray  # [levels] int32
+    quads: jnp.ndarray  # [B, 12] float32 — 2x2 blocks x RGB, all levels
+    # static per-level metadata (Python ints; the pyramid never crosses a
+    # jit boundary, it is built and consumed inside the frame function)
+    offsets: tuple  # block-row offset of each level
+    widths: tuple  # texel sizes
+    heights: tuple
 
     @property
     def num_levels(self) -> int:
-        return self.offsets.shape[0]
+        return len(self.offsets)
 
 
 def pyramid_shapes(width: int, height: int) -> list[tuple[int, int]]:
@@ -54,28 +62,60 @@ def _downsample2x(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(img2, axis=(1, 3))
 
 
+def _quad_level(img: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 3] -> [4 * bh * bw, 12] phase-shifted 2x2 blocks, CLAMP
+    edges baked (the framebuffer sampler is clamp-to-edge)."""
+    h, w = img.shape[:2]
+    bw, bh = (w + 1) // 2, (h + 1) // 2
+    padded = jnp.pad(
+        img, ((0, 2 * bh + 1 - h), (0, 2 * bw + 1 - w), (0, 0)), mode="edge"
+    )
+    phases = []
+    for py in (0, 1):
+        for px in (0, 1):
+            sub = padded[py : py + 2 * bh, px : px + 2 * bw]
+            blk = sub.reshape(bh, 2, bw, 2, 3).transpose(0, 2, 1, 3, 4)
+            phases.append(blk.reshape(bh * bw, 12))
+    return jnp.concatenate(phases, axis=0)
+
+
 def build_pyramid(framebuffer: jnp.ndarray) -> MipPyramid:
-    """[H, W, 3] -> full mip pyramid (level 0 included)."""
+    """[H, W, 3] -> full quad-block mip pyramid (level 0 included)."""
     h, w = framebuffer.shape[:2]
     shapes = pyramid_shapes(w, h)
     levels = [framebuffer]
     for _ in range(len(shapes) - 1):
         levels.append(_downsample2x(levels[-1]))
-    offsets = np.cumsum([0] + [lw * lh for (lw, lh) in shapes[:-1]])
-    texels = jnp.concatenate([lvl.reshape(-1, 3) for lvl in levels], axis=0)
+    offsets, off = [], 0
+    for lw, lh in shapes:
+        offsets.append(off)
+        off += 4 * ((lw + 1) // 2) * ((lh + 1) // 2)
+    quads = jnp.concatenate([_quad_level(lvl) for lvl in levels], axis=0)
     return MipPyramid(
-        texels=texels,
-        offsets=jnp.asarray(offsets, jnp.int32),
-        widths=jnp.asarray([s[0] for s in shapes], jnp.int32),
-        heights=jnp.asarray([s[1] for s in shapes], jnp.int32),
+        quads=quads,
+        offsets=tuple(offsets),
+        widths=tuple(s[0] for s in shapes),
+        heights=tuple(s[1] for s in shapes),
     )
 
 
-def _bilinear_clamp(pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Clamp-to-edge bilinear tap at a (per-pixel dynamic) level."""
-    w = pyr.widths[level]
-    h = pyr.heights[level]
-    off = pyr.offsets[level]
+def _select_level_meta(pyr: MipPyramid, level: jnp.ndarray):
+    """Static select chain -> per-pixel (offset, w, h) int32."""
+    off = jnp.full(level.shape, pyr.offsets[0], jnp.int32)
+    w = jnp.full(level.shape, pyr.widths[0], jnp.int32)
+    h = jnp.full(level.shape, pyr.heights[0], jnp.int32)
+    for k in range(1, pyr.num_levels):
+        pick = level == k
+        off = jnp.where(pick, pyr.offsets[k], off)
+        w = jnp.where(pick, pyr.widths[k], w)
+        h = jnp.where(pick, pyr.heights[k], h)
+    return off, w, h
+
+
+def _bilinear_clamp_quad(pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray):
+    """Clamp-to-edge bilinear tap at a (per-pixel dynamic) level: ONE
+    gather of a 12-float block row."""
+    qoff, w, h = _select_level_meta(pyr, level)
     x = uv[..., 0] * w.astype(jnp.float32) - 0.5
     y = uv[..., 1] * h.astype(jnp.float32) - 0.5
     x0 = jnp.floor(x)
@@ -84,16 +124,19 @@ def _bilinear_clamp(pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray) -> jnp
     fy = (y - y0)[..., None]
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-
-    def tap(xi, yi):
-        xi = jnp.clip(xi, 0, w - 1)
-        yi = jnp.clip(yi, 0, h - 1)
-        return pyr.texels[off + yi * w + xi]
-
-    c00 = tap(x0, y0)
-    c10 = tap(x0 + 1, y0)
-    c01 = tap(x0, y0 + 1)
-    c11 = tap(x0 + 1, y0 + 1)
+    # clamp: below-zero footprints collapse onto the block's first
+    # column/row (both Vulkan taps clamp to texel 0); the upper edge is
+    # baked into the boundary blocks.
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    x0 = jnp.clip(x0, 0, w - 1)
+    y0 = jnp.clip(y0, 0, h - 1)
+    bw = (w + 1) >> 1
+    bh = (h + 1) >> 1
+    phase = (y0 & 1) * 2 + (x0 & 1)
+    qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+    q = pyr.quads[qidx].reshape(qidx.shape + (4, 3))
+    c00, c10, c01, c11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy
@@ -106,7 +149,7 @@ def sample_pyramid_lod(pyr: MipPyramid, uv: jnp.ndarray, lod: jnp.ndarray) -> jn
     lod = jnp.clip(lod, 0.0, float(max_level))
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level)
-    c0 = _bilinear_clamp(pyr, l0, uv)
-    c1 = _bilinear_clamp(pyr, l1, uv)
+    c0 = _bilinear_clamp_quad(pyr, l0, uv)
+    c1 = _bilinear_clamp_quad(pyr, l1, uv)
     frac = (lod - l0.astype(jnp.float32))[..., None]
     return c0 + (c1 - c0) * frac
