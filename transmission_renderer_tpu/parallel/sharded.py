@@ -61,7 +61,7 @@ from transmission_renderer_tpu.render.shading import (
     shade_transmission,
 )
 from transmission_renderer_tpu.scene.types import Scene, Similarity, quat_rotate, similarity_apply
-from transmission_renderer_tpu.utils.ggx_lut import compute_ggx_lut
+from transmission_renderer_tpu.utils.ggx_lut import default_ggx_lut
 from transmission_renderer_tpu.utils.platform import f32_matmuls
 
 
@@ -95,7 +95,7 @@ def render_frame_sharded(
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
     if ggx_lut is None:
-        ggx_lut = jnp.asarray(compute_ggx_lut())
+        ggx_lut = jnp.asarray(default_ggx_lut())
 
     n_bands = mesh.devices.size
     w, h = config.width, config.height

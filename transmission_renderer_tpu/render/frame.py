@@ -74,7 +74,7 @@ from transmission_renderer_tpu.scene.types import (
     quat_rotate,
     similarity_apply,
 )
-from transmission_renderer_tpu.utils.ggx_lut import compute_ggx_lut
+from transmission_renderer_tpu.utils.ggx_lut import default_ggx_lut
 from transmission_renderer_tpu.utils.platform import f32_matmuls
 from transmission_renderer_tpu.utils.profiling import pass_scope
 
@@ -363,7 +363,7 @@ def render_frame(
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
     if ggx_lut is None:
-        ggx_lut = jnp.asarray(compute_ggx_lut())
+        ggx_lut = jnp.asarray(default_ggx_lut())
 
     # ---- 1. vertex transform (vertex_instanced, shader lib.rs:336-361) ----
     inst_t = Similarity(

