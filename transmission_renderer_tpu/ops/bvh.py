@@ -152,11 +152,16 @@ def build_bvh(tri_vertices: np.ndarray, positions: np.ndarray) -> BVH:
 
 
 def refit_bvh(
-    bvh: BVH, tri_vertices: jnp.ndarray, positions: jnp.ndarray, passes: int = 40
+    bvh: BVH, tri_vertices: jnp.ndarray, positions: jnp.ndarray,
+    passes: int | None = None,
 ) -> BVH:
     """Refresh AABBs for moved vertices, keeping the topology — the
     UPDATE-mode TLAS refit analogue (src/acceleration_structures.rs:192-267).
-    Jittable; ``passes`` must be >= tree depth."""
+    Jittable. ``passes`` defaults to the tree height, which is exactly
+    ceil(log2 T) for the median-split build (build_bvh docstring) — no
+    wasted sequential folds in the per-frame hot path."""
+    if passes is None:
+        passes = max(int(np.ceil(np.log2(bvh.num_internal + 1))), 1)
     v = positions[tri_vertices[bvh.sorted_tri]]  # [T, 3, 3]
     leaf_min = jnp.min(v, axis=1)
     leaf_max = jnp.max(v, axis=1)
@@ -220,8 +225,9 @@ def trace_rays(
     origins: jnp.ndarray,  # [..., 3]
     directions: jnp.ndarray,  # [..., 3]
     t_min: float = 0.001,
-    t_max: float = 10_000.0,
+    t_max: float | jnp.ndarray = 10_000.0,
     any_hit: bool = False,
+    alpha_test_fn=None,
 ):
     """Batched BVH walk.
 
@@ -229,20 +235,22 @@ def trace_rays(
     u [...], v [...]). ``any_hit=True`` terminates on the first accepted
     intersection (shadow rays, shader/src/lighting.rs:97-125); otherwise
     the closest hit wins (the AS-debug caster's committed intersection).
+    ``t_max`` may be per-ray (point-light shadow rays use the light
+    distance, shader/src/lighting.rs:64-71). ``alpha_test_fn(tri_id, u, v)
+    -> bool`` confirms candidates (the caster's alpha-clip re-test,
+    shader/src/lib.rs:777-784); None confirms everything.
     """
     shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
     n = o.shape[0]
     n_int = bvh.num_internal
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
 
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
 
-    def walk(o_i, inv_i, d_i):
+    def walk(o_i, inv_i, d_i, t_max_i):
         stack = jnp.zeros((STACK_DEPTH,), jnp.int32)
-        # state: (stack, sp, best_t, best_tri, best_u, best_v, done)
-        init = (stack, jnp.int32(1), jnp.float32(t_max), jnp.int32(-1),
-                jnp.float32(0), jnp.float32(0), False)
 
         def cond(s):
             _, sp, _, _, _, _, done = s
@@ -260,6 +268,8 @@ def trace_rays(
                 tri_id = bvh.sorted_tri[leaf]
                 tv = positions[tri_vertices[tri_id]]
                 hit, t, u, v = _ray_tri(o_i, d_i, t_min, best_t, tv[0], tv[1], tv[2])
+                if alpha_test_fn is not None:
+                    hit = hit & alpha_test_fn(tri_id, u, v)
                 nt = jnp.where(hit, t, best_t)
                 ntri = jnp.where(hit, tri_id, best_tri)
                 nu = jnp.where(hit, u, bu)
@@ -283,13 +293,13 @@ def trace_rays(
             return jax.lax.cond(is_leaf, leaf_case, inner_case)
 
         stack = stack.at[0].set(0)
-        init = (stack, jnp.int32(1), jnp.float32(t_max), jnp.int32(-1),
+        init = (stack, jnp.int32(1), t_max_i, jnp.int32(-1),
                 jnp.float32(0), jnp.float32(0), False)
         final = jax.lax.while_loop(cond, body, init)
         _, _, best_t, best_tri, bu, bv, _ = final
         return best_t, best_tri, bu, bv
 
-    best_t, best_tri, bu, bv = jax.vmap(walk)(o, inv_d, d)
+    best_t, best_tri, bu, bv = jax.vmap(walk)(o, inv_d, d, t_max_arr)
     hit = best_tri >= 0
     return (
         hit.reshape(shape),

@@ -47,12 +47,14 @@ def shadow_factors(
         to_light = lights.position[li] - origins
         dist = jnp.linalg.norm(to_light, axis=-1)
         direction = to_light / jnp.maximum(dist[..., None], 1e-12)
-        hit, t, *_ = trace_rays(
+        # any-hit with t_max = light distance, exactly the reference's
+        # per-light shadow ray (shader/src/lighting.rs:64-71) — the walk
+        # early-outs on the first occluder instead of finding the closest.
+        hit, *_ = trace_rays(
             bvh, tri_vertices, world_positions, origins, direction,
-            t_max=10_000.0, any_hit=False,
+            t_max=dist, any_hit=True,
         )
-        blocked = hit & (t < dist)
-        factors.append(jnp.where(g.valid & blocked, 0.0, 1.0))
+        factors.append(jnp.where(g.valid & hit, 0.0, 1.0))
     light_factors = jnp.stack(factors, axis=-1)
     return sun_factor, light_factors
 
@@ -97,14 +99,10 @@ def as_debug_view(
     height: int,
 ) -> jnp.ndarray:
     """Full-screen ray-cast debug view (shader/src/lib.rs:699-798):
-    camera rays from the inverse view/proj, closest hit, barycentric UV
-    interpolation, LOD-0 diffuse sample; alpha-clip rejected hits show the
-    next surface only insofar as the closest accepted hit wins (the
-    reference confirms candidates with alpha >= cutoff).
-
-    NOTE: the closest-hit walk here does not re-test alpha; alpha-clipped
-    surfaces therefore occlude in this debug view (documented deviation —
-    the flagship scenes carry no alpha-clipped geometry).
+    camera rays from the inverse view/proj, closest hit with alpha-clip
+    candidate confirmation (only candidates whose LOD-0 diffuse alpha
+    >= the material cutoff commit, shader/src/lib.rs:777-784), barycentric
+    UV interpolation, LOD-0 diffuse sample.
     """
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
@@ -123,9 +121,33 @@ def as_debug_view(
     direction = local_dir @ view_inverse[:3, :3].T
 
     origins = jnp.broadcast_to(origin, direction.shape)
+
+    m = scene.materials
+
+    def alpha_test(tri_id, u, v):
+        # the caster's candidate confirmation (shader/src/lib.rs:770-784):
+        # BLAS geometry carries no OPAQUE flag (acceleration_structures.rs
+        # :31), so EVERY candidate is alpha-tested — LOD-0 diffuse alpha
+        # (times the factor) must reach the material cutoff to commit.
+        mid = tri_material[tri_id]
+        tid = m.tex_diffuse[mid]
+        vidx = tri_vertices[tri_id]
+        uv = (
+            uvs[vidx[0]] * (1.0 - u - v)
+            + uvs[vidx[1]] * u
+            + uvs[vidx[2]] * v
+        )
+        sample = sample_texture(
+            scene.atlas_texels, scene.atlas_meta, scene.atlas_srgb,
+            jnp.maximum(tid, 0), uv, jnp.zeros_like(u), WRAP_REPEAT,
+            trilinear=False,
+        )
+        alpha = m.diffuse_factor[mid, 3] * jnp.where(tid >= 0, sample[3], 1.0)
+        return alpha >= m.alpha_clipping_cutoff[mid]
+
     hit, t, tri_id, u, v = trace_rays(
         bvh, tri_vertices, world_positions, origins, direction,
-        t_min=0.01, t_max=1000.0,
+        t_min=0.01, t_max=1000.0, alpha_test_fn=alpha_test,
     )
 
     safe_tri = jnp.maximum(tri_id, 0)

@@ -374,6 +374,11 @@ def _light_matrix(lights: Lights) -> jnp.ndarray:
     )
 
 
+# At or below this many cluster slots the light loop unrolls; above it a
+# lax.fori_loop keeps the HLO small (128 lights != 128 dense passes).
+_UNROLL_MAX_SLOTS = 8
+
+
 def evaluate_lights_common(
     ctx: ShadeContext,
     material: MaterialParams,
@@ -426,13 +431,14 @@ def evaluate_lights_common(
         )
 
     lmat = _light_matrix(ctx.lights)
-    # Clustered loop: slot i reads the cluster's i-th accepted light. The
-    # unrolled-slot structure matches the shader's bounded loop; per-slot
-    # light columns come from ONE one-hot fetch instead of ~7 gathers.
-    for slot in range(max_slots):
-        light_idx = cluster_rows[..., 1 + slot]
-        active = slot < counts
 
+    # Clustered loop: slot i reads the cluster's i-th accepted light;
+    # per-slot light columns come from ONE one-hot fetch instead of ~7
+    # gathers. Few-light scenes unroll (fewest ops); many-light scenes use
+    # a lax loop so 128 slots don't emit 128 dense HLO passes (the
+    # shader's bounded runtime loop, shader/src/lighting.rs:178-208).
+    def slot_contrib(slot, light_idx):
+        active = slot < counts
         lrow = onehot_rows(lmat, light_idx)  # [M, 12]
         l_pos = lrow[..., 0:3]
         direction, distance, attenuation = light_direction_and_attenuation(
@@ -457,11 +463,41 @@ def evaluate_lights_common(
         light_emission = lrow[..., 3:6] * factor[..., None]
         radiance = light_emission * attenuation[..., None]
         contrib = basic_brdf(normal, direction, radiance, view, material)
-        result = result + contrib
-        if with_transmission:
-            transmission = transmission + radiance * transmission_btdf(
-                material, normal, view, direction
+        t_contrib = (
+            radiance * transmission_btdf(material, normal, view, direction)
+            if with_transmission
+            else None
+        )
+        return contrib, t_contrib
+
+    if max_slots <= _UNROLL_MAX_SLOTS:
+        for slot in range(max_slots):
+            contrib, t_contrib = slot_contrib(slot, cluster_rows[..., 1 + slot])
+            result = result + contrib
+            if with_transmission:
+                transmission = transmission + t_contrib
+    else:
+        t_init = transmission if with_transmission else jnp.zeros(())
+
+        def body(slot, carry):
+            d_acc, s_acc, t_acc = carry
+            light_idx = jax.lax.dynamic_slice_in_dim(
+                cluster_rows, 1 + slot, 1, axis=-1
+            )[..., 0]
+            contrib, t_contrib = slot_contrib(slot, light_idx)
+            return (
+                d_acc + contrib.diffuse,
+                s_acc + contrib.specular,
+                t_acc + t_contrib if with_transmission else t_acc,
             )
+
+        d_acc, s_acc, t_acc = jax.lax.fori_loop(
+            0, max_slots, body,
+            (result.diffuse, result.specular, t_init),
+        )
+        result = result._replace(diffuse=d_acc, specular=s_acc)
+        if with_transmission:
+            transmission = t_acc
 
     return result, transmission, cluster, counts
 
