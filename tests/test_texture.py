@@ -129,3 +129,18 @@ def test_lut_sampling():
     # clamped outside
     out2 = sample_lut_2ch(lut, jnp.float32(-1.0), jnp.float32(2.0))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(lut[15, 0]), atol=1e-6)
+
+
+def test_quad_lut_matches_reference_sampler():
+    from transmission_renderer_tpu.ops.texture import (
+        quad_lut_2ch,
+        sample_lut_2ch_quad,
+    )
+
+    rng = np.random.default_rng(11)
+    lut = jnp.asarray(rng.uniform(0, 1, (32, 32, 2)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(-0.3, 1.3, 2048).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-0.3, 1.3, 2048).astype(np.float32))
+    a = np.asarray(sample_lut_2ch(lut, u, v))
+    b = np.asarray(sample_lut_2ch_quad(quad_lut_2ch(lut), 32, u, v))
+    np.testing.assert_array_equal(a, b)

@@ -290,6 +290,17 @@ def main():
     dt, _ = timeit(f_full, scene, dl, params, lights, n=n, rt=rt)
     print(f"{'== full frame':28s} {dt*1e3:9.2f} ms   ({1.0/max(dt,1e-6):.2f} fps)")
 
+    # block coverage -> informs the sparse cap fractions
+    cov = jax.jit(
+        lambda go_v, gt_v: (
+            jnp.sum(jnp.any(go_v.reshape(-1, 128), 1)),
+            jnp.sum(jnp.any(gt_v.reshape(-1, 128), 1)),
+        )
+    )(g_o.valid, g_t.valid)
+    print(f"coverage: opaque {int(cov[0])}/{nb} blocks "
+          f"({int(cov[0])/nb:.3f}), transmission {int(cov[1])}/{nb} "
+          f"({int(cov[1])/nb:.3f})")
+
 
 if __name__ == "__main__":
     main()

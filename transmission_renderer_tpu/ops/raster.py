@@ -163,6 +163,7 @@ def bin_triangles(
     max_tris_per_tile: int,
     max_big_tris: int,
     materialize: bool = True,
+    class_flags: jnp.ndarray | None = None,
 ) -> TileBins:
     """Sort-based binning (the TPU replacement for the reference's
     atomic-append compaction, SURVEY.md §2.6).
@@ -172,6 +173,13 @@ def bin_triangles(
     searchsorted. Triangles covering more than K tiles go to the
     big-triangle list that every tile also walks — there are few of these
     (large floors/walls), so the cost is bounded.
+
+    ``class_flags`` ([T] bool, Pallas path) splits every tile's record run
+    by draw class (opaque first, transmissive second): the sort key
+    becomes tile*2 + class and ``tile_start`` gets 2*n_tiles+1 entries, so
+    each raster pass streams ONLY its class's records instead of filtering
+    the other class record-by-record in the kernel — the depth pre-pass /
+    transmissive pre-pass split without rewalking shared bins.
     """
     n_tiles = tiles_x * tiles_y
     num_tris = setup.adj.shape[0]
@@ -189,39 +197,38 @@ def bin_triangles(
     jx = slot % bw[:, None]
     jy = slot // bw[:, None]
     tile_id = (ty0[:, None] + jy) * tiles_x + (tx0[:, None] + jx)
+    if class_flags is not None:
+        n_bins = 2 * n_tiles
+        bin_id = tile_id * 2 + class_flags.astype(jnp.int32)[:, None]
+    else:
+        n_bins = n_tiles
+        bin_id = tile_id
     pair_valid = in_bins[:, None] & (slot < coverage[:, None])
-    tile_id = jnp.where(pair_valid, tile_id, n_tiles)  # sentinel sorts last
+    bin_id = jnp.where(pair_valid, bin_id, n_bins)  # sentinel sorts last
 
     tri_ids = jnp.broadcast_to(
         jnp.arange(num_tris, dtype=jnp.int32)[:, None], (num_tris, k)
     )
-    flat_tiles = tile_id.reshape(-1)
+    flat_bins = bin_id.reshape(-1)
     flat_tris = tri_ids.reshape(-1)
 
-    # Sort pairs by (tile, tri). When both ids fit in 31 bits together,
-    # pack them into ONE int32 key — a single-array sort is ~2x cheaper
-    # than the stable argsort (which internally sorts key+index pairs),
-    # and tri-ascending-within-tile IS draw order, so the packed sort is
-    # exactly the stable sort's result.
-    tri_bits = max(num_tris.bit_length(), 1)
-    tile_bits = (n_tiles + 1).bit_length()
-    if tri_bits + tile_bits <= 31:
-        keys = (flat_tiles << tri_bits) | flat_tris
-        sorted_keys = jnp.sort(keys)
-        sorted_tiles = sorted_keys >> tri_bits
-        sorted_tris = sorted_keys & ((1 << tri_bits) - 1)
-    else:
-        order = jnp.argsort(flat_tiles, stable=True)
-        sorted_tiles = flat_tiles[order]
-        sorted_tris = flat_tris[order]
+    # Stable two-array sort: tri-ascending within a bin IS draw order
+    # (measured cheaper than a packed-key jnp.sort on v5e, and free of the
+    # 31-bit packing constraint).
+    sorted_bins, sorted_tris = jax.lax.sort(
+        [flat_bins, flat_tris], num_keys=1, is_stable=True
+    )
 
     tile_start = jnp.searchsorted(
-        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        sorted_bins, jnp.arange(n_bins + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
     raw_counts = tile_start[1:] - tile_start[:-1]
     counts = jnp.minimum(raw_counts, max_tris_per_tile)
 
+    assert not (materialize and class_flags is not None), (
+        "class-split bins are a Pallas-path feature (tile_start indexing)"
+    )
     if materialize:
         # Fixed-size per-tile lists for the JAX raster path. NOTE: this
         # caps each tile at max_tris_per_tile (overflow drops triangles);

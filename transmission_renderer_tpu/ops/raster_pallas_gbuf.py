@@ -131,6 +131,7 @@ def _kernel(
     width: int,
     height: int,
     pass_class: int | None,
+    class_split: bool,
 ):
     outs = refs[:N_OUT]
     chunk_ref, sems = refs[N_OUT], refs[N_OUT + 1]
@@ -169,8 +170,18 @@ def _kernel(
     nz_o[0] = zero + 1.0  # background normal = +z (gbuffer convention)
     scale_o[0] = zero + 1.0
 
-    start = tile_start_ref[t]
-    count = tile_start_ref[t + 1] - start
+    if class_split:
+        # class-split bins: tile t's records live at bin 2t (opaque) and
+        # 2t+1 (transmissive); a single-class pass streams only its run.
+        if pass_class is None:
+            start = tile_start_ref[2 * t]
+            count = tile_start_ref[2 * t + 2] - start
+        else:
+            start = tile_start_ref[2 * t + pass_class]
+            count = tile_start_ref[2 * t + pass_class + 1] - start
+    else:
+        start = tile_start_ref[t]
+        count = tile_start_ref[t + 1] - start
 
     def record_body(ref, row, off):
         rec = lambda k: ref[row, off + k]
@@ -305,6 +316,8 @@ def rasterize_gbuffer_pallas(
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     n_tiles = tiles_x * tiles_y
+    # class-split bins are detected by tile_start's length (2*n_tiles + 1)
+    class_split = bins.tile_start.shape[0] == 2 * n_tiles + 1
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     payload_rows, big_rows = (
         payload if payload is not None else gather_gbuf_payload(records, bins)
@@ -347,7 +360,7 @@ def rasterize_gbuffer_pallas(
     ]
     kernel = functools.partial(
         _kernel, tiles_x=tiles_x, width=width, height=height,
-        pass_class=pass_class,
+        pass_class=pass_class, class_split=class_split,
     )
     outs = pl.pallas_call(
         kernel,

@@ -159,6 +159,49 @@ def sample_texture_rows(
     return c0 + (c1 - c0) * frac
 
 
+def quad_lut_2ch(lut: jnp.ndarray) -> jnp.ndarray:
+    """[S, S, 2] float LUT -> [4 * (S/2)^2, 8] phase-shifted 2x2 blocks
+    (CLAMP edges baked), for ``sample_lut_2ch_quad``. Build once per frame
+    — pure data movement; each *sample* then costs ONE gather instead of
+    four."""
+    s = lut.shape[0]
+    b = (s + 1) // 2
+    padded = jnp.pad(lut, ((0, 2 * b + 1 - s), (0, 2 * b + 1 - s), (0, 0)),
+                     mode="edge")
+    phases = []
+    for py in (0, 1):
+        for px in (0, 1):
+            sub = padded[py : py + 2 * b, px : px + 2 * b]
+            blk = sub.reshape(b, 2, b, 2, 2).transpose(0, 2, 1, 3, 4)
+            phases.append(blk.reshape(b * b, 8))
+    return jnp.concatenate(phases, axis=0)
+
+
+def sample_lut_2ch_quad(
+    quads: jnp.ndarray,  # [4 * (S/2)^2, 8] from quad_lut_2ch
+    size: int,  # S (static)
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """One-gather clamp-sampled bilinear LUT fetch -> [..., 2]; same
+    semantics as sample_lut_2ch."""
+    s = size
+    x = jnp.clip(u * s - 0.5, 0.0, s - 1.0)
+    y = jnp.clip(v * s - 0.5, 0.0, s - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    b = (s + 1) >> 1
+    phase = (y0 & 1) * 2 + (x0 & 1)
+    qidx = phase * (b * b) + (y0 >> 1) * b + (x0 >> 1)
+    q = quads[qidx].reshape(qidx.shape + (4, 2))
+    c00, c10, c01, c11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
 def sample_lut_2ch(
     lut: jnp.ndarray,  # [S, S, 2] float32 (e.g. the GGX split-sum LUT)
     u: jnp.ndarray,  # [...]

@@ -459,9 +459,13 @@ def render_frame(
         setup_pallas = setup_all._replace(
             valid=setup_all.valid & ~is_clip_tri
         )
+        # G-buffer-kernel scenes get class-split bins: each pass streams
+        # only its own draw class's records (the two passes otherwise both
+        # stream — and filter — the full record set).
         bins_all = bin_triangles(
             setup_pallas, tiles_x, tiles_y, config.max_tiles_per_tri,
             config.max_tris_per_tile, config.max_big_tris, materialize=False,
+            class_flags=is_transmissive_tri if use_gbuf_kernel else None,
         )
         # the Pallas tile lists are uncapped (they read tile_start), but
         # the big-triangle list is a static buffer in both paths

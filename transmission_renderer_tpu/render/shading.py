@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from transmission_renderer_tpu.ops.mipchain import MipPyramid, sample_pyramid_lod
 from transmission_renderer_tpu.ops.texture import (
     WRAP_REPEAT,
-    sample_lut_2ch,
+    quad_lut_2ch,
+    sample_lut_2ch_quad,
     sample_texture_rows,
 )
 from transmission_renderer_tpu.pbr import (
@@ -611,7 +612,13 @@ def shade_transmission_flat(
 
     if fb_sampler is None:
         fb_sampler = lambda uv, lod: sample_pyramid_lod(opaque_pyramid, uv, lod)
-    lut_sampler = lambda nov, rough: sample_lut_2ch(ctx.ggx_lut, nov, rough)
+    # quad-block the LUT once per frame (cheap data movement) so each
+    # pixel's split-sum fetch is ONE gather instead of four
+    lut_quads = quad_lut_2ch(ctx.ggx_lut)
+    lut_size = ctx.ggx_lut.shape[0]
+    lut_sampler = lambda nov, rough: sample_lut_2ch_quad(
+        lut_quads, lut_size, nov, rough
+    )
 
     transmission = transmission + ibl_volume_refraction(
         pm.params,
