@@ -82,6 +82,12 @@ class RenderConfig:
     opaque_block_cap_frac: float | None = None
     transmission_block_cap_frac: float | None = 0.5
 
+    # --- multi-chip (parallel/sharded.py) -----------------------------------
+    # Row halo exchanged between neighbour bands for the distributed mip
+    # pyramid: cross-band refraction fetches within this many level-0
+    # pixels of the band are exact; farther ones clamp to the halo edge.
+    sharded_refraction_halo_px: int = 64
+
     # --- precision ---------------------------------------------------------
     # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,
     # hard part 6); bf16 is only used where it cannot affect fidelity.

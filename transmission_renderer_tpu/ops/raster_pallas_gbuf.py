@@ -299,40 +299,34 @@ class GBufferTiles(NamedTuple):
     arrays: tuple
 
 
-def rasterize_gbuffer_pallas(
-    records: jnp.ndarray,  # [T, 64] from pack_gbuf_payload
-    bins: TileBins,
+def rasterize_gbuffer_tiles(
+    payload: tuple,  # (payload_rows, big_rows) from gather_gbuf_payload
+    tile_ids: jnp.ndarray,  # [K] global tile ids handled by this call
+    tile_start: jnp.ndarray,  # per-tile record ranges for those tiles
+    big_count: jnp.ndarray,  # [] int32 (already clamped)
     width: int,
     height: int,
-    init_depth: jnp.ndarray | None = None,
+    init_depth_tiles: jnp.ndarray | None = None,  # [K, TILE_H, TILE_W]
     pass_class: int | None = None,
-    payload=None,  # optional precomputed (rows, big_rows)
+    class_split: bool = False,
     interpret: bool = False,
-):
-    """Full-frame G-buffer raster. Returns a render.gbuffer.GBuffer."""
-    from transmission_renderer_tpu.ops.raster import tile_image, untile_image
-    from transmission_renderer_tpu.render.gbuffer import GBuffer
-
+) -> dict:
+    """Run the G-buffer kernel over an arbitrary tile list (the building
+    block shared by the single-chip frame and the row-band sharded path).
+    ``tile_start`` is indexed t (or 2t+class when class_split) relative to
+    THIS tile list. Returns {channel: [K, TILE_H, TILE_W]}."""
+    k_tiles = tile_ids.shape[0]
     tiles_x = -(-width // TILE_W)
-    tiles_y = -(-height // TILE_H)
-    n_tiles = tiles_x * tiles_y
-    # class-split bins are detected by tile_start's length (2*n_tiles + 1)
-    class_split = bins.tile_start.shape[0] == 2 * n_tiles + 1
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    payload_rows, big_rows = (
-        payload if payload is not None else gather_gbuf_payload(records, bins)
-    )
+    payload_rows, big_rows = payload
     init_tiles = (
-        tile_image(init_depth, TILE_W, TILE_H)
-        if init_depth is not None
-        else jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
+        init_depth_tiles
+        if init_depth_tiles is not None
+        else jnp.zeros((k_tiles, TILE_H, TILE_W), jnp.float32)
     )
-    n_big_recs = bins.big_tri_ids.shape[0]
-    big_count = jnp.minimum(bins.big_tri_count, n_big_recs).astype(jnp.int32)[None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(k_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
@@ -353,7 +347,7 @@ def rasterize_gbuffer_pallas(
     )
     out_shapes = [
         jax.ShapeDtypeStruct(
-            (n_tiles, TILE_H, TILE_W),
+            (k_tiles, TILE_H, TILE_W),
             jnp.int32 if GBUF_CHANNELS[i] in ("tri", "material") else jnp.float32,
         )
         for i in range(N_OUT)
@@ -368,18 +362,62 @@ def rasterize_gbuffer_pallas(
         out_shape=out_shapes,
         interpret=interpret,
     )(
-        bins.tile_start.astype(jnp.int32),
+        tile_start.astype(jnp.int32),
         tile_ids,
-        big_count,
+        big_count[None] if big_count.ndim == 0 else big_count,
         payload_rows,
         big_rows,
         init_tiles,
+    )
+    return {name: a for name, a in zip(GBUF_CHANNELS, outs)}
+
+
+def rasterize_gbuffer_pallas(
+    records: jnp.ndarray,  # [T, 64] from pack_gbuf_payload
+    bins: TileBins,
+    width: int,
+    height: int,
+    init_depth: jnp.ndarray | None = None,
+    pass_class: int | None = None,
+    payload=None,  # optional precomputed (rows, big_rows)
+    interpret: bool = False,
+):
+    """Full-frame G-buffer raster. Returns a render.gbuffer.GBuffer."""
+    from transmission_renderer_tpu.ops.raster import tile_image, untile_image
+    from transmission_renderer_tpu.render.gbuffer import GBuffer
+
+    tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    n_tiles = tiles_x * tiles_y
+    # class-split bins are detected by tile_start's length (2*n_tiles + 1)
+    class_split = bins.tile_start.shape[0] == 2 * n_tiles + 1
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    payload = (
+        payload if payload is not None else gather_gbuf_payload(records, bins)
+    )
+    init_tiles = (
+        tile_image(init_depth, TILE_W, TILE_H) if init_depth is not None else None
+    )
+    n_big_recs = bins.big_tri_ids.shape[0]
+    big_count = jnp.minimum(bins.big_tri_count, n_big_recs).astype(jnp.int32)
+
+    raw = rasterize_gbuffer_tiles(
+        payload, tile_ids, bins.tile_start, big_count, width, height,
+        init_depth_tiles=init_tiles, pass_class=pass_class,
+        class_split=class_split, interpret=interpret,
     )
 
     def ut(a):
         return untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H, width, height)
 
-    ch = {name: ut(a) for name, a in zip(GBUF_CHANNELS, outs)}
+    ch = {name: ut(a) for name, a in raw.items()}
+    return gbuffer_from_channels(ch)
+
+
+def gbuffer_from_channels(ch: dict):
+    """Assemble a render.gbuffer.GBuffer from untiled channel images."""
+    from transmission_renderer_tpu.render.gbuffer import GBuffer
+
     valid = ch["tri"] >= 0
     vmask = valid[..., None]
     stack3 = lambda a, b, c: jnp.stack([ch[a], ch[b], ch[c]], axis=-1)

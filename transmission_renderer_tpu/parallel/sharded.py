@@ -1,17 +1,35 @@
-"""Row-band-sharded render_frame via shard_map.
+"""Row-band-sharded render_frame via shard_map — the framework's one real
+distributed feature (SURVEY.md §5.7/§5.8).
 
 Each device owns a contiguous band of tile rows:
-  * scene + draw list are replicated (scenes are small vs framebuffers),
-  * vertex transform / culling / binning are computed per device (cheap,
-    avoids a gather), each device then slices its band's bins,
-  * opaque raster + shade produce the device's HDR band,
-  * one ``all_gather`` assembles the full opaque framebuffer so the
-    transmission pass can mip-sample arbitrary UVs (the coarse-mip
-    all-gather strategy of SURVEY.md §5.7 — level 0 included for exact
-    low-LOD fetches; a ppermute halo path is the planned optimisation),
+
+  * scene + draw list are replicated (scenes are small vs framebuffers);
+    vertex transform / culling / binning are recomputed per device (cheap,
+    avoids any gather of triangle data),
+  * each band rasterises ONLY its tiles with the Pallas G-buffer kernel
+    (class-split bins: the per-band tile_start slice is contiguous),
+  * shading runs band-locally with GLOBAL pixel coordinates (cluster
+    lookups span the whole frame),
+  * the opaque mip pyramid is built DISTRIBUTED:
+      - fine levels (0..L_local-1, where 2^L_local divides the band
+        height) are downsampled band-locally — zero communication,
+      - ONE small coarse level is all_gather'd and the remaining levels
+        are derived replicated (level L_local at 1080p/8 bands is
+        240x136 ~ 390 KB vs 25 MB for the old full-res gather),
+      - each fine level exchanges a halo of rows with its two neighbour
+        bands via ppermute, so cross-band bilinear footprints and
+        refraction fetches within ``sharded_refraction_halo_px`` of the
+        band are EXACT; farther fetches clamp to the halo edge
+        (documented approximation, tunable),
   * transmissive raster + shade + tonemap stay band-local.
 
-The output is the full tonemapped frame, sharded over rows.
+Per-chip communicated bytes drop from O(H*W) to O(W * halo + coarse
+levels) — the halo-exchange design of SURVEY.md §5.7. Level sizes are
+sampled at the TRUE (unpadded) frame sizes, so in-halo results bit-match
+the single-chip renderer.
+
+Alpha-clip scenes fall back to the pure-JAX band raster (the Pallas
+kernel does not alpha-test; same split as render_frame).
 """
 
 from __future__ import annotations
@@ -19,7 +37,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from transmission_renderer_tpu.config import (
     BUCKET_ALPHA_CLIP,
@@ -29,7 +47,7 @@ from transmission_renderer_tpu.config import (
     RenderConfig,
 )
 from transmission_renderer_tpu.ops.cull import bucket_triangle_masks, cull_instances
-from transmission_renderer_tpu.ops.mipchain import build_pyramid
+from transmission_renderer_tpu.ops.mipchain import _downsample2x, pyramid_shapes
 from transmission_renderer_tpu.ops.raster import (
     VisibilityBuffer,
     bin_triangles,
@@ -57,8 +75,10 @@ from transmission_renderer_tpu.render.frame import (
 from transmission_renderer_tpu.render.gbuffer import interpolate_gbuffer
 from transmission_renderer_tpu.render.shading import (
     ShadeContext,
-    shade_opaque,
-    shade_transmission,
+    _dense_coords,
+    flatten_gbuffer,
+    shade_opaque_flat,
+    shade_transmission_flat,
 )
 from transmission_renderer_tpu.scene.types import Scene, Similarity, quat_rotate, similarity_apply
 from transmission_renderer_tpu.utils.ggx_lut import default_ggx_lut
@@ -78,6 +98,150 @@ def _band_tile_rows(config: RenderConfig, n_bands: int) -> int:
     return -(-config.tiles_y // n_bands)
 
 
+def _trailing_zeros(n: int) -> int:
+    return (n & -n).bit_length() - 1
+
+
+class _BandPyramidSpec:
+    """Static layout of the distributed pyramid's flat texel pool.
+
+    A level is kept band-LOCAL (its band slice + a ppermute'd halo of
+    ``halo_px >> level`` rows from each neighbour) when the halo fits
+    inside one neighbour band AND the band height still halves evenly;
+    otherwise the level is REPLICATED (all_gather'd — it is either coarse
+    and tiny, or the frame is so small relative to the halo that exact
+    fetches need it anyway). At production sizes (1080p, 8 bands of 136
+    rows, 64 px halo) levels 0..2 are local and the gather starts at
+    240x136 — per-chip bytes O(W*halo + coarse), not O(H*W)."""
+
+    def __init__(self, width: int, height: int, band_h: int, n_bands: int,
+                 halo_px: int):
+        shapes = pyramid_shapes(width, height)  # TRUE level sizes
+        self.num_levels = len(shapes)
+        self.widths = [s[0] for s in shapes]
+        self.heights = [s[1] for s in shapes]
+        max_aligned = max(1, min(_trailing_zeros(band_h), self.num_levels - 1))
+        self.l_local = 0
+        for l in range(max_aligned):
+            if max(halo_px >> l, 1) >= (band_h >> l):
+                break  # halo would span past the neighbour: replicate
+            self.l_local = l + 1
+        self.band_rows = [band_h >> l for l in range(self.l_local)]
+        self.halos = [max(halo_px >> l, 1) for l in range(self.l_local)]
+        # replicated levels live at padded heights
+        self.pad_rows = [
+            (band_h * n_bands) >> l for l in range(self.num_levels)
+        ]
+        offsets, off = [], 0
+        for l in range(self.num_levels):
+            if l < self.l_local:
+                rows = self.band_rows[l] + 2 * self.halos[l]
+            else:
+                rows = self.pad_rows[l]
+            offsets.append(off)
+            off += rows * self.widths[l]
+        self.offsets = offsets
+        self.total = off
+
+
+def _build_band_pyramid(hdr_band: jnp.ndarray, spec: _BandPyramidSpec,
+                        n_bands: int):
+    """Band-local downsample chain + halo exchange + one coarse gather.
+    Returns the band's flat [total, 3] texel pool."""
+    fine = []
+    cur = hdr_band
+    for _ in range(spec.l_local):
+        fine.append(cur)
+        cur = _downsample2x(cur)
+    # gather the first replicated level (small) and derive the rest
+    gathered = jax.lax.all_gather(cur, "band", axis=0, tiled=True)
+    coarse = [gathered]
+    for l in range(spec.l_local + 1, spec.num_levels):
+        coarse.append(_downsample2x(coarse[-1]))
+
+    fwd = [(i, i + 1) for i in range(n_bands - 1)]
+    bwd = [(i + 1, i) for i in range(n_bands - 1)]
+    parts = []
+    for l in range(spec.l_local):
+        lvl = fine[l][:, : spec.widths[l]]
+        r = spec.halos[l]
+        # halo from the band above = its BOTTOM r rows sent forward
+        above = jax.lax.ppermute(lvl[-r:], "band", fwd)
+        below = jax.lax.ppermute(lvl[:r], "band", bwd)
+        parts.append(jnp.concatenate([above, lvl, below], axis=0).reshape(-1, 3))
+    for l, lvl in enumerate(coarse):
+        parts.append(lvl[:, : spec.widths[spec.l_local + l]].reshape(-1, 3))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _sample_band_pyramid(pool, spec: _BandPyramidSpec, band, uv, lod):
+    """Trilinear clamp fetch against the distributed pyramid; exact for
+    fetches within the halo, halo-edge-clamped beyond it."""
+    max_level = spec.num_levels - 1
+    lod = jnp.clip(lod, 0.0, float(max_level))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_level)
+
+    def level_meta(lvl):
+        has_local = spec.l_local > 0
+        off = jnp.full(lvl.shape, spec.offsets[0], jnp.int32)
+        w = jnp.full(lvl.shape, spec.widths[0], jnp.int32)
+        h = jnp.full(lvl.shape, spec.heights[0], jnp.int32)
+        brows = jnp.full(
+            lvl.shape, spec.band_rows[0] if has_local else 1, jnp.int32
+        )
+        halo = jnp.full(lvl.shape, spec.halos[0] if has_local else 0, jnp.int32)
+        local = jnp.full(lvl.shape, has_local)
+        for k in range(1, spec.num_levels):
+            pick = lvl == k
+            off = jnp.where(pick, spec.offsets[k], off)
+            w = jnp.where(pick, spec.widths[k], w)
+            h = jnp.where(pick, spec.heights[k], h)
+            if k < spec.l_local:
+                brows = jnp.where(pick, spec.band_rows[k], brows)
+                halo = jnp.where(pick, spec.halos[k], halo)
+            else:
+                local = jnp.where(pick, False, local)
+        return off, w, h, brows, halo, local
+
+    def fetch(lvl):
+        off, w, h, brows, halo, local = level_meta(lvl)
+        x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+        y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+        fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+
+        def tap(xi, yi):
+            xi = jnp.clip(xi, 0, w - 1)
+            yi = jnp.clip(yi, 0, h - 1)  # global CLAMP_TO_EDGE
+            # band-local levels: remap to the haloed slice (clamping to
+            # the halo edge approximates farther-than-halo fetches)
+            local_r = jnp.clip(
+                yi - (band * brows - halo), 0, brows + 2 * halo - 1
+            )
+            row = jnp.where(local, local_r, yi)
+            return pool[off + row * w + xi]
+
+        c00 = tap(x0, y0)
+        c10 = tap(x0 + 1, y0)
+        c01 = tap(x0, y0 + 1)
+        c11 = tap(x0 + 1, y0 + 1)
+        top = c00 + (c10 - c00) * fx
+        bot = c01 + (c11 - c01) * fx
+        return top + (bot - top) * fy
+
+    c0 = fetch(l0)
+    c1 = fetch(l1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    return c0 + (c1 - c0) * frac
+
+
 @f32_matmuls
 def render_frame_sharded(
     scene: Scene,
@@ -91,7 +255,7 @@ def render_frame_sharded(
 ):
     """Sharded equivalent of render_frame. Call under jit with the mesh's
     devices available; returns the tonemapped [H, W, 3] frame (row-sharded
-    NamedSharding on the first axis)."""
+    on the first axis)."""
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
     if ggx_lut is None:
@@ -103,8 +267,18 @@ def render_frame_sharded(
     tiles_x = config.tiles_x
     rows_per_band = _band_tile_rows(config, n_bands)
     band_h = rows_per_band * th
+    tiles_y_padded = rows_per_band * n_bands
+    h_padded = band_h * n_bands
+
+    use_pallas = config.use_pallas_raster
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu" and (tw, th) == (128, 8)
+    use_kernel = use_pallas and not flags.has_alpha_clip
 
     coeffs = cluster_coefficients(config.z_near, config.z_far, config.num_depth_slices)
+    pyr_spec = _BandPyramidSpec(
+        w, h, band_h, n_bands, config.sharded_refraction_halo_px
+    )
 
     def band_body(scene, dl, params, lights, ggx_lut):
         band = jax.lax.axis_index("band")
@@ -126,7 +300,6 @@ def render_frame_sharded(
             config.z_near,
         )
         tri_scale = scene.inst_transform.scale[dl.tri_inst]
-        alpha_fn = _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
 
         aabb_min, aabb_max = write_cluster_data(
             params.inverse_perspective, (w, h),
@@ -157,78 +330,142 @@ def render_frame_sharded(
             ggx_lut=ggx_lut,
             debug_clusters=config.debug_clusters,
             tex_slots=flags.tex_slots,
-            half_res_refraction=config.half_res_refraction,
         )
 
-        band_tiles = (
-            band * rows_per_band * tiles_x
-            + jnp.arange(rows_per_band * tiles_x, dtype=jnp.int32)
-        )
+        t0 = band * rows_per_band * tiles_x
+        k_tiles = rows_per_band * tiles_x
+        band_tiles = t0 + jnp.arange(k_tiles, dtype=jnp.int32)
         row0_px = band * band_h
 
-        def raster_band(bucket_set, init_depth_tiles=None):
-            mask = bucket_triangle_masks(dl.tri_inst, dl.tri_bucket, visible, bucket_set)
-            setup = setup_triangles(clip, dl.tri_vtx, mask, w, h, tw, th)
-            # bin over the padded global tile grid, slice this band's rows
-            tiles_y_padded = rows_per_band * n_bands
+        def shade_band(g_band, shade_fn, ctx, *extra):
+            px, py = _dense_coords(band_h, w)
+            out = shade_fn(
+                scene, flatten_gbuffer(g_band), ctx, *extra, px,
+                py + row0_px,
+            )
+            return out.reshape(band_h, w, 3)
+
+        # ---- band raster -> G-buffers --------------------------------------
+        if use_kernel:
+            from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+                gather_gbuf_payload,
+                gbuffer_from_channels,
+                pack_gbuf_payload,
+                rasterize_gbuffer_tiles,
+            )
+
+            is_trans_tri = (dl.tri_bucket == BUCKET_TRANSMISSION) | (
+                dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
+            )
+            mask_all = bucket_triangle_masks(
+                dl.tri_inst, dl.tri_bucket, visible, (0, 1, 2, 3)
+            )
+            setup = setup_triangles(clip, dl.tri_vtx, mask_all, w, h, tw, th)
             bins = bin_triangles(
                 setup, tiles_x, tiles_y_padded, config.max_tiles_per_tri,
                 config.max_tris_per_tile, config.max_big_tris,
+                materialize=False, class_flags=is_trans_tri,
             )
-            lst = jax.lax.dynamic_slice_in_dim(
-                bins.tile_tri_ids, band * rows_per_band * tiles_x,
-                rows_per_band * tiles_x, 0,
+            records = pack_gbuf_payload(
+                setup, dl.tri_vtx, dl.tri_material, tri_scale,
+                world_pos, world_nrm, uvs, is_trans_tri,
             )
-            cnt = jax.lax.dynamic_slice_in_dim(
-                bins.tile_tri_count, band * rows_per_band * tiles_x,
-                rows_per_band * tiles_x, 0,
-            )
-            tri_ids, depths, barys = rasterize_tilelist(
-                setup, band_tiles, lst, cnt, bins.big_tri_ids, bins.big_tri_count,
-                w, h, tw, th, alpha_coverage_fn=alpha_fn,
-                init_depth_tiles=init_depth_tiles,
-            )
-            def ut(a):
-                return untile_image(
-                    a, tiles_x, rows_per_band, tw, th, tiles_x * tw, band_h
-                )[:, :w]
-
-            vis = VisibilityBuffer(
-                tri_id=ut(tri_ids), depth=ut(depths), bary=ut(barys)
-            )
-            return setup, vis, tri_ids, depths
-
-        # GBuffer interpolation needs absolute pixel coordinates; shift the
-        # derivative/edge evaluation by rendering into a band-local frame
-        # whose pixel rows are offset by row0_px. interpolate_gbuffer
-        # re-evaluates edges from pixel indices, so pass a shifted view.
-        def gbuffer_for(vis, setup):
-            return interpolate_gbuffer(
-                vis, setup, dl.tri_vtx, dl.tri_material, tri_scale,
-                world_pos, world_nrm, uvs, w, h, row_offset=row0_px,
+            payload = gather_gbuf_payload(records, bins)
+            big_count = jnp.minimum(
+                bins.big_tri_count, bins.big_tri_ids.shape[0]
+            ).astype(jnp.int32)
+            # contiguous class-split tile_start slice for this band's tiles
+            ts_band = jax.lax.dynamic_slice_in_dim(
+                bins.tile_start, 2 * t0, 2 * k_tiles + 1, 0
             )
 
-        setup_o, vis_o, _, _ = raster_band((BUCKET_OPAQUE, BUCKET_ALPHA_CLIP))
-        g_o = gbuffer_for(vis_o, setup_o)
-        hdr_band = shade_opaque(scene, g_o, ctx)
+            def band_gbuffer(pass_class, init_tiles=None):
+                ch = rasterize_gbuffer_tiles(
+                    payload, band_tiles, ts_band, big_count, w, h,
+                    init_depth_tiles=init_tiles, pass_class=pass_class,
+                    class_split=True, interpret=config.pallas_interpret,
+                )
+                ch = {
+                    name: untile_image(
+                        a, tiles_x, rows_per_band, tw, th, tiles_x * tw,
+                        band_h,
+                    )[:, :w]
+                    for name, a in ch.items()
+                }
+                return gbuffer_from_channels(ch)
+
+            g_o = band_gbuffer(0)
+        else:
+            alpha_fn = (
+                _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
+            )
+
+            def raster_band(bucket_set, init_depth_tiles=None):
+                mask = bucket_triangle_masks(
+                    dl.tri_inst, dl.tri_bucket, visible, bucket_set
+                )
+                setup = setup_triangles(clip, dl.tri_vtx, mask, w, h, tw, th)
+                bins = bin_triangles(
+                    setup, tiles_x, tiles_y_padded, config.max_tiles_per_tri,
+                    config.max_tris_per_tile, config.max_big_tris,
+                )
+                lst = jax.lax.dynamic_slice_in_dim(
+                    bins.tile_tri_ids, t0, k_tiles, 0
+                )
+                cnt = jax.lax.dynamic_slice_in_dim(
+                    bins.tile_tri_count, t0, k_tiles, 0
+                )
+                tri_ids, depths, barys = rasterize_tilelist(
+                    setup, band_tiles, lst, cnt, bins.big_tri_ids,
+                    bins.big_tri_count, w, h, tw, th,
+                    alpha_coverage_fn=alpha_fn,
+                    init_depth_tiles=init_depth_tiles,
+                )
+
+                def ut(a):
+                    return untile_image(
+                        a, tiles_x, rows_per_band, tw, th, tiles_x * tw, band_h
+                    )[:, :w]
+
+                vis = VisibilityBuffer(
+                    tri_id=ut(tri_ids), depth=ut(depths), bary=ut(barys)
+                )
+                return setup, vis
+
+            def gbuffer_for(vis, setup):
+                return interpolate_gbuffer(
+                    vis, setup, dl.tri_vtx, dl.tri_material, tri_scale,
+                    world_pos, world_nrm, uvs, w, h, row_offset=row0_px,
+                )
+
+            setup_o, vis_o = raster_band((BUCKET_OPAQUE, BUCKET_ALPHA_CLIP))
+            g_o = gbuffer_for(vis_o, setup_o)
+
+        hdr_band = shade_band(g_o, shade_opaque_flat, ctx)
 
         if flags.has_transmission:
-            # Assemble the full opaque framebuffer for arbitrary-UV mip
-            # fetches, then mip + transmission band-locally.
-            hdr_full = jax.lax.all_gather(hdr_band, "band", axis=0, tiled=True)
-            pyramid = build_pyramid(hdr_full[:h])
+            # ---- distributed opaque pyramid (halos + one coarse gather) ----
+            pool = _build_band_pyramid(hdr_band, pyr_spec, n_bands)
 
-            init_tiles = tile_image(vis_o.depth, tw, th)
-            setup_t, vis_t, _, _ = raster_band(
-                (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
-                init_depth_tiles=init_tiles,
-            )
-            g_t = gbuffer_for(vis_t, setup_t)
-            hdr_t = shade_transmission(
-                scene, g_t,
-                ctx._replace(tex_slots=flags.tex_slots_transmission),
-                pyramid,
-            )
+            def fb_sampler(uv, lod):
+                return _sample_band_pyramid(pool, pyr_spec, band, uv, lod)
+
+            init_tiles = tile_image(g_o.depth, tw, th)
+            if use_kernel:
+                g_t = band_gbuffer(1, init_tiles=init_tiles)
+            else:
+                setup_t, vis_t = raster_band(
+                    (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
+                    init_depth_tiles=init_tiles,
+                )
+                g_t = gbuffer_for(vis_t, setup_t)
+
+            ctx_t = ctx._replace(tex_slots=flags.tex_slots_transmission)
+            px, py = _dense_coords(band_h, w)
+            hdr_t = shade_transmission_flat(
+                scene, flatten_gbuffer(g_t), ctx_t, None, px, py + row0_px,
+                fb_sampler=fb_sampler,
+            ).reshape(band_h, w, 3)
             hdr_band = jnp.where(g_t.valid[..., None], hdr_t, hdr_band)
 
         return lottes_tonemap(hdr_band, bake_lottes_params())
