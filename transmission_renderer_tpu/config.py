@@ -51,7 +51,11 @@ class RenderConfig:
     # buffer would in the reference).
     max_tris_per_tile: int = 2048
     max_tiles_per_tri: int = 16
-    max_big_tris: int = 1024
+    # On the Pallas path big triangles join the sorted record stream via
+    # bbox-expanded pairs (max_big_tris * n_tiles pair slots feed the
+    # binning sort — keep this modest); overflow beyond the cap drops
+    # draws and is surfaced via FrameDiagnostics.big_tri_count.
+    max_big_tris: int = 256
 
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
     # shape is the kernel's native 8x128; pure-JAX vmapped raster
@@ -81,6 +85,17 @@ class RenderConfig:
     # 100%, so it defaults to dense (enable per scene/camera).
     opaque_block_cap_frac: float | None = None
     transmission_block_cap_frac: float | None = 0.5
+
+    # --- alpha-clip depth peeling (render/frame.py) --------------------------
+    # Rounds of race -> alpha-test -> re-race for alpha-clip draw classes
+    # on the Pallas path. Exact while the number of alpha-rejected layers
+    # in front of the true winner stays below this; leftovers fall through
+    # to the layer below and are counted in FrameDiagnostics.
+    alpha_clip_rounds: int = 3
+    # Static capacity of the failing-tile re-race list, as a fraction of
+    # the tile grid (overflowing tiles keep their previous winner and are
+    # caught by the unresolved-pixel diagnostic).
+    clip_retile_cap_frac: float = 0.25
 
     # --- multi-chip (parallel/sharded.py) -----------------------------------
     # Row halo exchanged between neighbour bands for the distributed mip

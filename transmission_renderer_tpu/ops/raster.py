@@ -164,6 +164,7 @@ def bin_triangles(
     max_big_tris: int,
     materialize: bool = True,
     class_flags: jnp.ndarray | None = None,
+    num_classes: int = 2,
 ) -> TileBins:
     """Sort-based binning (the TPU replacement for the reference's
     atomic-append compaction, SURVEY.md §2.6).
@@ -174,12 +175,13 @@ def bin_triangles(
     big-triangle list that every tile also walks — there are few of these
     (large floors/walls), so the cost is bounded.
 
-    ``class_flags`` ([T] bool, Pallas path) splits every tile's record run
-    by draw class (opaque first, transmissive second): the sort key
-    becomes tile*2 + class and ``tile_start`` gets 2*n_tiles+1 entries, so
-    each raster pass streams ONLY its class's records instead of filtering
-    the other class record-by-record in the kernel — the depth pre-pass /
-    transmissive pre-pass split without rewalking shared bins.
+    ``class_flags`` ([T] int in [0, num_classes), Pallas path) splits
+    every tile's record run by draw class: the sort key becomes
+    tile*num_classes + class and ``tile_start`` gets
+    num_classes*n_tiles+1 entries, so each raster pass streams ONLY its
+    class's records instead of filtering other classes record-by-record
+    in the kernel — the depth pre-pass / transmissive pre-pass split (and
+    the alpha-clip peeling classes) without rewalking shared bins.
     """
     n_tiles = tiles_x * tiles_y
     num_tris = setup.adj.shape[0]
@@ -198,8 +200,8 @@ def bin_triangles(
     jy = slot // bw[:, None]
     tile_id = (ty0[:, None] + jy) * tiles_x + (tx0[:, None] + jx)
     if class_flags is not None:
-        n_bins = 2 * n_tiles
-        bin_id = tile_id * 2 + class_flags.astype(jnp.int32)[:, None]
+        n_bins = num_classes * n_tiles
+        bin_id = tile_id * num_classes + class_flags.astype(jnp.int32)[:, None]
     else:
         n_bins = n_tiles
         bin_id = tile_id
@@ -212,11 +214,52 @@ def bin_triangles(
     flat_bins = bin_id.reshape(-1)
     flat_tris = tri_ids.reshape(-1)
 
-    # Stable two-array sort: tri-ascending within a bin IS draw order
+    if not materialize:
+        # Big triangles join the SAME sorted stream via bbox-expanded
+        # pairs (up to max_big_tris of them; n_tiles pairs each). The
+        # kernels then walk no per-tile big list at all — the old
+        # every-tile-walks-every-big-record loop cost ~1.2 us per tile
+        # per record (~19 ms/pass at 1080p with a handful of walls).
+        big_order = jnp.argsort(~is_big, stable=True).astype(jnp.int32)
+        n_big = jnp.sum(is_big)
+        big_tri = jnp.where(
+            jnp.arange(num_tris) < n_big, big_order, num_tris
+        )[:max_big_tris]
+        if num_tris < max_big_tris:
+            big_tri = jnp.pad(
+                big_tri, (0, max_big_tris - num_tris), constant_values=num_tris
+            )
+        safe_big = jnp.minimum(big_tri, num_tris - 1)
+        btx0, bty0, btx1, bty1 = (
+            setup.tile_bbox[safe_big, i] for i in range(4)
+        )
+        bbw = btx1 - btx0 + 1
+        slot_b = jnp.arange(n_tiles, dtype=jnp.int32)[None, :]  # [1, NT]
+        bjx = slot_b % bbw[:, None]
+        bjy = slot_b // bbw[:, None]
+        big_tile = (bty0[:, None] + bjy) * tiles_x + (btx0[:, None] + bjx)
+        cov_b = bbw * (bty1 - bty0 + 1)
+        bvalid = (big_tri[:, None] < num_tris) & (slot_b < cov_b[:, None])
+        if class_flags is not None:
+            bcls = class_flags.astype(jnp.int32)[safe_big]
+            big_bin = big_tile * num_classes + bcls[:, None]
+        else:
+            big_bin = big_tile
+        big_bin = jnp.where(bvalid, big_bin, n_bins)
+        big_tri_b = jnp.broadcast_to(
+            big_tri[:, None], (max_big_tris, n_tiles)
+        ).astype(jnp.int32)
+        flat_bins = jnp.concatenate([flat_bins, big_bin.reshape(-1)])
+        flat_tris = jnp.concatenate([flat_tris, big_tri_b.reshape(-1)])
+        # big-emitted pairs carry sentinel tri = num_tris where invalid;
+        # map them to the sorted sentinel (-1 handled by payload pad)
+        flat_tris = jnp.where(flat_tris >= num_tris, -1, flat_tris)
+
+    # Two-key sort: (bin, tri) — tri-ascending within a bin IS draw order
     # (measured cheaper than a packed-key jnp.sort on v5e, and free of the
     # 31-bit packing constraint).
     sorted_bins, sorted_tris = jax.lax.sort(
-        [flat_bins, flat_tris], num_keys=1, is_stable=True
+        [flat_bins, flat_tris], num_keys=2
     )
 
     tile_start = jnp.searchsorted(
@@ -240,14 +283,25 @@ def bin_triangles(
     else:
         tile_tri_ids = jnp.zeros((1, 1), jnp.int32)
 
-    # Big-triangle list: order-preserving compaction of is_big.
-    big_order = jnp.argsort(~is_big, stable=True)
-    big_ids = jnp.where(
-        jnp.arange(num_tris) < jnp.sum(is_big), big_order.astype(jnp.int32), -1
-    )[:max_big_tris]
-    if num_tris < max_big_tris:
-        big_ids = jnp.pad(big_ids, (0, max_big_tris - num_tris), constant_values=-1)
-    big_count = jnp.minimum(jnp.sum(is_big), max_big_tris).astype(jnp.int32)
+    if materialize:
+        # Big-triangle list: order-preserving compaction of is_big (the
+        # JAX raster path walks this per tile).
+        big_order = jnp.argsort(~is_big, stable=True)
+        big_ids = jnp.where(
+            jnp.arange(num_tris) < jnp.sum(is_big), big_order.astype(jnp.int32), -1
+        )[:max_big_tris]
+        if num_tris < max_big_tris:
+            big_ids = jnp.pad(
+                big_ids, (0, max_big_tris - num_tris), constant_values=-1
+            )
+        big_count = jnp.minimum(jnp.sum(is_big), max_big_tris).astype(jnp.int32)
+    else:
+        # Pallas path: big triangles ride the sorted stream (above); the
+        # length-1 all(-1) list tells kernels there is no big walk. The
+        # count keeps the UNCLAMPED demand for overflow diagnostics
+        # (demand > max_big_tris means dropped draws).
+        big_ids = jnp.full((1,), -1, jnp.int32)
+        big_count = jnp.sum(is_big).astype(jnp.int32)
 
     return TileBins(
         tile_tri_ids=tile_tri_ids,

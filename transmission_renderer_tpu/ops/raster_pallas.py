@@ -43,7 +43,9 @@ CHUNK_ROWS = 16  # rows DMA'd per step -> 128 records, 8 KB
 # Draw-class flag folded into the id slot: transmissive records carry
 # id + CLASS_BIT so both passes can share ONE binning sort and filter per
 # record (ids < 2^24 stay exact in f32 either way).
-CLASS_BIT = 1 << 25
+CLASS_SHIFT = 22
+CLASS_BIT = 1 << CLASS_SHIFT  # tri ids must stay below 2^22 (f32-exact
+# encoding of tri + CLASS_BIT * class for classes 0..3)
 
 
 def pack_payload(
@@ -160,8 +162,10 @@ def _raster_kernel(
         z0, z1, z2 = rec(9), rec(10), rec(11)
         w0, w1, w2 = rec(12), rec(13), rec(14)
         tri_enc = rec(15).astype(jnp.int32)
-        is_trans = tri_enc >= CLASS_BIT
-        tri = jnp.where(is_trans, tri_enc - CLASS_BIT, tri_enc)
+        cls = tri_enc >> CLASS_SHIFT
+        is_trans = (cls & 1) == 1
+        tri = tri_enc & (CLASS_BIT - 1)
+        tri = jnp.where(tri_enc < 0, tri_enc, tri)
 
         e0 = a0 * nx + b0 * ny + c0
         e1 = a1 * nx + b1_ * ny + c1
@@ -273,7 +277,12 @@ def rasterize_pallas_tiles(
         init_depth_tiles = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
 
     n_big_recs = bins.big_tri_ids.shape[0]
-    big_count = jnp.minimum(bins.big_tri_count, n_big_recs).astype(jnp.int32)[None]
+    # a length-1 all(-1) big list means big tris ride the sorted stream
+    big_count = (
+        jnp.zeros((1,), jnp.int32)
+        if n_big_recs <= 1
+        else jnp.minimum(bins.big_tri_count, n_big_recs).astype(jnp.int32)[None]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -12,11 +12,22 @@ one record per 48 lanes? No — rows must be 128 lanes, so records are
 padded to 64 f32, 2 per row):
   [0:9]   adjugate rows (a0 b0 c0 a1 b1 c1 a2 b2 c2)
   [9:12]  z_clip,  [12:15] w_clip
-  [15]    tri id (+CLASS_BIT for transmissive) as float value
+  [15]    tri id + CLASS_BIT * draw_class, as float value. Classes map
+          the reference's 4 draw buckets (model_loading.rs:68-78):
+          0 = opaque, 1 = transmission, 2 = alpha-clip,
+          3 = transmission-alpha-clip (tri ids < CLASS_BIT = 2^22 keep
+          the encoding exact in f32)
   [16:24] v0: pos.xyz, nrm.xyz, uv.xy
   [24:32] v1, [32:40] v2
   [40]    material id (float value), [41] instance scale
   [42:64] padding
+
+Alpha-clip classes rasterise through the same kernel via depth PEELING
+(render/frame.py::_rasterize_clip_peeled): race ignoring alpha, test the
+winners' diffuse alpha densely in XLA (implicit-LOD, matching the clip
+pre-pass shader/src/lib.rs:270-295), then re-race only the failing tiles
+with ``max_depth`` bounding out the rejected fragment — exact once the
+number of rejected layers above the true winner is below the round count.
 
 Derivatives are the same closed forms as render/gbuffer.py: for an
 attribute with vertex values A_i, N = sum(e_i A_i), D = sum(e_i),
@@ -35,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from transmission_renderer_tpu.ops.raster import TileBins, TriangleSetup
-from transmission_renderer_tpu.ops.raster_pallas import CLASS_BIT
+from transmission_renderer_tpu.ops.raster_pallas import CLASS_BIT, CLASS_SHIFT
 
 TILE_H = 8
 TILE_W = 128
@@ -118,20 +129,22 @@ def gather_gbuf_payload(records: jnp.ndarray, bins: TileBins):
 
 def _kernel(
     # scalar prefetch
-    tile_start_ref,
-    tile_ids_ref,
+    tile_start_ref,  # i32[num_classes * n_tiles_global + 1] (global)
+    tile_ids_ref,  # i32[K] global tile ids for this call
     big_count_ref,
     # inputs
     payload_hbm,  # ANY (HBM)
     big_payload_ref,  # SMEM
     init_depth_ref,  # VMEM [1, TILE_H, TILE_W]
+    max_depth_ref,  # VMEM [1, TILE_H, TILE_W] (peeling bound; all-inf when off)
     # outputs: N_OUT per-tile blocks
     *refs,
     tiles_x: int,
     width: int,
     height: int,
     pass_class: int | None,
-    class_split: bool,
+    num_classes: int,
+    use_max_depth: bool,
 ):
     outs = refs[:N_OUT]
     chunk_ref, sems = refs[N_OUT], refs[N_OUT + 1]
@@ -170,18 +183,20 @@ def _kernel(
     nz_o[0] = zero + 1.0  # background normal = +z (gbuffer convention)
     scale_o[0] = zero + 1.0
 
-    if class_split:
-        # class-split bins: tile t's records live at bin 2t (opaque) and
-        # 2t+1 (transmissive); a single-class pass streams only its run.
-        if pass_class is None:
-            start = tile_start_ref[2 * t]
-            count = tile_start_ref[2 * t + 2] - start
-        else:
-            start = tile_start_ref[2 * t + pass_class]
-            count = tile_start_ref[2 * t + pass_class + 1] - start
+    # class-split bins: tile T's records live at bins [nc*T, nc*T+nc);
+    # a single-class pass streams only its run. Indexed by the GLOBAL
+    # tile id so arbitrary tile lists (bands, failing-tile re-races)
+    # share one tile_start. (Big records are always class-mixed and rely
+    # on the per-record filter below.)
+    if num_classes == 1:
+        start = tile_start_ref[tile_id]
+        count = tile_start_ref[tile_id + 1] - start
+    elif pass_class is None:
+        start = tile_start_ref[num_classes * tile_id]
+        count = tile_start_ref[num_classes * tile_id + num_classes] - start
     else:
-        start = tile_start_ref[t]
-        count = tile_start_ref[t + 1] - start
+        start = tile_start_ref[num_classes * tile_id + pass_class]
+        count = tile_start_ref[num_classes * tile_id + pass_class + 1] - start
 
     def record_body(ref, row, off):
         rec = lambda k: ref[row, off + k]
@@ -191,8 +206,10 @@ def _kernel(
         z0, z1, z2 = rec(9), rec(10), rec(11)
         w0, w1, w2 = rec(12), rec(13), rec(14)
         tri_enc = rec(15).astype(jnp.int32)
-        is_trans = tri_enc >= CLASS_BIT
-        tri = jnp.where(is_trans, tri_enc - CLASS_BIT, tri_enc)
+        cls = tri_enc >> CLASS_SHIFT
+        tri = tri_enc & (CLASS_BIT - 1)
+        # the degenerate pad record encodes tri = -1: keep it negative
+        tri = jnp.where(tri_enc < 0, tri_enc, tri)
 
         e0 = a0 * nx + b0 * ny + c0
         e1 = a1 * nx + b1_ * ny + c1
@@ -210,9 +227,13 @@ def _kernel(
         depth = z_int / w_int
         inside &= (w_int > 0) & (depth >= 0.0) & (depth <= 1.0)
         if pass_class is not None:
-            inside &= is_trans == (pass_class == 1)
+            inside &= cls == pass_class
 
         win = inside & (depth > depth_o[0])
+        if use_max_depth:
+            # depth-peeling bound: fragments at/above the rejected layer
+            # stay excluded (render/frame.py::_rasterize_clip_peeled)
+            win &= depth < max_depth_ref[0]
 
         d_sum = e0 + e1 + e2
         inv_d = 1.0 / d_sum
@@ -302,26 +323,39 @@ class GBufferTiles(NamedTuple):
 def rasterize_gbuffer_tiles(
     payload: tuple,  # (payload_rows, big_rows) from gather_gbuf_payload
     tile_ids: jnp.ndarray,  # [K] global tile ids handled by this call
-    tile_start: jnp.ndarray,  # per-tile record ranges for those tiles
+    tile_start: jnp.ndarray,  # [num_classes * n_tiles_global + 1] (GLOBAL)
     big_count: jnp.ndarray,  # [] int32 (already clamped)
     width: int,
     height: int,
     init_depth_tiles: jnp.ndarray | None = None,  # [K, TILE_H, TILE_W]
+    max_depth_tiles: jnp.ndarray | None = None,  # [K, TILE_H, TILE_W] peel bound
     pass_class: int | None = None,
-    class_split: bool = False,
     interpret: bool = False,
+    n_tiles_global: int | None = None,  # bins' tile-grid size when padded
+    # beyond the frame (the sharded path bins over a band-aligned grid)
 ) -> dict:
     """Run the G-buffer kernel over an arbitrary tile list (the building
-    block shared by the single-chip frame and the row-band sharded path).
-    ``tile_start`` is indexed t (or 2t+class when class_split) relative to
-    THIS tile list. Returns {channel: [K, TILE_H, TILE_W]}."""
+    block shared by the single-chip frame, the row-band sharded path, and
+    the alpha-clip peeling re-races). ``tile_start`` is the GLOBAL bins
+    array; the per-tile class count is inferred from its length. Returns
+    {channel: [K, TILE_H, TILE_W]}."""
     k_tiles = tile_ids.shape[0]
     tiles_x = -(-width // TILE_W)
+    tiles_y = -(-height // TILE_H)
+    if n_tiles_global is None:
+        n_tiles_global = tiles_x * tiles_y
+    num_classes = (tile_start.shape[0] - 1) // n_tiles_global
     payload_rows, big_rows = payload
     init_tiles = (
         init_depth_tiles
         if init_depth_tiles is not None
         else jnp.zeros((k_tiles, TILE_H, TILE_W), jnp.float32)
+    )
+    use_max_depth = max_depth_tiles is not None
+    maxd_tiles = (
+        max_depth_tiles
+        if use_max_depth
+        else jnp.zeros((1, TILE_H, TILE_W), jnp.float32)
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -334,6 +368,11 @@ def rasterize_gbuffer_tiles(
             ),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, TILE_H, TILE_W),
+                (lambda t, *_: (t, 0, 0)) if use_max_depth else (lambda t, *_: (0, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t, *_: (t, 0, 0),
@@ -354,7 +393,8 @@ def rasterize_gbuffer_tiles(
     ]
     kernel = functools.partial(
         _kernel, tiles_x=tiles_x, width=width, height=height,
-        pass_class=pass_class, class_split=class_split,
+        pass_class=pass_class, num_classes=num_classes,
+        use_max_depth=use_max_depth,
     )
     outs = pl.pallas_call(
         kernel,
@@ -368,6 +408,7 @@ def rasterize_gbuffer_tiles(
         payload_rows,
         big_rows,
         init_tiles,
+        maxd_tiles,
     )
     return {name: a for name, a in zip(GBUF_CHANNELS, outs)}
 
@@ -389,8 +430,6 @@ def rasterize_gbuffer_pallas(
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     n_tiles = tiles_x * tiles_y
-    # class-split bins are detected by tile_start's length (2*n_tiles + 1)
-    class_split = bins.tile_start.shape[0] == 2 * n_tiles + 1
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     payload = (
         payload if payload is not None else gather_gbuf_payload(records, bins)
@@ -399,12 +438,17 @@ def rasterize_gbuffer_pallas(
         tile_image(init_depth, TILE_W, TILE_H) if init_depth is not None else None
     )
     n_big_recs = bins.big_tri_ids.shape[0]
-    big_count = jnp.minimum(bins.big_tri_count, n_big_recs).astype(jnp.int32)
+    # a length-1 all(-1) big list means big tris ride the sorted stream
+    big_count = (
+        jnp.zeros((), jnp.int32)
+        if n_big_recs <= 1
+        else jnp.minimum(bins.big_tri_count, n_big_recs).astype(jnp.int32)
+    )
 
     raw = rasterize_gbuffer_tiles(
         payload, tile_ids, bins.tile_start, big_count, width, height,
         init_depth_tiles=init_tiles, pass_class=pass_class,
-        class_split=class_split, interpret=interpret,
+        interpret=interpret,
     )
 
     def ut(a):

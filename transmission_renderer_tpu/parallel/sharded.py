@@ -371,19 +371,14 @@ def render_frame_sharded(
                 world_pos, world_nrm, uvs, is_trans_tri,
             )
             payload = gather_gbuf_payload(records, bins)
-            big_count = jnp.minimum(
-                bins.big_tri_count, bins.big_tri_ids.shape[0]
-            ).astype(jnp.int32)
-            # contiguous class-split tile_start slice for this band's tiles
-            ts_band = jax.lax.dynamic_slice_in_dim(
-                bins.tile_start, 2 * t0, 2 * k_tiles + 1, 0
-            )
-
+            # big tris ride the sorted stream (ops/raster.py)
+            big_count = jnp.zeros((), jnp.int32)
             def band_gbuffer(pass_class, init_tiles=None):
                 ch = rasterize_gbuffer_tiles(
-                    payload, band_tiles, ts_band, big_count, w, h,
+                    payload, band_tiles, bins.tile_start, big_count, w, h,
                     init_depth_tiles=init_tiles, pass_class=pass_class,
-                    class_split=True, interpret=config.pallas_interpret,
+                    interpret=config.pallas_interpret,
+                    n_tiles_global=tiles_x * tiles_y_padded,
                 )
                 ch = {
                     name: untile_image(

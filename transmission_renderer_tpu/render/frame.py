@@ -241,6 +241,9 @@ class FrameDiagnostics(NamedTuple):
     opaque_block_capacity: int  # worklist cap (0 = dense, no cap)
     transmission_blocks: jnp.ndarray
     transmission_block_capacity: int
+    # alpha-clip pixels whose depth-peeling did not converge within
+    # config.alpha_clip_rounds (0 = image exact)
+    clip_unresolved: jnp.ndarray | int = 0
 
     def overflowed(self) -> bool:
         """Host-side check (call outside jit on fetched values)."""
@@ -250,7 +253,9 @@ class FrameDiagnostics(NamedTuple):
             (int(self.opaque_blocks), self.opaque_block_capacity),
             (int(self.transmission_blocks), self.transmission_block_capacity),
         ]
-        return any(cap and n > cap for n, cap in checks)
+        return any(cap and n > cap for n, cap in checks) or int(
+            self.clip_unresolved
+        ) > 0
 
 
 class FrameParams(NamedTuple):
@@ -295,6 +300,116 @@ def _gather_gbuffer(wk, g):
     import jax
 
     return jax.tree_util.tree_map(lambda a: block_gather(wk, a), g)
+
+
+def _clip_alpha_ok_tiles(scene: Scene, ch: dict) -> jnp.ndarray:
+    """Alpha test of the clip race's current winners (the fragment kill of
+    depth_pre_pass_alpha_clip, shader/src/lib.rs:270-295), on the kernel's
+    tiled channel dict. Implicit-LOD sampling from the analytic
+    derivatives (the reference's ``texture_sampler.sample``). True where
+    the winner passes (or there is no winner)."""
+    from transmission_renderer_tpu.ops.texture import sample_texture_rows
+    from transmission_renderer_tpu.render.shading import _mip_lod
+
+    m = scene.materials
+    valid = ch["tri"] >= 0
+    safe = jnp.maximum(ch["material"], 0)
+    tid = m.tex_diffuse[safe]
+    rows = scene.atlas_meta[jnp.maximum(tid, 0)]
+    uv = jnp.stack([ch["uv_u"], ch["uv_v"]], -1)
+    duvdx = jnp.stack([ch["duvdx_u"], ch["duvdx_v"]], -1)
+    duvdy = jnp.stack([ch["duvdy_u"], ch["duvdy_v"]], -1)
+    lod = _mip_lod(duvdx, duvdy, rows[..., 2], rows[..., 3])
+    s = sample_texture_rows(scene.atlas_texels, rows, uv, lod, WRAP_REPEAT)
+    alpha = m.diffuse_factor[safe, 3] * jnp.where(tid >= 0, s[..., 3], 1.0)
+    return (~valid) | (alpha >= m.alpha_clipping_cutoff[safe])
+
+
+def _merge_gbuffers(base, top):
+    """Depth-pass merge: where the (init-depth-seeded) top layer won a
+    pixel, take its G-buffer; else keep base."""
+    from transmission_renderer_tpu.render.gbuffer import GBuffer
+
+    pick = top.valid
+    fields = {}
+    for name in GBuffer._fields:
+        a = getattr(top, name)
+        b = getattr(base, name)
+        m = pick[..., None] if a.ndim == 3 else pick
+        fields[name] = jnp.where(m, a, b)
+    fields["valid"] = base.valid | top.valid
+    return GBuffer(**fields)
+
+
+def _rasterize_clip_peeled(
+    scene: Scene, payload, bins, big_count, pass_class: int, base, config,
+    w: int, h: int,
+):
+    """Rasterise an alpha-clip draw class through the Pallas kernel by
+    depth PEELING: race ignoring alpha (seeded with the base pass's depth,
+    preserving draw order, src/main.rs:1900-1944), alpha-test the winners
+    densely, then re-race only the failing tiles with ``max_depth``
+    excluding the rejected layer. Exact once the number of rejected layers
+    above the true winner is under ``config.alpha_clip_rounds``; leftovers
+    are invalidated (fall through to base) and counted in the returned
+    diagnostic. Returns (merged GBuffer, unresolved-pixel count)."""
+    from transmission_renderer_tpu.ops.raster import tile_image, untile_image
+    from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+        GBUF_CHANNELS,
+        TILE_H,
+        TILE_W,
+        gbuffer_from_channels,
+        rasterize_gbuffer_tiles,
+    )
+
+    tiles_x = -(-w // TILE_W)
+    tiles_y = -(-h // TILE_H)
+    n_tiles = tiles_x * tiles_y
+    all_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    init_tiles = tile_image(base.depth, TILE_W, TILE_H)
+    ch = rasterize_gbuffer_tiles(
+        payload, all_ids, bins.tile_start, big_count, w, h,
+        init_depth_tiles=init_tiles, pass_class=pass_class,
+        interpret=config.pallas_interpret,
+    )
+    cap = max(int(np.ceil(n_tiles * config.clip_retile_cap_frac)), 1)
+    for _ in range(1, max(config.alpha_clip_rounds, 1)):
+        ok = _clip_alpha_ok_tiles(scene, ch)
+        failed = (ch["tri"] >= 0) & ~ok
+        ft = jnp.any(failed.reshape(n_tiles, -1), axis=1)
+        pos = jnp.cumsum(ft.astype(jnp.int32)) - 1
+        tgt = jnp.where(ft & (pos < cap), pos, cap)
+        ids = (
+            jnp.full((cap,), n_tiles, jnp.int32)
+            .at[tgt]
+            .set(all_ids, mode="drop")
+        )
+        safe_ids = jnp.minimum(ids, n_tiles - 1)
+        maxd = jnp.where(failed, ch["depth"], jnp.inf)
+        new = rasterize_gbuffer_tiles(
+            payload, safe_ids, bins.tile_start, big_count, w, h,
+            init_depth_tiles=init_tiles[safe_ids],
+            max_depth_tiles=maxd[safe_ids], pass_class=pass_class,
+            interpret=config.pallas_interpret,
+        )
+        failed_sel = failed[safe_ids]
+        for name in GBUF_CHANNELS:
+            merged = jnp.where(failed_sel, new[name], ch[name][safe_ids])
+            padded = jnp.concatenate(
+                [ch[name], jnp.zeros_like(ch[name][:1])], axis=0
+            )
+            ch[name] = padded.at[ids].set(merged, mode="drop")[:n_tiles]
+
+    ok = _clip_alpha_ok_tiles(scene, ch)
+    failed = (ch["tri"] >= 0) & ~ok
+    unresolved = jnp.sum(failed.astype(jnp.int32))
+    ch["tri"] = jnp.where(failed, -1, ch["tri"])
+
+    def ut(a):
+        return untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H, w, h)
+
+    g_clip = gbuffer_from_channels({k: ut(v) for k, v in ch.items()})
+    return _merge_gbuffers(base, g_clip), unresolved
 
 
 def _make_alpha_fn(scene: Scene, dl: DrawList, uvs_expanded: jnp.ndarray):
@@ -435,17 +550,17 @@ def render_frame(
             alpha_coverage_fn=alpha_fn, init_depth=init_depth,
         )
 
-    # The fused G-buffer kernel handles clip-free scenes in one shot (no
-    # per-pixel attribute gathers); scenes with alpha-clip use the
-    # vis-buffer route with the JAX raster merged in.
-    use_gbuf_kernel = use_pallas and not flags.has_alpha_clip
+    # Pallas scenes all ride the fused G-buffer kernel: ONE shared setup
+    # + class-split binning sort; alpha-clip classes resolve via depth
+    # peeling (_rasterize_clip_peeled), so no hybrid JAX raster and no
+    # bin caps remain in the hot path.
+    use_gbuf_kernel = use_pallas
+    clip_unresolved = jnp.int32(0)
     if use_pallas:
-        # Pallas path: ONE shared setup + binning sort for both passes;
-        # records carry a draw-class flag the kernel filters on.
-        from transmission_renderer_tpu.ops.raster import merge_visibility
-        from transmission_renderer_tpu.ops.raster_pallas import (
-            gather_bin_payload,
-            rasterize_pallas,
+        from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+            gather_gbuf_payload,
+            pack_gbuf_payload,
+            rasterize_gbuffer_pallas,
         )
 
         is_transmissive_tri = (dl.tri_bucket == BUCKET_TRANSMISSION) | (
@@ -454,61 +569,44 @@ def render_frame(
         is_clip_tri = (dl.tri_bucket == BUCKET_ALPHA_CLIP) | (
             dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
         )
+        # draw classes (reference buckets, model_loading.rs:68-78):
+        # 0 opaque, 1 transmission, 2 alpha-clip, 3 transmission-clip
+        tri_class = is_transmissive_tri.astype(jnp.int32) + 2 * is_clip_tri.astype(jnp.int32)
+        num_classes = 4 if flags.has_alpha_clip else 2
         mask_all = mask_o | mask_t if flags.has_transmission else mask_o
         setup_all = setup_triangles(clip, dl.tri_vtx, mask_all, w, h, tw, th)
-        setup_pallas = setup_all._replace(
-            valid=setup_all.valid & ~is_clip_tri
-        )
-        # G-buffer-kernel scenes get class-split bins: each pass streams
-        # only its own draw class's records (the two passes otherwise both
-        # stream — and filter — the full record set).
         bins_all = bin_triangles(
-            setup_pallas, tiles_x, tiles_y, config.max_tiles_per_tri,
+            setup_all, tiles_x, tiles_y, config.max_tiles_per_tri,
             config.max_tris_per_tile, config.max_big_tris, materialize=False,
-            class_flags=is_transmissive_tri if use_gbuf_kernel else None,
+            class_flags=tri_class, num_classes=num_classes,
         )
         # the Pallas tile lists are uncapped (they read tile_start), but
-        # the big-triangle list is a static buffer in both paths
+        # the big-triangle list is a static buffer
         big_tri_demand = jnp.maximum(
             big_tri_demand, bins_all.big_tri_count.astype(jnp.int32)
         )
-
-    if use_gbuf_kernel:
-        from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
-            gather_gbuf_payload,
-            pack_gbuf_payload,
-            rasterize_gbuffer_pallas,
-        )
-
         records = pack_gbuf_payload(
-            setup_pallas, dl.tri_vtx, dl.tri_material, tri_scale,
-            world_pos, world_nrm, uvs, is_transmissive_tri,
+            setup_all, dl.tri_vtx, dl.tri_material, tri_scale,
+            world_pos, world_nrm, uvs, tri_class,
         )
         gpayload = gather_gbuf_payload(records, bins_all)
+        # big tris ride the sorted stream on the Pallas path (raster.py)
+        big_cnt = jnp.zeros((), jnp.int32)
+
         # ---- 2. opaque raster + G-buffer in one kernel ---------------------
         g_o = rasterize_gbuffer_pallas(
             records, bins_all, w, h, pass_class=0, payload=gpayload,
             interpret=config.pallas_interpret,
         )
-    elif use_pallas:
-        payload = gather_bin_payload(setup_pallas, bins_all, is_transmissive_tri)
-
-        # ---- 2. opaque + alpha-clip raster --------------------------------
-        setup_o = setup_all
-        vis_o = rasterize_pallas(
-            setup_pallas, bins_all, w, h, pass_class=0, payload=payload,
-            interpret=config.pallas_interpret,
-        )
-        mask_oc = bucket_triangle_masks(
-            dl.tri_inst, dl.tri_bucket, visible, (BUCKET_ALPHA_CLIP,)
-        )
-        setup_oc = setup_all._replace(valid=setup_all.valid & mask_oc)
-        vis_o = merge_visibility(vis_o, jax_raster_pass(setup_oc))
+        if flags.has_alpha_clip:
+            g_o, miss = _rasterize_clip_peeled(
+                scene, gpayload, bins_all, big_cnt, 2, g_o, config, w, h
+            )
+            clip_unresolved = clip_unresolved + miss
     else:
-        # ---- 2. opaque + alpha-clip raster --------------------------------
+        # ---- 2. opaque + alpha-clip raster (pure-JAX path) ------------------
         setup_o = setup_triangles(clip, dl.tri_vtx, mask_o, w, h, tw, th)
         vis_o = jax_raster_pass(setup_o)
-    if not use_gbuf_kernel:
         g_o = interpolate_gbuffer(
             vis_o, setup_o, dl.tri_vtx, dl.tri_material, tri_scale,
             world_pos, world_nrm, uvs, w, h,
@@ -605,24 +703,14 @@ def render_frame(
                 records, bins_all, w, h, pass_class=1, payload=gpayload,
                 init_depth=g_o.depth, interpret=config.pallas_interpret,
             )
-        elif use_pallas:
-            setup_t = setup_all
-            vis_t = rasterize_pallas(
-                setup_pallas, bins_all, w, h, pass_class=1, payload=payload,
-                init_depth=vis_o.depth, interpret=config.pallas_interpret,
-            )
-            mask_tc = bucket_triangle_masks(
-                dl.tri_inst, dl.tri_bucket, visible,
-                (BUCKET_TRANSMISSION_ALPHA_CLIP,),
-            )
-            setup_tc = setup_all._replace(valid=setup_all.valid & mask_tc)
-            vis_t = merge_visibility(
-                vis_t, jax_raster_pass(setup_tc, init_depth=vis_o.depth)
-            )
+            if flags.has_alpha_clip:
+                g_t, miss = _rasterize_clip_peeled(
+                    scene, gpayload, bins_all, big_cnt, 3, g_t, config, w, h
+                )
+                clip_unresolved = clip_unresolved + miss
         else:
             setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
             vis_t = jax_raster_pass(setup_t, init_depth=vis_o.depth)
-        if not use_gbuf_kernel:
             g_t = interpolate_gbuffer(
                 vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
                 world_pos, world_nrm, uvs, w, h,
@@ -687,6 +775,7 @@ def render_frame(
             opaque_block_capacity=cap_o,
             transmission_blocks=transmission_blocks,
             transmission_block_capacity=cap_t,
+            clip_unresolved=clip_unresolved,
         )
         if return_hdr:
             return ldr, hdr, diags
