@@ -1,13 +1,24 @@
-"""Benchmark: DragonAttenuation-analogue at 1080p on one TPU chip.
+"""Benchmark: the BASELINE comparison-config list on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.md): >= 30 fps per chip at 1080p for the rough
-transmission flagship scene (roughness 0.25, ~130k triangles).
+Prints ONE JSON line on stdout (the driver's contract): the flagship
+headline {"metric", "value", "unit", "vs_baseline"}, plus a "scenes"
+field carrying every comparison config's fps. Per-scene JSON lines and
+diagnostics (backend, device kind, measured round-trip, frame-count
+sensitivity) go to stderr so the perf number is reproducible and
+discrepancies are diagnosable (VERDICT round 1, weak #2).
 
-No glTF sample assets exist in this environment, so the scene is the
-procedural flagship (models/procedural.py: build_dragon_scene) matched in
-triangle count / material character to DragonAttenuation
---roughness-override 0.25.
+Scene list mirrors BASELINE.md's comparison configs (no glTF sample
+assets exist in this environment, so each is the procedural analogue
+from models/procedural.py, matched in triangle count / material
+character):
+  - helmet_opaque      — DamagedHelmet: opaque PBR, textured
+  - transmission_smooth— TransmissionTest: roughness-0 transmission
+  - attenuation        — AttenuationTest: KHR_materials_volume thickness
+                         refraction + Beer's law, missing-UV path
+  - dragon_rt_shadows  — the RT pass: LBVH refit + ray-traced shadows
+  - dragon_attenuation — the flagship: DragonAttenuation analogue,
+                         --roughness-override 0.25 (BASELINE target:
+                         >= 30 fps per chip at 1080p, set for v5p)
 """
 
 import json
@@ -22,12 +33,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/trtpu_jit_cache")
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-from functools import partial  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from transmission_renderer_tpu.config import RenderConfig  # noqa: E402
-from transmission_renderer_tpu.models import build_dragon_scene  # noqa: E402
+from transmission_renderer_tpu.models import (  # noqa: E402
+    build_attenuation_scene,
+    build_dragon_scene,
+    build_opaque_scene,
+)
 from transmission_renderer_tpu.pbr.lights import pack_lights, point_light  # noqa: E402
 from transmission_renderer_tpu.render import (  # noqa: E402
     make_frame_params,
@@ -36,73 +51,145 @@ from transmission_renderer_tpu.render import (  # noqa: E402
 from transmission_renderer_tpu.scene.camera import CameraRig  # noqa: E402
 
 
-def main():
-    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    config = RenderConfig(width=1920, height=1080)
-    scene, dl, flags = build_dragon_scene(roughness_override=0.25).finish_bundle()
 
+def measure_round_trip():
+    """Enqueue + tiny-readback latency of a trivial kernel.
+
+    On the tunneled 'axon' TPU platform block_until_ready() returns at
+    enqueue, not completion — timing with it reports dispatch latency.
+    Every frame below forces a real 4-byte readback and this baseline is
+    subtracted.
+    """
+    trivial = jax.jit(lambda x: jnp.sum(x))
+    small = jnp.ones((8,), jnp.float32)
+    float(trivial(small))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(trivial(small))
+    return (time.perf_counter() - t0) / 20
+
+
+def make_rig():
     rig = CameraRig()
     rig.camera.position = np.array([0.0, 2.2, 1.5], np.float32)
     rig.camera.pitch = -0.25
-    lights = pack_lights(
+    return rig
+
+
+def default_lights():
+    return pack_lights(
         [
             point_light([0.0, 0.8, 0.0], [1.0, 0.0, 0.0], 5.0),
             point_light([8.0, 0.8, 0.0], [0.0, 1.0, 0.0], 10.0),
         ]
     )
+
+
+def bench_scene(name, builder, config, round_trip, n_frames=10, report_sensitivity=False):
+    """Compile + warm up + time n_frames with per-frame camera updates."""
+    scene, dl, flags = builder.finish_bundle()
+    bvh = builder.build_rt_bvh() if config.ray_traced_shadows else None
+    rig = make_rig()
+    lights = default_lights()
     params = make_frame_params(
         config, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
     )
 
-    import jax.numpy as jnp
-
-    # NOTE on timing: on the tunneled 'axon' TPU platform,
-    # block_until_ready() returns at enqueue, not at completion — timing
-    # with it reports dispatch latency, not render time. We force real
-    # synchronisation with a 4-byte readback per frame and subtract the
-    # measured round-trip baseline.
-    def checksum_render(scene, dl, params, lights):
-        return jnp.sum(render_frame(scene, dl, params, lights,
-                                    config=config, flags=flags))
+    def checksum_render(scene, dl, params, lights, bvh):
+        return jnp.sum(
+            render_frame(scene, dl, params, lights, config=config,
+                         flags=flags, bvh=bvh)
+        )
 
     render = jax.jit(checksum_render)
 
-    # compile + warmup (first readback initialises the transfer path)
-    float(render(scene, dl, params, lights))
-
-    # round-trip baseline (enqueue + tiny readback of a trivial kernel)
-    trivial = jax.jit(lambda x: jnp.sum(x))
-    small = jnp.ones((8,), jnp.float32)
-    float(trivial(small))
     t0 = time.perf_counter()
-    for _ in range(10):
-        float(trivial(small))
-    round_trip = (time.perf_counter() - t0) / 10
+    float(render(scene, dl, params, lights, bvh))  # compile + warm transfer path
+    compile_s = time.perf_counter() - t0
 
-    # timed frames (camera params change per frame like a real loop)
-    n_frames = 10
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        rig.target_yaw = 0.02 * i
-        rig.update()
-        params = make_frame_params(
-            config, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
-        )
-        float(render(scene, dl, params, lights))
-    dt = (time.perf_counter() - t0) / n_frames - round_trip
-    dt = max(dt, 1e-6)
+    def run(n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            rig.target_yaw = 0.02 * i
+            rig.update()
+            p = make_frame_params(
+                config, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+            )
+            float(render(scene, dl, p, lights, bvh))
+        return (time.perf_counter() - t0) / n - round_trip
 
+    dt = max(run(n_frames), 1e-6)
     fps = 1.0 / dt
-    print(
-        json.dumps(
+    log(f"  {name}: {dt*1e3:.1f} ms/frame ({fps:.2f} fps), "
+        f"first-call {compile_s:.1f}s, {dl.tri_vtx.shape[0]} tris")
+    if report_sensitivity:
+        # frame-count sensitivity: a pipelined/async dispatch path would
+        # show strong n-dependence; honest sync timing should not.
+        for n in (3, 20):
+            d = max(run(n), 1e-6)
+            log(f"    sensitivity n={n}: {d*1e3:.1f} ms/frame ({1.0/d:.2f} fps)")
+    return fps
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    dev = jax.devices()[0]
+    round_trip = measure_round_trip()
+    log(f"backend={jax.default_backend()} device_kind={dev.device_kind} "
+        f"platform={dev.platform} round_trip={round_trip*1e3:.2f} ms")
+
+    config = RenderConfig(width=1920, height=1080)
+    config_rt = RenderConfig(width=1920, height=1080, ray_traced_shadows=True)
+
+    scenes = [
+        ("helmet_opaque", build_opaque_scene(), config, {}),
+        ("transmission_smooth",
+         build_dragon_scene(roughness_override=0.0), config, {}),
+        ("attenuation", build_attenuation_scene(), config, {}),
+        ("dragon_attenuation",
+         build_dragon_scene(roughness_override=0.25), config,
+         {"report_sensitivity": True}),
+        # RT last: a TPU worker crash mid-traversal must not poison the
+        # other measurements (the headline line is emitted either way)
+        ("dragon_rt_shadows",
+         build_dragon_scene(roughness_override=0.25), config_rt,
+         {"n_frames": 3}),
+    ]
+
+    results = {}
+    for name, builder, cfg, kw in scenes:
+        try:
+            fps = bench_scene(name, builder, cfg, round_trip, **kw)
+        except Exception as e:  # a broken scene must not hide the others
+            log(f"  {name}: FAILED — {type(e).__name__}: {e}")
+            fps = 0.0
+        results[name] = round(fps, 3)
+        log(json.dumps(
             {
-                "metric": "dragon_attenuation_1080p_fps_per_chip",
+                "metric": f"{name}_1080p_fps_per_chip",
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 4),
             }
-        )
+        ))
+
+    # the driver's contract: exactly ONE JSON line on stdout
+    flagship = results["dragon_attenuation"]
+    print(
+        json.dumps(
+            {
+                "metric": "dragon_attenuation_1080p_fps_per_chip",
+                "value": flagship,
+                "unit": "fps",
+                "vs_baseline": round(flagship / 30.0, 4),
+                "scenes": results,
+            }
+        ),
+        flush=True,
     )
 
 

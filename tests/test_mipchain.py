@@ -59,3 +59,26 @@ def test_sample_clamps_uv_and_lod():
     )
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_level_set_matches_dynamic_fetch():
+    """The static level_set fetch equals the dynamic two-level lerp for
+    every lod inside the set (up to fp reassociation of the tent sum)."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 4, (64, 36, 3)).astype(np.float32)
+    pyr = build_pyramid(jnp.asarray(img))
+    uv = jnp.asarray(rng.uniform(-0.2, 1.2, (256, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(1.0, 3.0, (256,)).astype(np.float32))
+    ref = np.asarray(sample_pyramid_lod(pyr, uv, lod))
+    got = np.asarray(sample_pyramid_lod(pyr, uv, lod, level_set=(1, 2, 3)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_level_set_clamps_out_of_set_lods():
+    img = np.full((16, 16, 3), 2.0, np.float32)
+    pyr = build_pyramid(jnp.asarray(img))
+    uv = jnp.array([[0.5, 0.5], [0.25, 0.75]], jnp.float32)
+    out = sample_pyramid_lod(
+        pyr, uv, jnp.array([0.0, 99.0], jnp.float32), level_set=(2, 3)
+    )
+    np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-6)

@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check-nan", action="store_true",
                    help="Validate each frame for NaN/Inf (the debug-mode "
                    "stand-in for the reference's always-on validation layer)")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="Instrument the frame with jax.experimental.checkify "
+                   "out-of-bounds index checks (the TPU analogue of the "
+                   "Vulkan validation layer's GPU-assisted validation; "
+                   "SURVEY 5.2). Slow; forces the XLA raster path, whose "
+                   "gathers checkify can instrument")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="Capture a jax.profiler trace of the frame loop "
                    "into DIR (view in Perfetto/TensorBoard; per-pass "
@@ -133,6 +139,10 @@ def main(argv=None) -> int:
         rotate_model=args.rotate_model,
         debug_clusters=args.debug_clusters,
         half_res_refraction=args.half_res_refraction,
+        # checkify cannot see inside a Mosaic kernel; the XLA raster is
+        # bit-matched to the Pallas one by tests/test_raster_pallas.py, so
+        # instrumenting it validates the same frame logic.
+        use_pallas_raster=False if args.debug_checks else None,
     )
 
     # ---- scene -------------------------------------------------------------
@@ -242,6 +252,15 @@ def main(argv=None) -> int:
         render = jax.jit(
             partial(render_frame, config=config, flags=flags, bvh=bvh)
         )
+
+    if args.debug_checks:
+        if args.devices > 1 or args.as_debug or args.ray_tracing:
+            print("error: --debug-checks supports the single-device "
+                  "non-RT frame path only", file=sys.stderr)
+            return 2
+        from transmission_renderer_tpu.render.checks import checked_frame_fn
+
+        render = checked_frame_fn(config=config, flags=flags)
 
     def check_frame(ldr):
         if args.check_nan:

@@ -59,12 +59,17 @@ class RenderConfig:
 
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
     # shape is the kernel's native 8x128; pure-JAX vmapped raster
-    # otherwise). Alpha-clip buckets always rasterise through the JAX path
-    # (in-raster texture fetch) and depth-race-merge with the Pallas
-    # output. True/False force the backend.
+    # otherwise). On the Pallas path alpha-clip classes resolve in-kernel
+    # via depth peeling (render/frame.py::_rasterize_clip_peeled); the
+    # JAX path tests coverage in-raster. True/False force the backend.
     use_pallas_raster: bool | None = None
     # Run the Pallas kernel in interpreter mode (CPU testing only).
     pallas_interpret: bool = False
+    # Walk the full static bin capacity per tile instead of the dynamic
+    # trip count. Exactly equivalent (bin padding is -1 and masked), but
+    # avoids the batched while_loop that jax.experimental.checkify cannot
+    # instrument — set by the --debug-checks sanitizer mode.
+    static_raster_trips: bool = False
     # Sample the transmission pass's framebuffer mip fetch on a half-res
     # grid and bilinearly upsample. Near-lossless when the per-pixel LOD is
     # >= 1 (the fetched signal is already bandlimited below half-res) and

@@ -247,6 +247,14 @@ def trace_rays(
     n_int = bvh.num_internal
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
 
+    # Pre-gather each triangle's vertices ONCE, outside the batched walk
+    # ([T, 3, 3], ~5 MB at 134k tris). The naive in-leaf double gather
+    # positions[tri_vertices[tri_id]] makes XLA broadcast the whole
+    # positions table across the ray batch inside the while body
+    # (f32[rays, verts, 3] — hundreds of GB at 1080p); a single row
+    # gather from this flat table batches as a plain dynamic-slice.
+    tri_xyz = positions[tri_vertices]
+
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
 
     def walk(o_i, inv_i, d_i, t_max_i):
@@ -257,40 +265,48 @@ def trace_rays(
             return (sp > 0) & ~done
 
         def body(s):
+            # Straight-line masked leaf+inner work, NO lax.cond: batching
+            # a cond (vmap over rays) broadcasts its unbatched closure
+            # operands — the [2T-1, 3] AABB tables — across the whole ray
+            # batch (f32[rays, nodes, 3], tens of GB at 1080p). A select
+            # of both masked halves is also exactly what the vectorised
+            # machine executes anyway.
             stack, sp, best_t, best_tri, bu, bv, done = s
             node = stack[sp - 1]
             sp = sp - 1
 
             is_leaf = node >= n_int
 
-            def leaf_case():
-                leaf = node - n_int
-                tri_id = bvh.sorted_tri[leaf]
-                tv = positions[tri_vertices[tri_id]]
-                hit, t, u, v = _ray_tri(o_i, d_i, t_min, best_t, tv[0], tv[1], tv[2])
-                if alpha_test_fn is not None:
-                    hit = hit & alpha_test_fn(tri_id, u, v)
-                nt = jnp.where(hit, t, best_t)
-                ntri = jnp.where(hit, tri_id, best_tri)
-                nu = jnp.where(hit, u, bu)
-                nv = jnp.where(hit, v, bv)
-                ndone = done | (hit if any_hit else False)
-                return stack, sp, nt, ntri, nu, nv, ndone
+            # -- leaf half (masked by is_leaf) --
+            tri_id = bvh.sorted_tri[jnp.maximum(node - n_int, 0)]
+            tv = tri_xyz[tri_id]
+            hit, t, u, v = _ray_tri(o_i, d_i, t_min, best_t, tv[0], tv[1], tv[2])
+            hit = hit & is_leaf
+            if alpha_test_fn is not None:
+                hit = hit & alpha_test_fn(tri_id, u, v)
+            best_t = jnp.where(hit, t, best_t)
+            best_tri = jnp.where(hit, tri_id, best_tri)
+            bu = jnp.where(hit, u, bu)
+            bv = jnp.where(hit, v, bv)
+            done = done | (hit if any_hit else False)
 
-            def inner_case():
-                l = bvh.child_left[jnp.minimum(node, n_int - 1)]
-                r = bvh.child_right[jnp.minimum(node, n_int - 1)]
-                hit_l = _ray_aabb(o_i, inv_i, best_t, bvh.aabb_min[l], bvh.aabb_max[l])
-                hit_r = _ray_aabb(o_i, inv_i, best_t, bvh.aabb_min[r], bvh.aabb_max[r])
-                st = stack
-                nsp = sp
-                st = jnp.where(hit_l, st.at[nsp].set(l), st)
-                nsp = jnp.where(hit_l, nsp + 1, nsp)
-                st = jnp.where(hit_r, st.at[jnp.minimum(nsp, STACK_DEPTH - 1)].set(r), st)
-                nsp = jnp.where(hit_r, jnp.minimum(nsp + 1, STACK_DEPTH), nsp)
-                return st, nsp, best_t, best_tri, bu, bv, done
-
-            return jax.lax.cond(is_leaf, leaf_case, inner_case)
+            # -- inner half (masked by ~is_leaf) --
+            ni = jnp.minimum(node, n_int - 1)
+            l = bvh.child_left[ni]
+            r = bvh.child_right[ni]
+            hit_l = ~is_leaf & _ray_aabb(
+                o_i, inv_i, best_t, bvh.aabb_min[l], bvh.aabb_max[l]
+            )
+            hit_r = ~is_leaf & _ray_aabb(
+                o_i, inv_i, best_t, bvh.aabb_min[r], bvh.aabb_max[r]
+            )
+            stack = jnp.where(hit_l, stack.at[sp].set(l), stack)
+            sp = jnp.where(hit_l, sp + 1, sp)
+            stack = jnp.where(
+                hit_r, stack.at[jnp.minimum(sp, STACK_DEPTH - 1)].set(r), stack
+            )
+            sp = jnp.where(hit_r, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+            return stack, sp, best_t, best_tri, bu, bv, done
 
         stack = stack.at[0].set(0)
         init = (stack, jnp.int32(1), t_max_i, jnp.int32(-1),
@@ -299,7 +315,30 @@ def trace_rays(
         _, _, best_t, best_tri, bu, bv, _ = final
         return best_t, best_tri, bu, bv
 
-    best_t, best_tri, bu, bv = jax.vmap(walk)(o, inv_d, d, t_max_arr)
+    # Chunk the ray batch: one flat 2M-ray batched while-loop overflows
+    # the TPU compiler's int32 loop index space (llo_loop Check
+    # index_space_.limit at 1080p) and balloons live state (the [N, 64]
+    # traversal stacks). lax.map walks 256k-ray chunks sequentially —
+    # each chunk is still plenty to saturate the VPU.
+    chunk = 1 << 18
+    if n > chunk:
+        pad = (-n) % chunk
+        o_p = jnp.pad(o, ((0, pad), (0, 0)))
+        inv_p = jnp.pad(inv_d, ((0, pad), (0, 0)), constant_values=1e20)
+        d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        # padding rays get t_max=0: every AABB/triangle test fails against
+        # an empty (t_min, 0) interval, so they walk the root and stop.
+        t_p = jnp.pad(t_max_arr, (0, pad))
+        args = jax.tree.map(
+            lambda a: a.reshape((n + pad) // chunk, chunk, *a.shape[1:]),
+            (o_p, inv_p, d_p, t_p),
+        )
+        best_t, best_tri, bu, bv = jax.tree.map(
+            lambda a: a.reshape(-1)[:n],
+            jax.lax.map(lambda x: jax.vmap(walk)(*x), args),
+        )
+    else:
+        best_t, best_tri, bu, bv = jax.vmap(walk)(o, inv_d, d, t_max_arr)
     hit = best_tri >= 0
     return (
         hit.reshape(shape),

@@ -26,12 +26,23 @@ from transmission_renderer_tpu.scene.textures import mip_levels_for_size
 
 
 class MipPyramid(NamedTuple):
-    quads: jnp.ndarray  # [B, 12] float32 — 2x2 blocks x RGB, all levels
+    # Per-LEVEL quad tables ([4 * bh_k * bw_k, 12] float32 each). Kept
+    # split because TPU gather cost is dominated by TABLE size (measured
+    # v5e @1M indices: <=32k rows ~free, 262k rows ~7 ms, 2M rows ~18 ms);
+    # a fetch restricted to a static level set only ever touches small
+    # tables. The concatenated view (``quads``) serves per-pixel dynamic
+    # levels; being a traced concat inside the frame jit, XLA dead-code
+    # -eliminates it (and the fine levels' quad builds) when unused.
+    level_quads: tuple  # tuple of [B_k, 12] float32
     # static per-level metadata (Python ints; the pyramid never crosses a
     # jit boundary, it is built and consumed inside the frame function)
-    offsets: tuple  # block-row offset of each level
+    offsets: tuple  # block-row offset of each level in the concat view
     widths: tuple  # texel sizes
     heights: tuple
+
+    @property
+    def quads(self) -> jnp.ndarray:
+        return jnp.concatenate(self.level_quads, axis=0)
 
     @property
     def num_levels(self) -> int:
@@ -90,9 +101,8 @@ def build_pyramid(framebuffer: jnp.ndarray) -> MipPyramid:
     for lw, lh in shapes:
         offsets.append(off)
         off += 4 * ((lw + 1) // 2) * ((lh + 1) // 2)
-    quads = jnp.concatenate([_quad_level(lvl) for lvl in levels], axis=0)
     return MipPyramid(
-        quads=quads,
+        level_quads=tuple(_quad_level(lvl) for lvl in levels),
         offsets=tuple(offsets),
         widths=tuple(s[0] for s in shapes),
         heights=tuple(s[1] for s in shapes),
@@ -142,10 +152,67 @@ def _bilinear_clamp_quad(pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray):
     return top + (bot - top) * fy
 
 
-def sample_pyramid_lod(pyr: MipPyramid, uv: jnp.ndarray, lod: jnp.ndarray) -> jnp.ndarray:
+def _bilinear_level_static(pyr: MipPyramid, k: int, uv: jnp.ndarray):
+    """Clamp-to-edge bilinear tap at STATIC level k: one gather from that
+    level's own (small) quad table — the cheap-gather path behind
+    ``level_set`` sampling."""
+    w, h = pyr.widths[k], pyr.heights[k]
+    x = uv[..., 0] * float(w) - 0.5
+    y = uv[..., 1] * float(h) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    x0 = jnp.clip(x0, 0, w - 1)
+    y0 = jnp.clip(y0, 0, h - 1)
+    bw = (w + 1) >> 1
+    bh = (h + 1) >> 1
+    phase = (y0 & 1) * 2 + (x0 & 1)
+    qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+    q = pyr.level_quads[k][qidx].reshape(qidx.shape + (4, 3))
+    c00, c10, c01, c11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return top + (bot - top) * fy
+
+
+def sample_pyramid_lod(
+    pyr: MipPyramid,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    level_set: tuple | None = None,
+) -> jnp.ndarray:
     """Trilinear clamp sample -> [..., 3]; the framebuffer_sampler closure
-    of the transmission shader (shader/src/lib.rs:135-138)."""
+    of the transmission shader (shader/src/lib.rs:135-138).
+
+    ``level_set`` (a static, contiguous tuple of level indices) restricts
+    the fetch to those levels: the lod is clamped into the set's range and
+    each level in the set contributes one tent-weighted bilinear tap from
+    its own small quad table. Callers must guarantee every lod that
+    survives to the image lies inside the set (render_frame derives it
+    from static per-material ior-adjusted roughness — see
+    SceneFlags.transmission_ior_roughness); out-of-set lods (e.g. on
+    pixels that are masked away afterwards) clamp harmlessly. Sums
+    tent-weighted taps, which equals the two-level lerp up to fp
+    reassociation.
+    """
     max_level = pyr.num_levels - 1
+    if level_set is not None:
+        lo, hi = min(level_set), max(level_set)
+        assert tuple(level_set) == tuple(range(lo, hi + 1)), (
+            "level_set must be contiguous"
+        )
+        lod = jnp.clip(lod, float(lo), float(hi))
+        out = None
+        for k in range(lo, hi + 1):
+            wk = jnp.clip(1.0 - jnp.abs(lod - float(k)), 0.0, 1.0)[..., None]
+            ck = _bilinear_level_static(pyr, k, uv) * wk
+            out = ck if out is None else out + ck
+        return out
     lod = jnp.clip(lod, 0.0, float(max_level))
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level)

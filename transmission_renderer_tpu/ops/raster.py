@@ -328,6 +328,7 @@ def _raster_tile(
     tile_w: int,
     tile_h: int,
     tiles_x: int,
+    static_trips: bool = False,
 ):
     """Rasterise one tile_h x tile_w tile; returns (tri_id, depth, bary)."""
     ty = tile_idx // tiles_x
@@ -403,16 +404,21 @@ def _raster_tile(
 
     # Dynamically-bounded loops: under vmap these become a single batched
     # while_loop whose trip count is max(count) over tiles — far cheaper
-    # than always walking the full static bin capacity.
+    # than always walking the full static bin capacity. ``static_trips``
+    # walks the full capacity instead (bin padding is -1, so the
+    # ``enabled`` mask makes both exactly equivalent); checkify cannot
+    # instrument batched while-loops, so the debug-checks mode needs it.
+    n_tri = tri_list.shape[0] if static_trips else tri_count
+    n_big = big_list.shape[0] if static_trips else big_count
     carry = jax.lax.fori_loop(
         0,
-        tri_count,
+        n_tri,
         lambda j, c: body(tri_list[j], tri_list[j] >= 0, c),
         init,
     )
     carry = jax.lax.fori_loop(
         0,
-        big_count,
+        n_big,
         lambda j, c: body(big_list[j], big_list[j] >= 0, c),
         carry,
     )
@@ -461,6 +467,7 @@ def rasterize_tilelist(
     tile_h: int,
     alpha_coverage_fn=None,
     init_depth_tiles: jnp.ndarray | None = None,  # [K, TH, TW]
+    static_trip_counts: bool = False,
 ):
     """Rasterise an arbitrary list of tiles (the building block shared by
     the single-chip path and the shard_map row-band path). Returns
@@ -471,12 +478,14 @@ def rasterize_tilelist(
             lambda i, lst, cnt, dep: _raster_tile(
                 i, lst, cnt, dep, big_tri_ids, big_tri_count, setup,
                 alpha_coverage_fn, width, height, tile_w, tile_h, tiles_x,
+                static_trip_counts,
             )
         )(tile_indices, tile_tri_ids, tile_tri_count, init_depth_tiles)
     return jax.vmap(
         lambda i, lst, cnt: _raster_tile(
             i, lst, cnt, None, big_tri_ids, big_tri_count, setup,
             alpha_coverage_fn, width, height, tile_w, tile_h, tiles_x,
+            static_trip_counts,
         )
     )(tile_indices, tile_tri_ids, tile_tri_count)
 
@@ -499,6 +508,7 @@ def rasterize(
     tile_h: int,
     alpha_coverage_fn=None,
     init_depth: jnp.ndarray | None = None,
+    static_trip_counts: bool = False,
 ) -> VisibilityBuffer:
     """Rasterise all tiles (vmapped) into a visibility buffer.
 
@@ -524,6 +534,7 @@ def rasterize(
         width, height, tile_w, tile_h,
         alpha_coverage_fn=alpha_coverage_fn,
         init_depth_tiles=init_tiles,
+        static_trip_counts=static_trip_counts,
     )
 
     def untile(a):

@@ -175,6 +175,15 @@ class SceneFlags(NamedTuple):
     # instances — the transmission shade pass only ever keeps those pixels,
     # so texture slots other materials use can be skipped there.
     tex_slots_transmission: tuple = (True,) * 9
+    # Static f32 values of apply_ior_to_roughness(perceptual_roughness,
+    # ior) over the transmissive-bucket materials, or None when any of
+    # them modulates roughness with a metallic_roughness texture. When
+    # present, the transmission pass's framebuffer-mip fetch lod
+    # (log2(fb_width) * this, glam-pbr/src/lib.rs:334-335) is statically
+    # bounded, so the pyramid fetch touches only the few needed levels'
+    # small quad tables (TPU gathers from small tables are ~free — see
+    # ops/mipchain.py).
+    transmission_ior_roughness: tuple | None = None
 
 
 TEX_SLOT_NAMES = (
@@ -203,6 +212,32 @@ def compute_tex_slot_flags(
     )
 
 
+def static_ior_roughness_values(roughs, iors) -> tuple:
+    """apply_ior_to_roughness(perceptual_roughness, ior) over parallel
+    factor arrays, in f32 exactly as the device computes it
+    (glam-pbr/src/lib.rs:144-161), deduplicated and sorted."""
+    r = np.asarray(roughs, np.float32)
+    ior = np.asarray(iors, np.float32)
+    v = r * np.clip(
+        ior * np.float32(2.0) - np.float32(2.0), np.float32(0), np.float32(1)
+    )
+    return tuple(sorted(set(float(x) for x in v.astype(np.float32))))
+
+
+def _transmission_ior_roughness(scene: Scene, trans_mids: np.ndarray):
+    """Static (ior-adjusted) roughness of each transmissive material, or
+    None when a metallic_roughness texture makes it per-pixel."""
+    if len(trans_mids) == 0:
+        return None
+    m = scene.materials
+    if np.any(np.asarray(m.tex_metallic_roughness)[trans_mids] >= 0):
+        return None
+    return static_ior_roughness_values(
+        np.asarray(m.roughness_factor, np.float32)[trans_mids],
+        np.asarray(m.index_of_refraction, np.float32)[trans_mids],
+    )
+
+
 def scene_flags(scene: Scene) -> SceneFlags:
     buckets = np.asarray(scene.prim_draw_bucket)
     inst_bucket = buckets[np.asarray(scene.inst_primitive_id)]
@@ -211,6 +246,7 @@ def scene_flags(scene: Scene) -> SceneFlags:
     trans_inst = (inst_bucket == BUCKET_TRANSMISSION) | (
         inst_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
     )
+    trans_mids = np.unique(inst_mat[trans_inst])
     return SceneFlags(
         has_alpha_clip=bool(
             np.any(buckets == BUCKET_ALPHA_CLIP)
@@ -224,7 +260,36 @@ def scene_flags(scene: Scene) -> SceneFlags:
         tex_slots_transmission=compute_tex_slot_flags(
             cols, inst_mat, trans_inst
         ),
+        transmission_ior_roughness=_transmission_ior_roughness(
+            scene, trans_mids
+        ),
     )
+
+
+def refraction_level_set(
+    flags: "SceneFlags", width: int, num_levels: int
+) -> tuple | None:
+    """Static pyramid level set covering every lod the transmission pass
+    can fetch (lod = log2(fb_width) * ior_adjusted_roughness,
+    glam-pbr/src/lib.rs:334-335), or None when roughness is per-pixel.
+
+    Mirrors the device's f32 math with a +-1e-3 guard band so f32
+    rounding differences can never select a level outside the set; the
+    guard may only widen the set by one (cheap, coarse) level."""
+    vals = flags.transmission_ior_roughness
+    if vals is None:
+        return None
+    mx = num_levels - 1
+    log2w = float(np.log2(np.float32(width)))
+    levels = set()
+    for v in vals:
+        lod = float(np.float32(log2w) * np.float32(v))
+        for guard in (lod - 1e-3, lod + 1e-3):
+            g = min(max(guard, 0.0), float(mx))
+            l0 = int(np.floor(g))
+            levels.add(l0)
+            levels.add(min(l0 + 1, mx))
+    return tuple(range(min(levels), max(levels) + 1))
 
 
 class FrameDiagnostics(NamedTuple):
@@ -548,6 +613,7 @@ def render_frame(
         return rasterize(
             setup, bins, w, h, tw, th,
             alpha_coverage_fn=alpha_fn, init_depth=init_depth,
+            static_trip_counts=config.static_raster_trips,
         )
 
     # Pallas scenes all ride the fused G-buffer kernel: ONE shared setup
@@ -696,6 +762,11 @@ def render_frame(
         # ---- 5. opaque mip pyramid ----------------------------------------
         with pass_scope("mip_pyramid"):
             pyramid = build_pyramid(hdr)
+        # static level restriction: with untextured transmissive roughness
+        # the refraction fetch only ever touches a few levels, whose small
+        # per-level quad tables gather ~free (unused levels' quad builds
+        # are DCE'd by XLA)
+        level_set = refraction_level_set(flags, w, pyramid.num_levels)
 
         # ---- 6-7. transmissive raster + shade ------------------------------
         if use_gbuf_kernel:
@@ -750,7 +821,8 @@ def render_frame(
                     )
                 px_t, py_t = pixel_coords(wk_t)
                 hdr_t_flat = shade_transmission_flat(
-                    scene, g_tf, ctx_tf, pyramid, px_t, py_t
+                    scene, g_tf, ctx_tf, pyramid, px_t, py_t,
+                    pyramid_level_set=level_set,
                 )
                 # transmission replaces covered pixels (the reference's
                 # blend-disabled transmission pipeline)
@@ -759,7 +831,9 @@ def render_frame(
                 )
                 hdr = block_scatter(wk_t, merged, hdr)
             else:
-                hdr_t = shade_transmission(scene, g_t, ctx_t, pyramid)
+                hdr_t = shade_transmission(
+                    scene, g_t, ctx_t, pyramid, pyramid_level_set=level_set
+                )
                 hdr = jnp.where(g_t.valid[..., None], hdr_t, hdr)
 
     # ---- 8. tonemap ---------------------------------------------------------

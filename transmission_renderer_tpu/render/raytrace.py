@@ -35,27 +35,34 @@ def shadow_factors(
     light distance (:64-71); every candidate is confirmed, so alpha-clip
     is ignored for shadows exactly like the reference.
     """
-    origins = g.position
-    sun_hit, *_ = trace_rays(
-        bvh, tri_vertices, world_positions, origins,
-        jnp.broadcast_to(sun_dir, origins.shape), t_max=10_000.0, any_hit=True,
-    )
-    sun_factor = jnp.where(g.valid & sun_hit, 0.0, 1.0)
-
-    factors = []
+    # ONE batched walk for sun + all lights: each traversal instance is
+    # its own chunked while-loop program (ops/bvh.py), so folding the
+    # 1 + L ray kinds into a single [1 + L, H*W] batch compiles one loop
+    # instead of L + 1 and lets every chunk mix ray kinds. Invalid
+    # pixels get t_max = 0: their (t_min, 0) interval fails every AABB
+    # test, so they pop the root and idle while real lanes walk.
+    origins = g.position.reshape(-1, 3)
+    n = origins.shape[0]
+    valid = g.valid.reshape(-1)
+    dirs = [jnp.broadcast_to(sun_dir, (n, 3))]
+    tmaxs = [jnp.where(valid, 10_000.0, 0.0)]
     for li in range(lights.num):
         to_light = lights.position[li] - origins
         dist = jnp.linalg.norm(to_light, axis=-1)
-        direction = to_light / jnp.maximum(dist[..., None], 1e-12)
+        dirs.append(to_light / jnp.maximum(dist[..., None], 1e-12))
         # any-hit with t_max = light distance, exactly the reference's
         # per-light shadow ray (shader/src/lighting.rs:64-71) — the walk
         # early-outs on the first occluder instead of finding the closest.
-        hit, *_ = trace_rays(
-            bvh, tri_vertices, world_positions, origins, direction,
-            t_max=dist, any_hit=True,
-        )
-        factors.append(jnp.where(g.valid & hit, 0.0, 1.0))
-    light_factors = jnp.stack(factors, axis=-1)
+        tmaxs.append(jnp.where(valid, dist, 0.0))
+    hit, *_ = trace_rays(
+        bvh, tri_vertices, world_positions,
+        jnp.broadcast_to(origins, (1 + lights.num, n, 3)),
+        jnp.stack(dirs), t_max=jnp.stack(tmaxs), any_hit=True,
+    )
+    shape = g.valid.shape
+    factors = jnp.where(g.valid[None] & hit.reshape(-1, *shape), 0.0, 1.0)
+    sun_factor = factors[0]
+    light_factors = jnp.moveaxis(factors[1:], 0, -1)
     return sun_factor, light_factors
 
 

@@ -596,6 +596,7 @@ def shade_transmission_flat(
     px,
     py,
     fb_sampler=None,
+    pyramid_level_set: tuple | None = None,
 ) -> jnp.ndarray:
     """The transmission fragment shader (shader/src/lib.rs:37-162) over a
     flat [M] worklist. Returns [M, 3] HDR for valid pixels."""
@@ -611,7 +612,9 @@ def shade_transmission_flat(
     )
 
     if fb_sampler is None:
-        fb_sampler = lambda uv, lod: sample_pyramid_lod(opaque_pyramid, uv, lod)
+        fb_sampler = lambda uv, lod: sample_pyramid_lod(
+            opaque_pyramid, uv, lod, level_set=pyramid_level_set
+        )
     # quad-block the LUT once per frame (cheap data movement) so each
     # pixel's split-sum fetch is ONE gather instead of four
     lut_quads = quad_lut_2ch(ctx.ggx_lut)
@@ -648,6 +651,7 @@ def shade_transmission(
     g: GBuffer,
     ctx: ShadeContext,
     opaque_pyramid: MipPyramid,
+    pyramid_level_set: tuple | None = None,
 ) -> jnp.ndarray:
     """Dense [H, W] wrapper over shade_transmission_flat (the only path
     that supports half_res_refraction, which needs the 2D pixel grid)."""
@@ -659,12 +663,14 @@ def shade_transmission(
         def fb_sampler(uv, lod):
             uv2 = uv.reshape(h, w, 2)[::2, ::2]
             lod2 = lod.reshape(h, w)[::2, ::2]
-            c = sample_pyramid_lod(opaque_pyramid, uv2, lod2)
+            c = sample_pyramid_lod(
+                opaque_pyramid, uv2, lod2, level_set=pyramid_level_set
+            )
             return jax.image.resize(c, (h, w, 3), "linear").reshape(-1, 3)
 
     ctx = _flatten_ctx_factors(ctx)
     out = shade_transmission_flat(
         scene, flatten_gbuffer(g), ctx, opaque_pyramid, px, py,
-        fb_sampler=fb_sampler,
+        fb_sampler=fb_sampler, pyramid_level_set=pyramid_level_set,
     )
     return out.reshape(h, w, 3)

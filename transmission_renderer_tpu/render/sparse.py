@@ -66,11 +66,14 @@ def compact_blocks(mask: jnp.ndarray, cap_b: int) -> BlockWork:
     active = jnp.any(blocks, axis=1)
     pos = jnp.cumsum(active.astype(jnp.int32)) - 1
     count = jnp.sum(active.astype(jnp.int32))
+    # slot cap_b is a real (in-bounds) discard slot, sliced away below —
+    # not an OOB drop-mode scatter, so the --debug-checks sanitizer stays
+    # clean on a healthy frame
     tgt = jnp.where(active & (pos < cap_b), pos, cap_b)
     ids = (
-        jnp.full((cap_b,), nb, jnp.int32)
+        jnp.full((cap_b + 1,), nb, jnp.int32)
         .at[tgt]
-        .set(jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        .set(jnp.arange(nb, dtype=jnp.int32))[:cap_b]
     )
     return BlockWork(block_ids=ids, count=count, n_blocks=nb, cap_b=cap_b,
                      shape=(h, w))

@@ -166,6 +166,7 @@ class SceneBuilder:
             TEX_SLOT_NAMES,
             SceneFlags,
             build_draw_list_from_numpy,
+            static_ior_roughness_values,
         )
         from transmission_renderer_tpu.config import (
             BUCKET_ALPHA_CLIP as _AC,
@@ -201,6 +202,18 @@ class SceneBuilder:
                     if i in trans_mids
                 )
                 for n in TEX_SLOT_NAMES
+            ),
+            transmission_ior_roughness=(
+                static_ior_roughness_values(
+                    [mats[i]["roughness_factor"] for i in sorted(trans_mids)],
+                    [mats[i]["index_of_refraction"] for i in sorted(trans_mids)],
+                )
+                if trans_mids
+                and not any(
+                    mats[i]["tex_metallic_roughness"] >= 0
+                    for i in trans_mids
+                )
+                else None
             ),
         )
         return scene, dl, flags

