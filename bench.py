@@ -153,11 +153,13 @@ def main():
         ("dragon_attenuation",
          build_dragon_scene(roughness_override=0.25), config,
          {"report_sensitivity": True}),
-        # RT last: a TPU worker crash mid-traversal must not poison the
-        # other measurements (the headline line is emitted either way)
+        # RT last and single-frame: the traversal is the one pass far
+        # from real time on a TPU (docs/PERFORMANCE.md), and a failure
+        # here must not poison the other measurements (the headline line
+        # is emitted either way)
         ("dragon_rt_shadows",
          build_dragon_scene(roughness_override=0.25), config_rt,
-         {"n_frames": 3}),
+         {"n_frames": 1}),
     ]
 
     results = {}

@@ -76,9 +76,11 @@ def test_bvh_refit_translation():
     bvh = build_bvh(tri, pos)
     moved = pos + np.array([5.0, 0.0, 0.0], np.float32)
     bvh2 = refit_bvh(bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(moved))
-    # root AABB follows the move
-    root_min = np.asarray(bvh2.aabb_min[0])
-    assert root_min[0] > 3.5
+    # the root row's valid child AABBs follow the move (the root is the
+    # single node of the coarsest level — the last node_boxes row)
+    root_row = np.asarray(bvh2.node_boxes[-1]).reshape(8, 6)
+    valid = np.isfinite(root_row[:, 0])
+    assert valid.any() and (root_row[valid, 0] > 3.5).all()
     # rays at the new location hit, at the old location miss
     o = jnp.asarray(np.array([[5.0, 0.0, 4.0], [0.0, 0.0, 4.0]], np.float32))
     d = jnp.asarray(np.tile(np.array([0.0, 0.0, -1.0], np.float32), (2, 1)))
@@ -87,3 +89,37 @@ def test_bvh_refit_translation():
     )
     hit = np.asarray(hit)
     assert hit[0] and not hit[1]
+
+
+def test_refit_reproduces_build():
+    """A refit with unmoved vertices must bit-match the host build
+    (same fold order, f32 min/max are exact)."""
+    pos, _, _, tri = make_sphere_mesh(7, 13)
+    bvh = build_bvh(tri, pos)
+    bvh2 = refit_bvh(bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos))
+    np.testing.assert_array_equal(
+        np.asarray(bvh.node_boxes), np.asarray(bvh2.node_boxes)
+    )
+
+
+def test_chunked_trace_matches_flat(monkeypatch):
+    """The lax.map ray-chunking path (taken above _RAY_CHUNK rays) must
+    be invisible: same results as the flat vmap walk."""
+    from transmission_renderer_tpu.ops import bvh as B
+
+    pos, _, _, tri = make_sphere_mesh(6, 12)
+    bvh = build_bvh(tri, pos)
+    rng = np.random.default_rng(5)
+    n = 333  # deliberately not a multiple of the patched chunk
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    args = (bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos),
+            jnp.asarray(o), jnp.asarray(d))
+    flat = trace_rays(*args)
+    monkeypatch.setattr(B, "_RAY_CHUNK", 64)
+    chunked = trace_rays(*args)
+    for a, b, name in zip(flat, chunked, ["hit", "t", "tri", "u", "v"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )

@@ -17,18 +17,20 @@ needs_native = pytest.mark.skipif(
 def test_native_bvh_matches_python():
     pos, _, _, tri = make_sphere_mesh(8, 16)
     bvh_native = B.build_bvh(tri, pos)
-    orig = native.bvh_median_build
+    orig = native.wide_fold
     try:
-        native.bvh_median_build = lambda *a: None  # force python path
+        native.wide_fold = lambda *a: None  # force python path
         bvh_py = B.build_bvh(tri, pos)
     finally:
-        native.bvh_median_build = orig
-    for name in ["child_left", "child_right", "aabb_min", "aabb_max", "sorted_tri"]:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(bvh_native, name)),
-            np.asarray(getattr(bvh_py, name)),
-            err_msg=name,
-        )
+        native.wide_fold = orig
+    np.testing.assert_array_equal(
+        np.asarray(bvh_native.leaf_tri), np.asarray(bvh_py.leaf_tri)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bvh_native.node_boxes), np.asarray(bvh_py.node_boxes)
+    )
+    assert bvh_native.level_offsets == bvh_py.level_offsets
+    assert bvh_native.level_counts == bvh_py.level_counts
 
 
 @needs_native

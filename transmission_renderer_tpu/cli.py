@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output PNG (multi-frame: suffixed _NNN)")
     p.add_argument("--no-sponza", action="store_true",
                    help="Skip the Sponza base scene the reference always loads")
+    p.add_argument("--cluster-wireframe", type=int, nargs="?", const=5,
+                   default=None, metavar="SLICE",
+                   help="Overlay cluster AABB wireframes (the reference's "
+                   "cluster_debugging line-list pipeline, "
+                   "shader/src/lib.rs:801-839). Optional depth-slice index "
+                   "(default 5); -1 draws all 16 slices (dense!)")
     p.add_argument("--debug-clusters", action="store_true",
                    help="Cluster false-colour debug view (the F-key toggle)")
     p.add_argument("--as-debug", action="store_true",
@@ -268,6 +274,40 @@ def main(argv=None) -> int:
             if bad:
                 print(f"VALIDATION: {bad} non-finite pixels!", file=sys.stderr)
 
+    if args.cluster_wireframe is not None:
+        from transmission_renderer_tpu.pbr import cluster_coefficients
+        from transmission_renderer_tpu.pbr.clustering import write_cluster_data
+        from transmission_renderer_tpu.render.cluster_debug import (
+            cluster_wireframe_overlay,
+        )
+        from transmission_renderer_tpu.scene.camera import (
+            perspective_matrix_reversed,
+        )
+
+        _proj = jnp.asarray(perspective_matrix_reversed(
+            config.width, config.height, config.vertical_fov,
+            config.z_near, config.z_far,
+        ))
+        _coeffs = cluster_coefficients(
+            config.z_near, config.z_far, config.num_depth_slices
+        )
+
+        @jax.jit
+        def apply_overlays(ldr):
+            amin, amax = write_cluster_data(
+                jnp.linalg.inv(_proj), (config.width, config.height),
+                (config.num_clusters_x, config.num_clusters_y), _coeffs,
+            )
+            if args.cluster_wireframe >= 0:
+                # clusters are indexed slice * cy * cx + y * cx + x
+                # (shader/src/lib.rs:527-529)
+                per = config.num_clusters_x * config.num_clusters_y
+                s = args.cluster_wireframe * per
+                amin, amax = amin[s:s + per], amax[s:s + per]
+            return cluster_wireframe_overlay(ldr, amin, amax, _proj)
+    else:
+        apply_overlays = lambda ldr: ldr
+
     if args.interactive:
         # Headless analogue of the reference's winit loop
         # (src/main.rs:923-1456): keys move the dolly rig / sun; each
@@ -296,7 +336,7 @@ def main(argv=None) -> int:
                 rig.sun_dir(),
             )
             t0 = time.time()
-            ldr = np.asarray(render(scene, dl, params, lights))
+            ldr = np.asarray(apply_overlays(render(scene, dl, params, lights)))
             check_frame(ldr)
             out = args.output.replace(".png", f"_{frame:03d}.png")
             save_png(out, linear_to_srgb(ldr))
@@ -340,7 +380,7 @@ def main(argv=None) -> int:
             config, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
         )
         t0 = time.time()
-        ldr = np.asarray(render(scene, dl, params, lights))
+        ldr = np.asarray(apply_overlays(render(scene, dl, params, lights)))
         check_frame(ldr)
         dt = time.time() - t0
         out = (

@@ -87,9 +87,13 @@ class RenderConfig:
     # indirect DrawBuffer, src/main.rs:2423-2476). None = dense shading.
     # Transmissive coverage is almost always a small screen fraction, so
     # the transmission pass defaults to sparse; opaque coverage can reach
-    # 100%, so it defaults to dense (enable per scene/camera).
+    # 100%, so it defaults to dense (enable per scene/camera). The 0.25
+    # default is ~2x the flagship scenes' worst measured coverage (dragon
+    # fills 13.4% of blocks at 1080p); the shade cost scales with the cap,
+    # and an overflowing scene says so in FrameDiagnostics — raise it
+    # per scene when glass fills the frame.
     opaque_block_cap_frac: float | None = None
-    transmission_block_cap_frac: float | None = 0.5
+    transmission_block_cap_frac: float | None = 0.25
 
     # --- alpha-clip depth peeling (render/frame.py) --------------------------
     # Rounds of race -> alpha-test -> re-race for alpha-clip draw classes

@@ -43,10 +43,9 @@ def load() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(out)
         i64 = ctypes.c_int64
         fp = ctypes.POINTER(ctypes.c_float)
-        ip = ctypes.POINTER(ctypes.c_int32)
         up = ctypes.POINTER(ctypes.c_uint32)
         lib.trtpu_morton3.argtypes = [i64, fp, up]
-        lib.trtpu_bvh_median_build.argtypes = [i64, fp, fp, ip, ip, fp, fp]
+        lib.trtpu_wide_fold.argtypes = [i64, fp, fp, fp]
         lib.trtpu_transform_points.argtypes = [i64, fp, fp, fp, fp, fp]
         _LIB = lib
     except Exception as e:  # no compiler / unexpected toolchain
@@ -62,32 +61,23 @@ def _as_f32(a):
     return np.ascontiguousarray(a, np.float32)
 
 
-def bvh_median_build(leaf_min, leaf_max):
-    """(child_left, child_right, aabb_min, aabb_max) or None if no native."""
+def wide_fold(leaf_min, leaf_max, level_counts):
+    """8-ary bottom-up fold -> node_boxes [sum(counts), 48] f32, or None
+    if no native lib (layout contract: ops/bvh.py wide_layout)."""
     import numpy as np
 
     lib = load()
     if lib is None:
         return None
-    t = len(leaf_min)
-    child_left = np.zeros(t - 1, np.int32)
-    child_right = np.zeros(t - 1, np.int32)
-    aabb_min = np.zeros((2 * t - 1, 3), np.float32)
-    aabb_max = np.zeros((2 * t - 1, 3), np.float32)
-    lmin = _as_f32(leaf_min)
-    lmax = _as_f32(leaf_max)
+    boxes = np.zeros((int(sum(level_counts)), 48), np.float32)
     fp = ctypes.POINTER(ctypes.c_float)
-    ip = ctypes.POINTER(ctypes.c_int32)
-    lib.trtpu_bvh_median_build(
-        t,
-        lmin.ctypes.data_as(fp),
-        lmax.ctypes.data_as(fp),
-        child_left.ctypes.data_as(ip),
-        child_right.ctypes.data_as(ip),
-        aabb_min.ctypes.data_as(fp),
-        aabb_max.ctypes.data_as(fp),
+    lib.trtpu_wide_fold(
+        len(leaf_min),
+        _as_f32(leaf_min).ctypes.data_as(fp),
+        _as_f32(leaf_max).ctypes.data_as(fp),
+        boxes.ctypes.data_as(fp),
     )
-    return child_left, child_right, aabb_min, aabb_max
+    return boxes
 
 
 def morton3(xyz):

@@ -7,13 +7,14 @@
 // Exposed via a plain C ABI and loaded with ctypes (no pybind11 in this
 // toolchain). All arrays are caller-allocated.
 //
-// Layout contract (must match ops/bvh.py BVH):
-//   leaves sorted by Morton code; internal nodes split their leaf range at
-//   the count median; node ids: internal [0, t-1), leaves [t-1, 2t-1).
+// Layout contract (must match ops/bvh.py BVH / wide_layout): leaf rows
+// sorted by Morton code, implicit 8-ary levels folded bottom-up, one
+// [8 * 6]-float row of child AABBs per internal node, coarsest level last.
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 extern "C" {
@@ -39,55 +40,55 @@ void trtpu_morton3(int64_t n, const float* xyz, uint32_t* codes) {
   }
 }
 
-// Median-split hierarchy + bottom-up AABB fold over pre-sorted leaves.
-//   t:          number of leaves (triangles), t >= 2
-//   leaf_min:   [t, 3] f32 (already in sorted-leaf order)
-//   leaf_max:   [t, 3] f32
-//   child_left: [t-1] i32 out
-//   child_right:[t-1] i32 out
-//   aabb_min:   [2t-1, 3] f32 out (leaf slots pre-fill not required)
-//   aabb_max:   [2t-1, 3] f32 out
-void trtpu_bvh_median_build(int64_t t, const float* leaf_min,
-                            const float* leaf_max, int32_t* child_left,
-                            int32_t* child_right, float* aabb_min,
-                            float* aabb_max) {
-  const int64_t num_internal = t - 1;
-  std::memcpy(aabb_min + num_internal * 3, leaf_min, sizeof(float) * t * 3);
-  std::memcpy(aabb_max + num_internal * 3, leaf_max, sizeof(float) * t * 3);
-
-  struct Frame {
-    int64_t lo, hi, node;
-    int phase;
-  };
-  std::vector<Frame> stack;
-  stack.reserve(64);
-  int64_t next_id = 0;
-  const int64_t root = next_id++;
-  stack.push_back({0, t, root, 0});
-  while (!stack.empty()) {
-    Frame f = stack.back();
-    stack.pop_back();
-    if (f.phase == 0) {
-      const int64_t mid = (f.lo + f.hi) / 2;
-      const int64_t left =
-          (mid - f.lo == 1) ? num_internal + f.lo : next_id++;
-      const int64_t right =
-          (f.hi - mid == 1) ? num_internal + mid : next_id++;
-      child_left[f.node] = (int32_t)left;
-      child_right[f.node] = (int32_t)right;
-      stack.push_back({f.lo, f.hi, f.node, 1});
-      if (f.hi - mid > 1) stack.push_back({mid, f.hi, right, 0});
-      if (mid - f.lo > 1) stack.push_back({f.lo, mid, left, 0});
-    } else {
-      const int64_t l = child_left[f.node];
-      const int64_t r = child_right[f.node];
+// 8-ary bottom-up AABB fold over leaf-row AABBs — builds every internal
+// level of the implicit wide BVH (layout contract: ops/bvh.py
+// wide_layout / BVH docstring).
+//   n_leaves: number of leaf rows, >= 1
+//   leaf_min: [n_leaves, 3] f32 (Morton-sorted leaf-row AABBs)
+//   leaf_max: [n_leaves, 3] f32
+//   boxes:    [sum(level counts), 8*6] f32 out — level-k node i's row
+//             holds its children's (min3, max3) per child slot; unused
+//             slots hold inverted boxes (+inf/-inf).
+void trtpu_wide_fold(int64_t n_leaves, const float* leaf_min,
+                     const float* leaf_max, float* boxes) {
+  const float kInf = std::numeric_limits<float>::infinity();
+  std::vector<float> cmin(leaf_min, leaf_min + n_leaves * 3);
+  std::vector<float> cmax(leaf_max, leaf_max + n_leaves * 3);
+  int64_t n = n_leaves;
+  float* out = boxes;
+  for (;;) {
+    const int64_t m = (n + 7) / 8;
+    std::vector<float> nmin(m * 3), nmax(m * 3);
+    for (int64_t i = 0; i < m; ++i) {
+      float fmin[3] = {kInf, kInf, kInf};
+      float fmax[3] = {-kInf, -kInf, -kInf};
+      for (int64_t j = 0; j < 8; ++j) {
+        const int64_t c = i * 8 + j;
+        float* row = out + (i * 8 + j) * 6;
+        if (c < n) {
+          for (int k = 0; k < 3; ++k) {
+            row[k] = cmin[c * 3 + k];
+            row[3 + k] = cmax[c * 3 + k];
+            fmin[k] = std::min(fmin[k], row[k]);
+            fmax[k] = std::max(fmax[k], row[3 + k]);
+          }
+        } else {
+          for (int k = 0; k < 3; ++k) {
+            row[k] = kInf;
+            row[3 + k] = -kInf;
+          }
+        }
+      }
       for (int k = 0; k < 3; ++k) {
-        aabb_min[f.node * 3 + k] =
-            std::min(aabb_min[l * 3 + k], aabb_min[r * 3 + k]);
-        aabb_max[f.node * 3 + k] =
-            std::max(aabb_max[l * 3 + k], aabb_max[r * 3 + k]);
+        nmin[i * 3 + k] = fmin[k];
+        nmax[i * 3 + k] = fmax[k];
       }
     }
+    out += m * 8 * 6;
+    cmin.swap(nmin);
+    cmax.swap(nmax);
+    n = m;
+    if (m == 1) break;
   }
 }
 

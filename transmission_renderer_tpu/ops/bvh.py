@@ -1,17 +1,24 @@
-"""LBVH build + ray traversal — the TPU replacement for
+"""Wide (8-ary) LBVH build + ray traversal — the TPU replacement for
 VK_KHR_acceleration_structure / ray_query (SURVEY.md §2.5).
 
 The reference builds one BLAS per primitive plus a TLAS over instances
 (src/acceleration_structures.rs) and traverses with hardware ray queries
 (shader/src/lighting.rs:97-125, shader/src/lib.rs:742-797). Here:
 
-  * build: LBVH — Morton codes of triangle centroids, sort, balanced
-    median-split hierarchy, bottom-up AABBs. Host-side (NumPy) at scene
-    freeze; scenes with animated instances refit world AABBs with
-    ``refit_bvh`` (the UPDATE-mode analogue of
-    src/acceleration_structures.rs:192-267).
-  * traversal: stack-based iterative walk as a jittable batched
-    while_loop. Shadow rays are any-hit and — exactly like the
+  * build: triangles are Morton-sorted by centroid, packed 4 per leaf
+    row, and folded bottom-up into 8-ary levels. Because grouping is by
+    CONSECUTIVE index (node i's children are ids 8i..8i+7 one level
+    down, leaf row i covers sorted triangles 4i..4i+3), the topology is
+    fully implicit: no child pointers, ragged tails are plain count
+    arithmetic, and a refit is a chain of dense min/max folds. The fold
+    itself runs in C++ when available (native/bvh_native.cc), NumPy
+    otherwise.
+  * traversal: stack-based batched walk. The wide shape is the point on
+    a vector machine: a binary tree walk costs ~log2(T) ≈ 17 levels of
+    divergent while-loop iterations where every lane pays the batch's
+    worst trip count; the 8-ary walk tests 8 child AABBs per ONE row
+    gather and 4 triangles per ONE leaf-row gather, cutting iteration
+    counts ~5x. Shadow rays are any-hit and — exactly like the
     reference's ``trace_shadow_ray``, which confirms every candidate
     unconditionally (shader/src/lighting.rs:115-118) — ignore alpha
     clipping. The AS-debug caster's alpha-tested closest-hit walk
@@ -26,24 +33,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+LEAF_TRIS = 4  # triangles per leaf row (one gather = 4 Moller-Trumbore)
+WIDE = 8  # children per internal node (one gather = 8 slab tests)
+# The stackless bitstack traversal keeps one 8-bit child mask per level in
+# two packed uint32 registers -> at most 8 level codes -> 7 internal
+# levels -> 4 * 8^7 = 33.5M triangles. Plenty; asserted at build time.
+MAX_LEVELS = 7
+_RAY_CHUNK = 1 << 18  # rays per sequential lax.map chunk (see trace_rays)
+
 
 class BVH(NamedTuple):
-    """Flattened binary radix tree over world-space triangles.
+    """Implicit-topology 8-wide BVH over world-space triangles.
 
-    nodes: internal nodes first ([T-1]), then leaves ([T]). children
-    index into this combined array; child >= num_internal means leaf
-    (triangle sorted_tri[child - num_internal]).
+    ``node_boxes`` holds every internal level's rows, coarsest level
+    LAST; a level-k node's row stores its (up to) 8 children's AABBs as
+    [minx miny minz maxx maxy maxz] * 8. Children of level-k node i are
+    level-(k-1) nodes 8i..8i+7 (k > 0) or leaf rows 8i..8i+7 (k == 0);
+    leaf row g covers Morton-sorted triangles 4g..4g+3. Unused child
+    slots hold inverted boxes (+inf/-inf) so they vanish in fold math;
+    traversal masks them by count arithmetic, never by box contents.
     """
 
-    child_left: jnp.ndarray  # [T-1] int32
-    child_right: jnp.ndarray  # [T-1] int32
-    aabb_min: jnp.ndarray  # [2T-1, 3] f32
-    aabb_max: jnp.ndarray  # [2T-1, 3] f32
-    sorted_tri: jnp.ndarray  # [T] int32 — leaf order -> original triangle id
+    node_boxes: jnp.ndarray  # [N_rows, WIDE * 6] f32
+    leaf_tri: jnp.ndarray  # [L, LEAF_TRIS] int32 (original ids; tail repeats)
+    level_offsets: tuple  # static: row offset of level k in node_boxes
+    level_counts: tuple  # static: number of level-k nodes
+    num_tris: int  # static T
+    num_leaves: int  # static L
 
     @property
-    def num_internal(self) -> int:
-        return self.child_left.shape[0]
+    def num_levels(self) -> int:
+        return len(self.level_counts)
+
+    def children_below(self, k: int) -> int:
+        """Number of child ids one level below internal level k."""
+        return self.num_leaves if k == 0 else self.level_counts[k - 1]
 
 
 def _morton3(x: np.ndarray) -> np.ndarray:
@@ -60,14 +84,41 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     return (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
 
 
-def build_bvh(tri_vertices: np.ndarray, positions: np.ndarray) -> BVH:
-    """Host-side LBVH build over [T, 3] triangles of [V, 3] positions.
+def wide_layout(num_tris: int) -> tuple[int, tuple, tuple]:
+    """(num_leaves, level_counts, level_offsets) for a T-triangle build —
+    the static shape contract shared by build, refit and traversal."""
+    leaves = -(-num_tris // LEAF_TRIS)
+    counts = []
+    n = leaves
+    while True:
+        n = -(-n // WIDE)
+        counts.append(n)
+        if n == 1:
+            break
+    offsets, off = [], 0
+    for c in counts:
+        offsets.append(off)
+        off += c
+    return leaves, tuple(counts), tuple(offsets)
 
-    Median split over Morton order: leaves sorted by centroid Morton code,
-    internal nodes split their leaf range at the count median — a balanced
-    tree (depth = ceil(log2 T), which bounds refit passes and traversal
-    stacks) with LBVH-grade spatial quality.
-    """
+
+def _fold_wide(child_min: np.ndarray, child_max: np.ndarray):
+    """One 8-ary fold: ([n,3],[n,3]) -> (boxes [m, 48], min/max [m,3])."""
+    n = child_min.shape[0]
+    m = -(-n // WIDE)
+    pad = m * WIDE - n
+    cmin = np.concatenate(
+        [child_min, np.full((pad, 3), np.inf, np.float32)], axis=0
+    ).reshape(m, WIDE, 3)
+    cmax = np.concatenate(
+        [child_max, np.full((pad, 3), -np.inf, np.float32)], axis=0
+    ).reshape(m, WIDE, 3)
+    boxes = np.concatenate([cmin, cmax], axis=-1).reshape(m, WIDE * 6)
+    return boxes, cmin.min(axis=1), cmax.max(axis=1)
+
+
+def build_bvh(tri_vertices: np.ndarray, positions: np.ndarray) -> BVH:
+    """Host-side wide-LBVH build over [T, 3] triangles of [V, 3] positions."""
     tri = np.asarray(tri_vertices, np.int64)
     pos = np.asarray(positions, np.float32)
     v = pos[tri]  # [T, 3, 3]
@@ -80,74 +131,42 @@ def build_bvh(tri_vertices: np.ndarray, positions: np.ndarray) -> BVH:
     scene_min = tri_min.min(0)
     scene_max = tri_max.max(0)
     extent = np.maximum(scene_max - scene_min, 1e-9)
-    codes = _morton3((centroid - scene_min) / extent)
-    order = np.lexsort((np.arange(t), codes)).astype(np.int64)
+    norm = (centroid - scene_min) / extent
 
-    # fast path: native C++ builder (same layout contract)
     from transmission_renderer_tpu import native
 
-    built = native.bvh_median_build(tri_min[order], tri_max[order])
-    if built is not None:
-        child_left, child_right, aabb_min, aabb_max = built
-        return BVH(
-            child_left=jnp.asarray(child_left),
-            child_right=jnp.asarray(child_right),
-            aabb_min=jnp.asarray(aabb_min),
-            aabb_max=jnp.asarray(aabb_max),
-            sorted_tri=jnp.asarray(order.astype(np.int32)),
-        )
+    codes = native.morton3(norm)
+    if codes is None:
+        codes = _morton3(norm)
+    order = np.lexsort((np.arange(t), codes)).astype(np.int64)
 
-    num_internal = t - 1
-    child_left = np.zeros(num_internal, np.int32)
-    child_right = np.zeros(num_internal, np.int32)
-    aabb_min = np.zeros((2 * t - 1, 3), np.float32)
-    aabb_max = np.zeros((2 * t - 1, 3), np.float32)
-    leaf_min = tri_min[order]
-    leaf_max = tri_max[order]
-    aabb_min[num_internal:] = leaf_min
-    aabb_max[num_internal:] = leaf_max
+    leaves, counts, offsets = wide_layout(t)
+    padded = np.concatenate(
+        [order, np.full(leaves * LEAF_TRIS - t, order[-1], np.int64)]
+    )
+    leaf_tri = padded.reshape(leaves, LEAF_TRIS)
 
-    # iterative two-phase DFS (build children, then fold AABBs on unwind)
-    next_id = [0]
+    # leaf-row AABBs (tail slots repeat the last triangle — duplicates
+    # cannot inflate a min/max fold)
+    lm = tri_min[leaf_tri.reshape(-1)].reshape(leaves, LEAF_TRIS, 3)
+    lx = tri_max[leaf_tri.reshape(-1)].reshape(leaves, LEAF_TRIS, 3)
 
-    def alloc():
-        i = next_id[0]
-        next_id[0] += 1
-        return i
-
-    # stack entries: (lo, hi, node_id, phase)
-    root = alloc()
-    stack = [(0, t, root, 0)]
-    while stack:
-        lo, hi, node, phase = stack.pop()
-        if phase == 0:
-            mid = (lo + hi) // 2
-            left = (
-                num_internal + lo if mid - lo == 1 else alloc()
-            )
-            right = (
-                num_internal + mid if hi - mid == 1 else alloc()
-            )
-            child_left[node] = left
-            child_right[node] = right
-            stack.append((lo, hi, node, 1))
-            if hi - mid > 1:
-                stack.append((mid, hi, right, 0))
-            if mid - lo > 1:
-                stack.append((lo, mid, left, 0))
-        else:
-            l, r = child_left[node], child_right[node]
-            aabb_min[node] = np.minimum(aabb_min[l], aabb_min[r])
-            aabb_max[node] = np.maximum(aabb_max[l], aabb_max[r])
-
-    assert next_id[0] == num_internal, (next_id[0], num_internal)
+    boxes = native.wide_fold(lm.min(axis=1), lx.max(axis=1), counts)
+    if boxes is None:
+        cmin, cmax = lm.min(axis=1), lx.max(axis=1)
+        rows = []
+        for _ in counts:
+            b, cmin, cmax = _fold_wide(cmin, cmax)
+            rows.append(b)
+        boxes = np.concatenate(rows, axis=0)
 
     return BVH(
-        child_left=jnp.asarray(child_left),
-        child_right=jnp.asarray(child_right),
-        aabb_min=jnp.asarray(aabb_min),
-        aabb_max=jnp.asarray(aabb_max),
-        sorted_tri=jnp.asarray(order.astype(np.int32)),
+        node_boxes=jnp.asarray(boxes),
+        leaf_tri=jnp.asarray(leaf_tri.astype(np.int32)),
+        level_offsets=offsets,
+        level_counts=counts,
+        num_tris=t,
+        num_leaves=leaves,
     )
 
 
@@ -157,35 +176,33 @@ def refit_bvh(
 ) -> BVH:
     """Refresh AABBs for moved vertices, keeping the topology — the
     UPDATE-mode TLAS refit analogue (src/acceleration_structures.rs:192-267).
-    Jittable. ``passes`` defaults to the tree height, which is exactly
-    ceil(log2 T) for the median-split build (build_bvh docstring) — no
-    wasted sequential folds in the per-frame hot path."""
-    if passes is None:
-        passes = max(int(np.ceil(np.log2(bvh.num_internal + 1))), 1)
-    v = positions[tri_vertices[bvh.sorted_tri]]  # [T, 3, 3]
-    leaf_min = jnp.min(v, axis=1)
-    leaf_max = jnp.max(v, axis=1)
-    n_int = bvh.num_internal
-    aabb_min = jnp.concatenate([bvh.aabb_min[:n_int], leaf_min], axis=0)
-    aabb_max = jnp.concatenate([bvh.aabb_max[:n_int], leaf_max], axis=0)
-
-    def body(_, mm):
-        mn, mx = mm
-        new_min = jnp.minimum(mn[bvh.child_left], mn[bvh.child_right])
-        new_max = jnp.maximum(mx[bvh.child_left], mx[bvh.child_right])
-        mn = mn.at[:n_int].set(new_min)
-        mx = mx.at[:n_int].set(new_max)
-        return mn, mx
-
-    aabb_min, aabb_max = jax.lax.fori_loop(0, passes, body, (aabb_min, aabb_max))
-    return bvh._replace(aabb_min=aabb_min, aabb_max=aabb_max)
-
-
-STACK_DEPTH = 48
+    Jittable: the implicit 8-ary topology makes this a chain of
+    ``num_levels`` dense reshape-folds (~log8 T, vs log2 T gather-folds
+    for a binary tree). ``passes`` is accepted for API compatibility and
+    ignored (the fold count is structural)."""
+    del passes
+    v = positions[tri_vertices[bvh.leaf_tri.reshape(-1)]]
+    v = v.reshape(bvh.num_leaves, LEAF_TRIS, 3, 3)
+    cmin = jnp.min(v, axis=(1, 2))
+    cmax = jnp.max(v, axis=(1, 2))
+    rows = []
+    for k in range(bvh.num_levels):
+        n = cmin.shape[0]
+        m = bvh.level_counts[k]
+        pad = m * WIDE - n
+        pmin = jnp.pad(cmin, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        pmax = jnp.pad(cmax, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+        pmin = pmin.reshape(m, WIDE, 3)
+        pmax = pmax.reshape(m, WIDE, 3)
+        rows.append(jnp.concatenate([pmin, pmax], axis=-1).reshape(m, WIDE * 6))
+        cmin = jnp.min(pmin, axis=1)
+        cmax = jnp.max(pmax, axis=1)
+    return bvh._replace(node_boxes=jnp.concatenate(rows, axis=0))
 
 
 def _ray_aabb(origin, inv_dir, t_max, bmin, bmax):
-    """Slab test -> bool (handles inf inv_dir per IEEE)."""
+    """Slab test -> bool (handles inf inv_dir per IEEE); broadcasts over
+    leading box axes."""
     t0 = (bmin - origin) * inv_dir
     t1 = (bmax - origin) * inv_dir
     tmin = jnp.minimum(t0, t1)
@@ -196,7 +213,8 @@ def _ray_aabb(origin, inv_dir, t_max, bmin, bmax):
 
 
 def _ray_tri(origin, direction, t_min, t_max, v0, v1, v2):
-    """Moller-Trumbore -> (hit bool, t, u, v)."""
+    """Moller-Trumbore -> (hit bool, t, u, v); broadcasts over leading
+    triangle axes."""
     e1 = v1 - v0
     e2 = v2 - v0
     pvec = jnp.cross(direction, e2)
@@ -229,7 +247,7 @@ def trace_rays(
     any_hit: bool = False,
     alpha_test_fn=None,
 ):
-    """Batched BVH walk.
+    """Batched wide-BVH walk.
 
     Returns (hit [...] bool, t [...], tri_id [...] int32 (-1 = miss),
     u [...], v [...]). ``any_hit=True`` terminates on the first accepted
@@ -244,83 +262,139 @@ def trace_rays(
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
     n = o.shape[0]
-    n_int = bvh.num_internal
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
-
-    # Pre-gather each triangle's vertices ONCE, outside the batched walk
-    # ([T, 3, 3], ~5 MB at 134k tris). The naive in-leaf double gather
-    # positions[tri_vertices[tri_id]] makes XLA broadcast the whole
-    # positions table across the ray batch inside the while body
-    # (f32[rays, verts, 3] — hundreds of GB at 1080p); a single row
-    # gather from this flat table batches as a plain dynamic-slice.
-    tri_xyz = positions[tri_vertices]
 
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
 
-    def walk(o_i, inv_i, d_i, t_max_i):
-        stack = jnp.zeros((STACK_DEPTH,), jnp.int32)
+    # Pre-gather each leaf row's triangle geometry ONCE, outside the
+    # batched walk ([L, 4*9] f32, ~5 MB at 134k tris): the leaf test is
+    # then a single row gather. (An in-leaf positions[tri_vertices[id]]
+    # double gather makes XLA broadcast the whole positions table across
+    # the ray batch — hundreds of GB at 1080p.)
+    tri_xyz = positions[tri_vertices]  # [T, 3, 3]
+    leaf_xyz = tri_xyz[bvh.leaf_tri.reshape(-1)].reshape(
+        bvh.num_leaves, LEAF_TRIS * 9
+    )
+    leaf_ids = bvh.leaf_tri  # [L, 4]
+    num_rows = bvh.node_boxes.shape[0]
+    assert bvh.num_levels <= MAX_LEVELS, "scene exceeds bitstack depth"
+    lanes_t = jnp.arange(LEAF_TRIS, dtype=jnp.int32)
+    lanes_w = jnp.arange(WIDE, dtype=jnp.int32)
 
+    def walk(o_i, inv_i, d_i, t_max_i):
+        # STACKLESS bitstack traversal: every piece of per-ray state is a
+        # scalar register — two uint32 "trail" words hold one 8-bit mask
+        # of untested children per tree level (codes 0..3 in trail_lo,
+        # 4..7 in trail_hi), and the current node's ancestors are implied
+        # by its index (ancestor at +k levels = idx >> 3k). A per-lane
+        # stack array would need dynamic scatter/gather into [N, 64]
+        # inside the batched while-loop, which both moves real memory
+        # every iteration and faults the TPU backend at large N (observed
+        # worker crashes above ~64k rays). Masked straight-line leaf +
+        # inner halves, NO lax.cond (batching a cond broadcasts its
+        # unbatched closure operands across the ray batch).
         def cond(s):
-            _, sp, _, _, _, _, done = s
-            return (sp > 0) & ~done
+            return ~s[-1]
 
         def body(s):
-            # Straight-line masked leaf+inner work, NO lax.cond: batching
-            # a cond (vmap over rays) broadcasts its unbatched closure
-            # operands — the [2T-1, 3] AABB tables — across the whole ray
-            # batch (f32[rays, nodes, 3], tens of GB at 1080p). A select
-            # of both masked halves is also exactly what the vectorised
-            # machine executes anyway.
-            stack, sp, best_t, best_tri, bu, bv, done = s
-            node = stack[sp - 1]
-            sp = sp - 1
+            lvl, idx, tlo, thi, best_t, best_tri, bu, bv, done = s
 
-            is_leaf = node >= n_int
+            # ---- advance: pop the deepest (lowest-code) non-empty mask
+            empty = (tlo == 0) & (thi == 0)
+            have_lo = tlo != 0
+            w = jnp.where(have_lo, tlo, thi)
+            b0 = w & 0xFF
+            b1 = (w >> 8) & 0xFF
+            b2 = (w >> 16) & 0xFF
+            b3 = (w >> 24) & 0xFF
+            byte = jnp.where(
+                b0 != 0, 0, jnp.where(b1 != 0, 1, jnp.where(b2 != 0, 2, 3))
+            )
+            mask = jnp.where(
+                b0 != 0, b0, jnp.where(b1 != 0, b1, jnp.where(b2 != 0, b2, b3))
+            )
+            bit = mask & -mask
+            j = jnp.int32(0)
+            for kk in range(1, WIDE):
+                j = jnp.where(bit == (1 << kk), kk, j)
+            clear = bit << (byte * 8)
+            tlo = jnp.where(have_lo, tlo ^ clear, tlo)
+            thi = jnp.where(have_lo | empty, thi, thi ^ clear)
+            code = byte + jnp.where(have_lo, 0, 4)
+            # ancestor of the current node at the popped mask's parent
+            # level; shift >= 0 by the deepest-first invariant (max is
+            # pure insurance against a garbage code on the empty lane)
+            anc = idx >> jnp.maximum(3 * (code + 1 - lvl), 0)
+            idx = jnp.where(empty, idx, anc * WIDE + j)
+            lvl = jnp.where(empty, lvl, code)
+            done = done | empty
+            is_leaf = (lvl == 0) & ~done
+            is_inner = (lvl > 0) & ~done
 
-            # -- leaf half (masked by is_leaf) --
-            tri_id = bvh.sorted_tri[jnp.maximum(node - n_int, 0)]
-            tv = tri_xyz[tri_id]
-            hit, t, u, v = _ray_tri(o_i, d_i, t_min, best_t, tv[0], tv[1], tv[2])
-            hit = hit & is_leaf
+            # ---- leaf half (masked by is_leaf) ----
+            li = jnp.clip(idx, 0, bvh.num_leaves - 1)
+            tv = leaf_xyz[li].reshape(LEAF_TRIS, 3, 3)
+            ids = leaf_ids[li]
+            hit4, t4, u4, v4 = _ray_tri(
+                o_i, d_i, t_min, best_t, tv[:, 0], tv[:, 1], tv[:, 2]
+            )
+            hit4 = hit4 & is_leaf & (lanes_t < bvh.num_tris - li * LEAF_TRIS)
             if alpha_test_fn is not None:
-                hit = hit & alpha_test_fn(tri_id, u, v)
-            best_t = jnp.where(hit, t, best_t)
-            best_tri = jnp.where(hit, tri_id, best_tri)
-            bu = jnp.where(hit, u, bu)
-            bv = jnp.where(hit, v, bv)
-            done = done | (hit if any_hit else False)
+                hit4 = hit4 & alpha_test_fn(ids, u4, v4)
+            t4m = jnp.where(hit4, t4, jnp.inf)
+            jt = jnp.argmin(t4m)
+            take = hit4[jt]
+            best_t = jnp.where(take, t4m[jt], best_t)
+            best_tri = jnp.where(take, ids[jt], best_tri)
+            bu = jnp.where(take, u4[jt], bu)
+            bv = jnp.where(take, v4[jt], bv)
+            done = done | (take if any_hit else False)
 
-            # -- inner half (masked by ~is_leaf) --
-            ni = jnp.minimum(node, n_int - 1)
-            l = bvh.child_left[ni]
-            r = bvh.child_right[ni]
-            hit_l = ~is_leaf & _ray_aabb(
-                o_i, inv_i, best_t, bvh.aabb_min[l], bvh.aabb_max[l]
+            # ---- inner half (masked by is_inner) ----
+            clvl = jnp.maximum(lvl - 1, 0)
+            row_off = jnp.int32(bvh.level_offsets[0])
+            n_below = jnp.int32(bvh.children_below(0))
+            for k in range(1, bvh.num_levels):
+                row_off = jnp.where(clvl == k, bvh.level_offsets[k], row_off)
+                n_below = jnp.where(clvl == k, bvh.children_below(k), n_below)
+            row = bvh.node_boxes[jnp.clip(row_off + idx, 0, num_rows - 1)]
+            boxes = row.reshape(WIDE, 6)
+            hit8 = (
+                _ray_aabb(o_i, inv_i, best_t, boxes[:, :3], boxes[:, 3:])
+                & is_inner
+                & (lanes_w < n_below - idx * WIDE)
             )
-            hit_r = ~is_leaf & _ray_aabb(
-                o_i, inv_i, best_t, bvh.aabb_min[r], bvh.aabb_max[r]
+            m8 = jnp.sum(
+                jnp.where(hit8, jnp.int32(1) << lanes_w, 0)
             )
-            stack = jnp.where(hit_l, stack.at[sp].set(l), stack)
-            sp = jnp.where(hit_l, sp + 1, sp)
-            stack = jnp.where(
-                hit_r, stack.at[jnp.minimum(sp, STACK_DEPTH - 1)].set(r), stack
-            )
-            sp = jnp.where(hit_r, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-            return stack, sp, best_t, best_tri, bu, bv, done
+            add = m8 << ((clvl & 3) * 8)
+            in_lo = clvl < 4
+            tlo = jnp.where(is_inner & in_lo, tlo | add, tlo)
+            thi = jnp.where(is_inner & ~in_lo, thi | add, thi)
+            return lvl, idx, tlo, thi, best_t, best_tri, bu, bv, done
 
-        stack = stack.at[0].set(0)
-        init = (stack, jnp.int32(1), t_max_i, jnp.int32(-1),
-                jnp.float32(0), jnp.float32(0), False)
+        # virtual super-root: the real root (idx 0, code D) is the sole
+        # set bit of the trail at code D; the first advance descends
+        # into it (anc = 0 >> 0 with lvl = D + 1).
+        root_code = bvh.num_levels  # root = level num_levels-1 -> code D
+        root_mask = jnp.int32(1) << ((root_code & 3) * 8)
+        init = (
+            jnp.int32(root_code + 1), jnp.int32(0),
+            root_mask if root_code < 4 else jnp.int32(0),
+            root_mask if root_code >= 4 else jnp.int32(0),
+            t_max_i, jnp.int32(-1), jnp.float32(0), jnp.float32(0), False,
+        )
         final = jax.lax.while_loop(cond, body, init)
-        _, _, best_t, best_tri, bu, bv, _ = final
+        _, _, _, _, best_t, best_tri, bu, bv, _ = final
         return best_t, best_tri, bu, bv
 
-    # Chunk the ray batch: one flat 2M-ray batched while-loop overflows
-    # the TPU compiler's int32 loop index space (llo_loop Check
-    # index_space_.limit at 1080p) and balloons live state (the [N, 64]
-    # traversal stacks). lax.map walks 256k-ray chunks sequentially —
-    # each chunk is still plenty to saturate the VPU.
-    chunk = 1 << 18
+    # Chunk the ray batch: a single flat multi-million-ray batched
+    # while-loop balloons live state (the [N, 64] traversal stacks) and
+    # has overflowed TPU compiler loop-bound checks. lax.map walks
+    # fixed-size chunks sequentially — each chunk is still plenty to
+    # saturate the VPU. (_RAY_CHUNK is module-level so tests can shrink
+    # it to cover this path on CPU.)
+    chunk = _RAY_CHUNK
     if n > chunk:
         pad = (-n) % chunk
         o_p = jnp.pad(o, ((0, pad), (0, 0)))
