@@ -456,6 +456,15 @@ def render_frame_sharded(
                 g_t = gbuffer_for(vis_t, setup_t)
 
             ctx_t = ctx._replace(tex_slots=flags.tex_slots_transmission)
+            # Transmission shading stays DENSE per band (unlike the
+            # single-chip block-sparse cap, render/frame.py): a band-local
+            # cap cannot be bounded by frame-global coverage — one band
+            # may legitimately be 100% glass while the frame is 13% — so
+            # any cap below 1.0 breaks exactness, and at 1.0 the worklist
+            # is the band. Dense per-band cost is also what makes the
+            # sharded path load-BALANCED by construction: every chip does
+            # identical FLOPs per pass regardless of where the glass sits
+            # (the imbalance concern only applies to sparse formulations).
             px, py = _dense_coords(band_h, w)
             hdr_t = shade_transmission_flat(
                 scene, flatten_gbuffer(g_t), ctx_t, None, px, py + row0_px,
