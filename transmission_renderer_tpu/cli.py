@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--half-res-refraction", action="store_true",
                    help="Half-res framebuffer fetch in the transmission "
                    "pass (~2.5x cheaper; near-lossless at LOD >= 1)")
+    p.add_argument("--quad-taps", action="store_true",
+                   help="Share one material-texture tap per 2x2 pixel "
+                   "quad in the opaque pass (quarters its gather cost; "
+                   "sub-texel error away from material silhouettes)")
     p.add_argument("--check-nan", action="store_true",
                    help="Validate each frame for NaN/Inf (the debug-mode "
                    "stand-in for the reference's always-on validation layer)")
@@ -145,6 +149,7 @@ def main(argv=None) -> int:
         rotate_model=args.rotate_model,
         debug_clusters=args.debug_clusters,
         half_res_refraction=args.half_res_refraction,
+        quad_material_taps=args.quad_taps,
         # checkify cannot see inside a Mosaic kernel; the XLA raster is
         # bit-matched to the Pallas one by tests/test_raster_pallas.py, so
         # instrumenting it validates the same frame logic.

@@ -76,6 +76,11 @@ class RenderConfig:
     # ~2.5x cheaper in gather cost; OFF by default for exact reference
     # sampling. Expect 1-px halos at glass silhouettes when enabled.
     half_res_refraction: bool = False
+    # Share one material-texture tap per 2x2 pixel quad in the dense
+    # opaque shade (quarters its gather count, the pass's dominant cost).
+    # OFF by default for exact per-pixel sampling; error is sub-texel
+    # except at quad-straddling material silhouettes.
+    quad_material_taps: bool = False
 
     # --- block-sparse shading (render/sparse.py) ----------------------------
     # The reference shades only covered fragments (raster hardware +

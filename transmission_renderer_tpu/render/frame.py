@@ -715,6 +715,7 @@ def render_frame(
         debug_clusters=config.debug_clusters,
         tex_slots=flags.tex_slots,
         half_res_refraction=config.half_res_refraction,
+        quad_taps=config.quad_material_taps,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------

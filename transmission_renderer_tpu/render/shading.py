@@ -73,6 +73,9 @@ class ShadeContext(NamedTuple):
     # half-res framebuffer fetch in the transmission pass (see
     # RenderConfig.half_res_refraction) — dense path only
     half_res_refraction: bool = False
+    # share one material-texture tap per 2x2 pixel quad (see
+    # RenderConfig.quad_material_taps) — dense opaque path only
+    quad_taps: bool = False
     # shadow factors per pixel per light come from the ray-traced path
     # (None -> factor 1.0, the non-RayQuery variant); flat [M] / [M, L]
     sun_shadow_factor: jnp.ndarray | None = None
@@ -206,6 +209,7 @@ def evaluate_pixel_material(
     view_vector: jnp.ndarray,
     tex_slots: tuple = (True,) * 9,
     mat_matrix: MaterialMatrix | None = None,
+    quad_shape: tuple | None = None,
 ):
     """Per-pixel material evaluation on a FLAT [M] G-buffer: diffuse/
     emission/metallic-roughness/specular/transmission texture fetches +
@@ -233,9 +237,43 @@ def evaluate_pixel_material(
         tid = mrow[..., 21 + slot_idx].astype(jnp.int32)
         rows = _meta_rows_from(mrow, mm.meta_col[name])
         lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
-        sample = sample_texture_rows(
-            scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT
+        if quad_shape is None:
+            sample = sample_texture_rows(
+                scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT
+            )
+            return tid, sample
+        # Quality flag (RenderConfig.quad_material_taps): ONE tap per 2x2
+        # pixel quad, shared by its 4 pixels — the quad's first VALID
+        # pixel supplies uv/lod/meta (a representative, NOT a mean: meta
+        # rows hold table offsets, and a mean uv across a silhouette
+        # would sample the background's garbage coordinates). Quarters
+        # the gather count of every material texture fetch; error is
+        # sub-texel except at quad-straddling material boundaries. The
+        # flat [M] worklist must be a dense row-major (h, w) frame for
+        # the reshape to mean "2x2 quads".
+        h, w = quad_shape
+        vq = g.valid.reshape(h // 2, 2, w // 2, 2).transpose(0, 2, 1, 3)
+        choice = jnp.argmax(vq.reshape(h // 2, w // 2, 4), axis=-1)
+
+        def rep(x):
+            x2 = x.reshape(h // 2, 2, w // 2, 2, *x.shape[1:])
+            x2 = jnp.transpose(
+                x2, (0, 2, 1, 3) + tuple(range(4, x2.ndim))
+            ).reshape(h // 2, w // 2, 4, *x.shape[1:])
+            idx = choice.reshape(h // 2, w // 2, 1, *(1,) * (x.ndim - 1))
+            return jnp.take_along_axis(x2, idx, axis=2)[:, :, 0].reshape(
+                -1, *x.shape[1:]
+            )
+
+        sample_q = sample_texture_rows(
+            scene.atlas_texels, rep(rows), rep(g.uv),
+            rep(lod[..., None])[..., 0], WRAP_REPEAT,
         )
+        c = sample_q.shape[-1]
+        sample = jnp.broadcast_to(
+            sample_q.reshape(h // 2, 1, w // 2, 1, c),
+            (h // 2, 2, w // 2, 2, c),
+        ).reshape(-1, c)
         return tid, sample
 
     # diffuse (sRGB)
@@ -542,7 +580,8 @@ def _dense_coords(h: int, w: int):
 
 
 def shade_opaque_flat(
-    scene: Scene, g: GBuffer, ctx: ShadeContext, px, py
+    scene: Scene, g: GBuffer, ctx: ShadeContext, px, py,
+    quad_shape: tuple | None = None,
 ) -> jnp.ndarray:
     """The opaque PBR fragment shader (shader/src/lib.rs:164-249) over a
     flat [M] worklist. Returns [M, 3] HDR; invalid pixels are black (the
@@ -551,7 +590,9 @@ def shade_opaque_flat(
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
-    pm = evaluate_pixel_material(scene, g, view_vector, ctx.tex_slots)
+    pm = evaluate_pixel_material(
+        scene, g, view_vector, ctx.tex_slots, quad_shape=quad_shape
+    )
 
     result, _, cluster, counts = evaluate_lights_common(
         ctx, pm.params, view, g.position, pm.normal, g.depth, px, py,
@@ -573,7 +614,9 @@ def shade_opaque(scene: Scene, g: GBuffer, ctx: ShadeContext) -> jnp.ndarray:
     h, w = g.depth.shape
     px, py = _dense_coords(h, w)
     ctx = _flatten_ctx_factors(ctx)
-    out = shade_opaque_flat(scene, flatten_gbuffer(g), ctx, px, py)
+    quad = (h, w) if ctx.quad_taps and h % 2 == 0 and w % 2 == 0 else None
+    out = shade_opaque_flat(scene, flatten_gbuffer(g), ctx, px, py,
+                            quad_shape=quad)
     return out.reshape(h, w, 3)
 
 
