@@ -27,7 +27,7 @@ The reference builds one BLAS per primitive plus a TLAS over instances
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,9 @@ MAX_LEVELS = 7
 _RAY_CHUNK = 1 << 18  # rays per sequential lax.map chunk (see trace_rays)
 
 
-class BVH(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BVH:
     """Implicit-topology 8-wide BVH over world-space triangles.
 
     ``node_boxes`` holds every internal level's rows, coarsest level
@@ -52,6 +54,11 @@ class BVH(NamedTuple):
     leaf row g covers Morton-sorted triangles 4g..4g+3. Unused child
     slots hold inverted boxes (+inf/-inf) so they vanish in fold math;
     traversal masks them by count arithmetic, never by box contents.
+
+    Registered as a custom pytree so the layout fields stay STATIC
+    (aux data) when a BVH is passed through jit — the traversal's
+    select chains and the refit's fold shapes are built from them at
+    trace time (a NamedTuple would turn them into tracers).
     """
 
     node_boxes: jnp.ndarray  # [N_rows, WIDE * 6] f32
@@ -60,6 +67,17 @@ class BVH(NamedTuple):
     level_counts: tuple  # static: number of level-k nodes
     num_tris: int  # static T
     num_leaves: int  # static L
+
+    def tree_flatten(self):
+        return (
+            (self.node_boxes, self.leaf_tri),
+            (self.level_offsets, self.level_counts,
+             self.num_tris, self.num_leaves),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
 
     @property
     def num_levels(self) -> int:
@@ -197,7 +215,7 @@ def refit_bvh(
         rows.append(jnp.concatenate([pmin, pmax], axis=-1).reshape(m, WIDE * 6))
         cmin = jnp.min(pmin, axis=1)
         cmax = jnp.max(pmax, axis=1)
-    return bvh._replace(node_boxes=jnp.concatenate(rows, axis=0))
+    return dataclasses.replace(bvh, node_boxes=jnp.concatenate(rows, axis=0))
 
 
 def _ray_aabb(origin, inv_dir, t_max, bmin, bmax):

@@ -284,6 +284,11 @@ def refraction_level_set(
     levels = set()
     for v in vals:
         lod = float(np.float32(log2w) * np.float32(v))
+        if lod == np.floor(lod):
+            # exactly-integer lod (e.g. roughness 0 -> lod 0): the other
+            # tent tap has weight exactly 0 — one tap, one level
+            levels.add(int(min(max(lod, 0.0), mx)))
+            continue
         for guard in (lod - 1e-3, lod + 1e-3):
             g = min(max(guard, 0.0), float(mx))
             l0 = int(np.floor(g))
