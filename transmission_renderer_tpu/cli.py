@@ -97,8 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "quad in the opaque pass (quarters its gather cost; "
                    "sub-texel error away from material silhouettes)")
     p.add_argument("--check-nan", action="store_true",
-                   help="Validate each frame for NaN/Inf (the debug-mode "
-                   "stand-in for the reference's always-on validation layer)")
+                   help="Validate each frame: NaN/Inf scan + capacity-"
+                   "overflow diagnostics (bins, big-triangle list, block "
+                   "worklists, clip peeling) — the debug-mode stand-in "
+                   "for the reference's always-on validation layer")
     p.add_argument("--debug-checks", action="store_true",
                    help="Instrument the frame with jax.experimental.checkify "
                    "out-of-bounds index checks (the TPU analogue of the "
@@ -259,6 +261,25 @@ def main(argv=None) -> int:
         render = jax.jit(
             partial(render_frame_sharded, config=config, mesh=mesh, flags=flags)
         )
+    elif args.check_nan:
+        # validation mode also fetches FrameDiagnostics and warns on any
+        # capacity overflow (the analogue of the reference's always-on
+        # validation layer flagging an undersized indirect buffer)
+        _rd = jax.jit(
+            partial(render_frame, config=config, flags=flags, bvh=bvh,
+                    return_diagnostics=True)
+        )
+
+        def render(s, d, p, l):
+            ldr, diag = _rd(s, d, p, l)
+            host = type(diag)(*[
+                int(np.asarray(v)) if hasattr(v, "shape") else v
+                for v in diag
+            ])
+            if host.overflowed():
+                print(f"VALIDATION: capacity overflow! {host}",
+                      file=sys.stderr)
+            return ldr
     else:
         render = jax.jit(
             partial(render_frame, config=config, flags=flags, bvh=bvh)

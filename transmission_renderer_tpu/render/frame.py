@@ -801,8 +801,17 @@ def render_frame(
             ctx_t = ctx._replace(
                 sun_shadow_factor=sun_f_t, light_shadow_factors=light_f_t
             )
+        # fractional cap with a 256-block floor: at small frames the flat
+        # 128-px blocks quantise coverage upward (a block spans several
+        # rows of a 320-px frame), so a pure fraction overflows on scenes
+        # that fit comfortably at 1080p — and small frames are cheap to
+        # shade anyway
         cap_t = (
-            min(int(np.ceil(nb * config.transmission_block_cap_frac)), nb)
+            min(
+                max(int(np.ceil(nb * config.transmission_block_cap_frac)),
+                    256),
+                nb,
+            )
             if config.transmission_block_cap_frac is not None
             and not config.half_res_refraction  # half-res needs the 2D grid
             else 0
