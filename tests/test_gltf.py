@@ -252,3 +252,34 @@ def test_strided_accessor(tmp_path):
     g = GltfDocument.load(str(p))
     np.testing.assert_allclose(g.read_accessor(0), pos)
     np.testing.assert_allclose(g.read_accessor(1), nrm)
+
+
+def test_specular_and_texture_transform(tmp_path):
+    """KHR_materials_specular factors and KHR_texture_transform's
+    base-colour uv scale (the only transform the reference applies,
+    src/model_loading.rs:87-94) survive the load."""
+    path = make_tri_gltf(tmp_path)
+    with open(path) as f:
+        doc = json.load(f)
+    mat = doc["materials"][0]
+    mat["extensions"]["KHR_materials_specular"] = {
+        "specularFactor": 0.5,
+        "specularColorFactor": [0.9, 0.8, 0.7],
+    }
+    mat["pbrMetallicRoughness"]["baseColorTexture"]["extensions"] = {
+        "KHR_texture_transform": {"scale": [4.0, 5.0]}
+    }
+    p = tmp_path / "spec.gltf"
+    p.write_text(json.dumps(doc))
+    b = SceneBuilder()
+    load_gltf(str(p), b)
+    scene = b.finish()
+    m = scene.materials
+    assert float(m.specular_factor[0]) == pytest.approx(0.5)
+    np.testing.assert_allclose(
+        np.asarray(m.specular_colour_factor)[0], [0.9, 0.8, 0.7], rtol=1e-6
+    )
+    # uv scale applied to the primitive's TEXCOORD_0 (base colour only)
+    uvs = np.asarray(scene.uvs)
+    np.testing.assert_allclose(uvs[1], [4.0, 0.0], rtol=1e-6)
+    np.testing.assert_allclose(uvs[2], [0.0, 5.0], rtol=1e-6)
