@@ -82,3 +82,23 @@ def test_level_set_clamps_out_of_set_lods():
         pyr, uv, jnp.array([0.0, 99.0], jnp.float32), level_set=(2, 3)
     )
     np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-6)
+
+
+def test_refraction_level_set_derivation():
+    from transmission_renderer_tpu.render.frame import (
+        SceneFlags, refraction_level_set,
+    )
+
+    # rough dragon: ior-adjusted roughness 0.25 at 1920 wide -> lod ~2.73
+    f = SceneFlags(True, True, transmission_ior_roughness=(0.25,))
+    assert refraction_level_set(f, 1920, 12) == (2, 3)
+    # roughness 0: exactly-integer lod -> single level, single tap
+    f0 = SceneFlags(True, True, transmission_ior_roughness=(0.0,))
+    assert refraction_level_set(f0, 1920, 12) == (0,)
+    # textured roughness -> dynamic path
+    fd = SceneFlags(True, True, transmission_ior_roughness=None)
+    assert refraction_level_set(fd, 1920, 12) is None
+    # multiple materials span a contiguous range
+    fm = SceneFlags(True, True, transmission_ior_roughness=(0.1, 0.4))
+    ls = fm and refraction_level_set(fm, 1920, 12)
+    assert ls[0] <= 1 and ls[-1] >= 4 and ls == tuple(range(ls[0], ls[-1] + 1))
