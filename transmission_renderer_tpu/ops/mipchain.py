@@ -20,23 +20,27 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from transmission_renderer_tpu.scene.textures import mip_levels_for_size
 
 
 class MipPyramid(NamedTuple):
-    # Per-LEVEL quad tables ([4 * bh_k * bw_k, 12] float32 each). Kept
-    # split because TPU gather cost is dominated by TABLE size (measured
-    # v5e @1M indices: <=32k rows ~free, 262k rows ~7 ms, 2M rows ~18 ms);
-    # a fetch restricted to a static level set only ever touches small
-    # tables. The concatenated view (``quads``) serves per-pixel dynamic
-    # levels; being a traced concat inside the frame jit, XLA dead-code
-    # -eliminates it (and the fine levels' quad builds) when unused.
-    level_quads: tuple  # tuple of [B_k, 12] float32
+    # Per-LEVEL quad tables, GROUP quad-blocks per physical row
+    # ([ceil(4 * bh_k * bw_k / GROUP), 12 * GROUP] f32 each). Split per
+    # level because TPU gather cost is dominated by table ROW COUNT
+    # (nearly independent of row width — measured v5e @2M idx, 16.8 MB:
+    # 350k-row [12]f32 ~10 ms vs 87.5k-row [48]f32 ~1 ms), so a fetch
+    # restricted to a static level set only ever touches small tables and
+    # the row grouping cuts the rest ~4x. The concatenated view
+    # (``quads``) serves per-pixel dynamic levels; being a traced concat
+    # inside the frame jit, XLA dead-code-eliminates it (and the fine
+    # levels' quad builds) when unused.
+    level_quads: tuple  # tuple of [G_k, 12 * GROUP] float32
     # static per-level metadata (Python ints; the pyramid never crosses a
     # jit boundary, it is built and consumed inside the frame function)
-    offsets: tuple  # block-row offset of each level in the concat view
+    offsets: tuple  # GROUPED-row offset of each level in the concat view
     widths: tuple  # texel sizes
     heights: tuple
 
@@ -47,6 +51,9 @@ class MipPyramid(NamedTuple):
     @property
     def num_levels(self) -> int:
         return len(self.offsets)
+
+
+GROUP = 4  # quad-blocks per physical row (see table comment above)
 
 
 def pyramid_shapes(width: int, height: int) -> list[tuple[int, int]]:
@@ -74,8 +81,9 @@ def _downsample2x(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _quad_level(img: jnp.ndarray) -> jnp.ndarray:
-    """[H, W, 3] -> [4 * bh * bw, 12] phase-shifted 2x2 blocks, CLAMP
-    edges baked (the framebuffer sampler is clamp-to-edge)."""
+    """[H, W, 3] -> [ceil(4 * bh * bw / GROUP), 12 * GROUP] phase-shifted
+    2x2 blocks, GROUP per row, CLAMP edges baked (the framebuffer sampler
+    is clamp-to-edge)."""
     h, w = img.shape[:2]
     bw, bh = (w + 1) // 2, (h + 1) // 2
     padded = jnp.pad(
@@ -87,7 +95,29 @@ def _quad_level(img: jnp.ndarray) -> jnp.ndarray:
             sub = padded[py : py + 2 * bh, px : px + 2 * bw]
             blk = sub.reshape(bh, 2, bw, 2, 3).transpose(0, 2, 1, 3, 4)
             phases.append(blk.reshape(bh * bw, 12))
-    return jnp.concatenate(phases, axis=0)
+    q = jnp.concatenate(phases, axis=0)
+    pad = (-q.shape[0]) % GROUP
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+    return q.reshape(-1, 12 * GROUP)
+
+
+def _grouped_rows(n_quads: int) -> int:
+    return -(-n_quads // GROUP)
+
+
+def _fetch_quad(table: jnp.ndarray, grouped_off, qidx: jnp.ndarray):
+    """Gather LEVEL-LOCAL quad-block ``qidx`` from a GROUP-packed table
+    whose level starts at grouped row ``grouped_off`` -> [..., 4, 3]."""
+    row = table[grouped_off + (qidx >> 2)]  # GROUP == 4
+    # see ops/texture.py: barrier keeps the wide row gather intact
+    row = jax.lax.optimization_barrier(row)
+    grp = row.reshape(row.shape[:-1] + (GROUP, 12))
+    sub = qidx & (GROUP - 1)
+    out = grp[..., 0, :]
+    for k in range(1, GROUP):
+        out = jnp.where((sub == k)[..., None], grp[..., k, :], out)
+    return out.reshape(out.shape[:-1] + (4, 3))
 
 
 def build_pyramid(framebuffer: jnp.ndarray) -> MipPyramid:
@@ -100,7 +130,7 @@ def build_pyramid(framebuffer: jnp.ndarray) -> MipPyramid:
     offsets, off = [], 0
     for lw, lh in shapes:
         offsets.append(off)
-        off += 4 * ((lw + 1) // 2) * ((lh + 1) // 2)
+        off += _grouped_rows(4 * ((lw + 1) // 2) * ((lh + 1) // 2))
     return MipPyramid(
         level_quads=tuple(_quad_level(lvl) for lvl in levels),
         offsets=tuple(offsets),
@@ -144,8 +174,8 @@ def _bilinear_clamp_quad(pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray):
     bw = (w + 1) >> 1
     bh = (h + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
-    qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    q = pyr.quads[qidx].reshape(qidx.shape + (4, 3))
+    qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+    q = _fetch_quad(pyr.quads, qoff, qidx)
     c00, c10, c01, c11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
@@ -173,7 +203,7 @@ def _bilinear_level_static(pyr: MipPyramid, k: int, uv: jnp.ndarray):
     bh = (h + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    q = pyr.level_quads[k][qidx].reshape(qidx.shape + (4, 3))
+    q = _fetch_quad(pyr.level_quads[k], 0, qidx)
     c00, c10, c01, c11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx

@@ -7,18 +7,25 @@ analytic UV derivatives in the deferred shading pass (the TPU analogue of
 ddx/ddy, SURVEY.md §2.5 "derivative hardware").
 
 The atlas stores each mip level as 2x2 blocks in four phase-shifted copies
-(scene/textures.py), so one bilinear tap is ONE [4]-uint32 row gather and
-trilinear is two — TPU gathers cost by index count (~13 ms per 2M on
-v5e), so this is 4x cheaper than a row-major texel pool.
+(scene/textures.py), so one bilinear tap is ONE row gather and trilinear
+is two; QUAD_GROUP consecutive blocks pack into each physical row because
+TPU gather cost scales with table ROW COUNT, nearly independent of row
+width (the sub-block select is register work).
 
 Conventions match Vulkan: texel centres at integer+0.5, LOD0 = full res.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from transmission_renderer_tpu.scene.textures import MAX_MIPS, META_COLS  # noqa: F401
+from transmission_renderer_tpu.scene.textures import (  # noqa: F401
+    MAX_MIPS,
+    META_COLS,
+    QUAD_GROUP,
+    QUAD_GROUP_SHIFT,
+)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -80,7 +87,22 @@ def _bilinear_level_quad(
     bh = (height + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    q = _unpack_rgba8(quads[qidx])  # [..., 4 texels, 4 ch]
+    # TPU gather cost scales with table ROW COUNT, near-independent of
+    # row width (measured v5e @2M idx, 16.8 MB table: 350k-row [12]f32
+    # ~10 ms vs 87.5k-row [48]f32 ~1 ms). The atlas therefore stores
+    # QUAD_GROUP consecutive quad-blocks per row; the sub-block select
+    # is register work.
+    row = quads[qidx >> QUAD_GROUP_SHIFT]  # [..., 4 * QUAD_GROUP] u32
+    # materialise the WIDE row gather before the sub-block select: fused,
+    # XLA re-splits it into QUAD_GROUP strided gathers and the row
+    # grouping regresses 2-10x (docs/PERFORMANCE.md negative-result note)
+    row = jax.lax.optimization_barrier(row)
+    grp = row.reshape(row.shape[:-1] + (QUAD_GROUP, 4))
+    sub = qidx & (QUAD_GROUP - 1)
+    packed4 = grp[..., 0, :]
+    for k in range(1, QUAD_GROUP):
+        packed4 = jnp.where((sub == k)[..., None], grp[..., k, :], packed4)
+    q = _unpack_rgba8(packed4)  # [..., 4 texels, 4 ch]
     rgb = jnp.where(
         srgb[..., None, None], _srgb_to_linear(q[..., :3]), q[..., :3]
     )
@@ -160,10 +182,10 @@ def sample_texture_rows(
 
 
 def quad_lut_2ch(lut: jnp.ndarray) -> jnp.ndarray:
-    """[S, S, 2] float LUT -> [4 * (S/2)^2, 8] phase-shifted 2x2 blocks
-    (CLAMP edges baked), for ``sample_lut_2ch_quad``. Build once per frame
-    — pure data movement; each *sample* then costs ONE gather instead of
-    four."""
+    """[S, S, 2] float LUT -> [4 * (S/2)^2 / QUAD_GROUP, 8 * QUAD_GROUP]
+    phase-shifted 2x2 blocks, QUAD_GROUP per row (CLAMP edges baked), for
+    ``sample_lut_2ch_quad``. Build once per frame — pure data movement;
+    each *sample* then costs ONE (row-grouped) gather instead of four."""
     s = lut.shape[0]
     b = (s + 1) // 2
     padded = jnp.pad(lut, ((0, 2 * b + 1 - s), (0, 2 * b + 1 - s), (0, 0)),
@@ -174,7 +196,11 @@ def quad_lut_2ch(lut: jnp.ndarray) -> jnp.ndarray:
             sub = padded[py : py + 2 * b, px : px + 2 * b]
             blk = sub.reshape(b, 2, b, 2, 2).transpose(0, 2, 1, 3, 4)
             phases.append(blk.reshape(b * b, 8))
-    return jnp.concatenate(phases, axis=0)
+    q = jnp.concatenate(phases, axis=0)
+    pad = (-q.shape[0]) % QUAD_GROUP
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+    return q.reshape(-1, 8 * QUAD_GROUP)
 
 
 def sample_lut_2ch_quad(
@@ -195,7 +221,13 @@ def sample_lut_2ch_quad(
     b = (s + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = phase * (b * b) + (y0 >> 1) * b + (x0 >> 1)
-    q = quads[qidx].reshape(qidx.shape + (4, 2))
+    row = jax.lax.optimization_barrier(quads[qidx >> QUAD_GROUP_SHIFT])
+    grp = row.reshape(row.shape[:-1] + (QUAD_GROUP, 8))
+    sub = qidx & (QUAD_GROUP - 1)
+    q8 = grp[..., 0, :]
+    for k in range(1, QUAD_GROUP):
+        q8 = jnp.where((sub == k)[..., None], grp[..., k, :], q8)
+    q = q8.reshape(qidx.shape + (4, 2))
     c00, c10, c01, c11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx

@@ -4,16 +4,19 @@ The reference binds up to 193 images as a partially-bound descriptor array
 (src/main.rs:59, src/descriptor_sets.rs:30-80) and lets sampler hardware do
 bilinear/trilinear filtering, wrap modes, and sRGB decode. TPUs have no
 sampler hardware (SURVEY.md §2.5), so sampling is gather-based — and TPU
-gathers cost by *index count* (~13 ms per 2M indices on v5e), not element
-width. The atlas layout is therefore built around minimising gathers per
-tap:
+gather cost scales with index count and with the table's ROW COUNT,
+nearly independent of row width (measured v5e @2M idx, 16.8 MB table:
+350k-row [12]f32 ~10 ms vs 87.5k-row [48]f32 ~1 ms). The atlas layout is
+therefore built around minimising gathers per tap AND rows per table:
 
 **Quad-block layout.** Each mip level is stored as 2x2 texel blocks in
 FOUR phase-shifted copies (block origins at (even,even), (even,odd),
 (odd,even), (odd,odd)). Any bilinear footprint {x0,x0+1}x{y0,y0+1} is then
 fully contained in exactly one block of the phase (y0&1, x0&1), so one
-bilinear tap = ONE gather of a [4]-uint32 row (vs 4 scalar gathers for a
-row-major layout), and trilinear = 2 gathers. Wrap behaviour at the edges
+bilinear tap = ONE row gather (vs 4 scalar gathers for a row-major
+layout), and trilinear = 2 gathers; QUAD_GROUP consecutive blocks pack
+into each physical row to shrink the row count 4x (the sub-block select
+is register work). Wrap behaviour at the edges
 (the +1 neighbour of the last row/column) is baked into the edge blocks at
 build time per image (``wrap`` arg of ``push_image``); sampling with the
 matching mode is exact everywhere, sampling with the other mode is exact
@@ -39,6 +42,15 @@ import numpy as np
 # Level-m sizes are max(size0 >> m, 1) (floor(n/2) chain == shift chain).
 MAX_MIPS = 13  # up to 4096x4096
 META_COLS = 4 + MAX_MIPS
+
+# Quad-blocks packed per physical atlas row: TPU gather cost scales with
+# table ROW COUNT, nearly independent of row width (measured on v5e —
+# see ops/texture.py), so grouping 4 consecutive blocks per row cuts the
+# dominant material-tap gather ~4x for free. Logical quad indices are
+# unchanged; samplers fetch row qidx >> SHIFT and select sub-block
+# qidx & (GROUP - 1) in registers.
+QUAD_GROUP = 4
+QUAD_GROUP_SHIFT = 2
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -169,6 +181,10 @@ class AtlasBuilder:
             # 1x1 white dummy so the pools are never empty.
             self.push_image(np.full((1, 1, 4), 255, np.uint8), srgb=False)
         quads = np.concatenate(self._chunks)
+        pad = (-len(quads)) % QUAD_GROUP
+        quads = np.concatenate(
+            [quads, np.zeros((pad, 4), quads.dtype)]
+        ).reshape(-1, 4 * QUAD_GROUP)
         meta = np.stack(self._meta)
         srgb = np.array(self._srgb, bool)
         return quads, meta, srgb

@@ -219,7 +219,7 @@ class Scene(NamedTuple):
     materials: MaterialsSoA
     # Texture atlas: flat texel pool (RGBA8, all mips of all textures) plus
     # a metadata table; see scene/textures.py. Kept as uint32-packed RGBA.
-    atlas_texels: jnp.ndarray  # [B, 4] uint32 quad-block rows (packed RGBA8)
+    atlas_texels: jnp.ndarray  # [B/4, 16] u32: QUAD_GROUP quad-blocks/row
     atlas_meta: jnp.ndarray  # [num_images, META_COLS] int32 table
     atlas_srgb: jnp.ndarray  # [num_images] bool — decode as sRGB on sample
 
