@@ -443,8 +443,11 @@ def _rasterize_clip_peeled(
         interpret=config.pallas_interpret,
     )
     cap = max(int(np.ceil(n_tiles * config.clip_retile_cap_frac)), 1)
+    # ONE dense alpha test; later rounds only change the re-raced tile
+    # subset, so the test (an atlas tap per pixel — the expensive part)
+    # reruns on [cap] tiles and scatters back into ``ok``.
+    ok = _clip_alpha_ok_tiles(scene, ch)
     for _ in range(1, max(config.alpha_clip_rounds, 1)):
-        ok = _clip_alpha_ok_tiles(scene, ch)
         failed = (ch["tri"] >= 0) & ~ok
         ft = jnp.any(failed.reshape(n_tiles, -1), axis=1)
         pos = jnp.cumsum(ft.astype(jnp.int32)) - 1
@@ -463,14 +466,21 @@ def _rasterize_clip_peeled(
             interpret=config.pallas_interpret,
         )
         failed_sel = failed[safe_ids]
+        sub = {}
         for name in GBUF_CHANNELS:
             merged = jnp.where(failed_sel, new[name], ch[name][safe_ids])
+            sub[name] = merged
             padded = jnp.concatenate(
                 [ch[name], jnp.zeros_like(ch[name][:1])], axis=0
             )
             ch[name] = padded.at[ids].set(merged, mode="drop")[:n_tiles]
+        ok_sub = _clip_alpha_ok_tiles(scene, sub)
+        ok = (
+            jnp.concatenate([ok, jnp.ones_like(ok[:1])], axis=0)
+            .at[ids]
+            .set(ok_sub, mode="drop")[:n_tiles]
+        )
 
-    ok = _clip_alpha_ok_tiles(scene, ch)
     failed = (ch["tri"] >= 0) & ~ok
     unresolved = jnp.sum(failed.astype(jnp.int32))
     ch["tri"] = jnp.where(failed, -1, ch["tri"])
