@@ -119,7 +119,11 @@ def bench_scene(name, builder, config, round_trip, n_frames=10, report_sensitivi
                 config, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
             )
             float(render(scene, dl, p, lights, bvh))
-        return (time.perf_counter() - t0) / n - round_trip
+        total = (time.perf_counter() - t0) / n
+        # the tunnel round-trip drifts (10-46 ms observed between
+        # measurements); re-measure right after the frames and subtract
+        # the smaller estimate so drift can't inflate the frame time
+        return total - min(round_trip, measure_round_trip())
 
     dt = max(run(n_frames), 1e-6)
     fps = 1.0 / dt
