@@ -123,3 +123,23 @@ def test_chunked_trace_matches_flat(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=name
         )
+
+
+def test_tiny_scene_single_leaf_row():
+    """T=2 triangles -> one leaf row, one internal level; the bitstack
+    walk must handle the degenerate tree."""
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [3, 0, 0], [4, 0, 0], [3, 1, 0]],
+        np.float32,
+    )
+    tri = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    bvh = build_bvh(tri, pos)
+    assert bvh.num_leaves == 1 and bvh.num_levels == 1
+    o = jnp.asarray(np.array(
+        [[0.3, 0.3, 5.0], [3.3, 0.3, 5.0], [10.0, 10.0, 5.0]], np.float32
+    ))
+    d = jnp.asarray(np.tile(np.array([0, 0, -1], np.float32), (3, 1)))
+    hit, t, tri_id, *_ = trace_rays(bvh, jnp.asarray(tri), jnp.asarray(pos), o, d)
+    hit = np.asarray(hit)
+    assert hit[0] and hit[1] and not hit[2]
+    assert int(tri_id[0]) == 0 and int(tri_id[1]) == 1

@@ -274,7 +274,9 @@ def trace_rays(
     ``t_max`` may be per-ray (point-light shadow rays use the light
     distance, shader/src/lighting.rs:64-71). ``alpha_test_fn(tri_id, u, v)
     -> bool`` confirms candidates (the caster's alpha-clip re-test,
-    shader/src/lib.rs:777-784); None confirms everything.
+    shader/src/lib.rs:777-784); None confirms everything. The callback
+    receives [LEAF_TRIS]-shaped candidate batches (one leaf row per
+    call), so its body must broadcast-index, never scalar-index.
     """
     shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)

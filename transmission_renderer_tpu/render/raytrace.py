@@ -136,20 +136,24 @@ def as_debug_view(
         # BLAS geometry carries no OPAQUE flag (acceleration_structures.rs
         # :31), so EVERY candidate is alpha-tested — LOD-0 diffuse alpha
         # (times the factor) must reach the material cutoff to commit.
+        # The wide-BVH walk tests a [LEAF_TRIS] candidate batch per call
+        # (ops/bvh.py), so everything here is broadcast-indexed.
         mid = tri_material[tri_id]
         tid = m.tex_diffuse[mid]
-        vidx = tri_vertices[tri_id]
+        vidx = tri_vertices[tri_id]  # [..., 3]
         uv = (
-            uvs[vidx[0]] * (1.0 - u - v)
-            + uvs[vidx[1]] * u
-            + uvs[vidx[2]] * v
+            uvs[vidx[..., 0]] * (1.0 - u - v)[..., None]
+            + uvs[vidx[..., 1]] * u[..., None]
+            + uvs[vidx[..., 2]] * v[..., None]
         )
         sample = sample_texture(
             scene.atlas_texels, scene.atlas_meta, scene.atlas_srgb,
             jnp.maximum(tid, 0), uv, jnp.zeros_like(u), WRAP_REPEAT,
             trilinear=False,
         )
-        alpha = m.diffuse_factor[mid, 3] * jnp.where(tid >= 0, sample[3], 1.0)
+        alpha = m.diffuse_factor[mid, 3] * jnp.where(
+            tid >= 0, sample[..., 3], 1.0
+        )
         return alpha >= m.alpha_clipping_cutoff[mid]
 
     hit, t, tri_id, u, v = trace_rays(
