@@ -95,3 +95,68 @@ def test_hybrid_matches_jax_path():
     assert frac < 0.01, f"max {diff.max()}, frac {frac}"
     # the alpha-clipped plane must actually show holes (checker pattern)
     assert (ref.sum(-1) > 0).any()
+
+
+def test_sparse_tile_raster_matches_dense_pallas():
+    """Sparse-tile transmission/clip raster (active-tile worklists) must be
+    bit-identical to the dense Pallas path: inactive tiles' defaults mirror
+    the kernel's cleared output, active tiles run the same kernel."""
+    scene, dl, flags = _scene_with_alpha_clip()
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.2, 2.0], np.float32)
+    rig.camera.pitch = -0.5
+    params = make_frame_params(
+        CFG_PAL, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+    )
+    lights = pack_lights([point_light([0.0, 1.5, 0.0], [1, 1, 1], 4.0)])
+
+    cfg_dense = dataclasses.replace(
+        CFG_PAL, transmission_tile_cap_frac=None, clip_tile_cap_frac=None
+    )
+    # floor 1 so the 16-tile test frame actually takes the sparse path
+    cfg_sparse = dataclasses.replace(
+        CFG_PAL, transmission_tile_cap_frac=0.75, clip_tile_cap_frac=0.75,
+        sparse_raster_tile_floor=1,
+    )
+    dense = np.asarray(
+        jax.jit(partial(render_frame, config=cfg_dense, flags=flags))(
+            scene, dl, params, lights
+        )
+    )
+    sparse, diag = jax.jit(
+        partial(render_frame, config=cfg_sparse, flags=flags,
+                return_diagnostics=True)
+    )(scene, dl, params, lights)
+    np.testing.assert_array_equal(np.asarray(sparse), dense)
+    # worklists saw real work and stayed under their caps
+    assert 0 < int(diag.transmission_tiles) <= diag.transmission_tile_capacity
+    assert 0 < int(diag.clip_tiles) <= diag.clip_tile_capacity
+    assert not type(diag)(*[
+        int(np.asarray(v)) if hasattr(v, "shape") else v for v in diag
+    ]).overflowed()
+
+
+def test_sparse_tile_raster_overflow_detected():
+    """An undersized tile worklist must be surfaced via FrameDiagnostics
+    (dropped tiles = silently missing glass otherwise)."""
+    scene, dl, flags = _scene_with_alpha_clip()
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.2, 2.0], np.float32)
+    rig.camera.pitch = -0.5
+    params = make_frame_params(
+        CFG_PAL, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+    )
+    lights = pack_lights([point_light([0.0, 1.5, 0.0], [1, 1, 1], 4.0)])
+    cfg = dataclasses.replace(
+        CFG_PAL, transmission_tile_cap_frac=1e-9, clip_tile_cap_frac=1e-9,
+        sparse_raster_tile_floor=1,
+    )
+    _, diag = jax.jit(
+        partial(render_frame, config=cfg, flags=flags,
+                return_diagnostics=True)
+    )(scene, dl, params, lights)
+    host = type(diag)(*[
+        int(np.asarray(v)) if hasattr(v, "shape") else v for v in diag
+    ])
+    assert host.transmission_tiles > host.transmission_tile_capacity
+    assert host.overflowed()

@@ -158,8 +158,11 @@ def main():
 
     def f_bin(setup):
         return bin_triangles(
-            setup, config.tiles_x, config.tiles_y, config.max_tiles_per_tri,
-            config.max_tris_per_tile, config.max_big_tris, materialize=False,
+            setup, config.tiles_x, config.tiles_y,
+            config.pallas_tiles_per_tri, config.max_tris_per_tile,
+            config.pallas_max_big_tris, materialize=False,
+            mid_tile_cap=config.pallas_mid_tile_cap,
+            max_mid_tris=config.pallas_max_mid_tris,
         )
 
     bins = stage("binning_sort", f_bin, setup_all)

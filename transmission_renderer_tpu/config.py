@@ -57,6 +57,18 @@ class RenderConfig:
     # draws and is surfaced via FrameDiagnostics.big_tri_count.
     max_big_tris: int = 256
 
+    # --- Pallas-path binning tiers (ops/raster.py::bin_triangles) -----------
+    # The sorted-pair stream's size sets the binning sort + payload-gather
+    # cost (~23 ms of a 115 ms 1080p frame at K=16). Small triangles emit
+    # K = pallas_tiles_per_tri pairs each; coverage in (K, mid cap] tiles
+    # demotes to a mid tier (max_mid x cap pair slots); larger ones to the
+    # giant tier (max_big x n_tiles slots). Tier overflow drops draws and
+    # is surfaced via FrameDiagnostics (mid_tri_count / big_tri_count).
+    pallas_tiles_per_tri: int = 8
+    pallas_mid_tile_cap: int = 128
+    pallas_max_mid_tris: int = 512
+    pallas_max_big_tris: int = 32
+
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
     # shape is the kernel's native 8x128; pure-JAX vmapped raster
     # otherwise). On the Pallas path alpha-clip classes resolve in-kernel
@@ -99,6 +111,20 @@ class RenderConfig:
     # per scene when glass fills the frame.
     opaque_block_cap_frac: float | None = None
     transmission_block_cap_frac: float | None = 0.25
+
+    # --- sparse-tile raster passes (render/frame.py) -------------------------
+    # The G-buffer kernel pays a fixed per-tile cost (~10 us: channel
+    # inits + record-stream spin-up) even for tiles its draw class never
+    # touches — ~20 ms/pass across a 1080p tile grid. Classes whose
+    # coverage is a small screen fraction (transmission, usually
+    # alpha-clip) instead raster a compacted worklist of only the tiles
+    # holding >= 1 record of that class (counts are free: they're the
+    # class-split ``tile_start`` runs). Exact while the active-tile count
+    # fits cap_frac * n_tiles (256-tile floor); overflow drops tiles and
+    # is surfaced via FrameDiagnostics. None = dense (every tile).
+    transmission_tile_cap_frac: float | None = 0.25
+    clip_tile_cap_frac: float | None = 0.5
+    sparse_raster_tile_floor: int = 256
 
     # --- alpha-clip depth peeling (render/frame.py) --------------------------
     # Rounds of race -> alpha-test -> re-race for alpha-clip draw classes

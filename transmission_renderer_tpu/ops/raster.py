@@ -153,6 +153,9 @@ class TileBins(NamedTuple):
     # (default is a plain int: creating a jnp scalar at import time would
     # initialise the backend before callers can select one)
     max_bin_count: jnp.ndarray | int = 0
+    # unclamped demand of the mid-size demotion tier (Pallas path with
+    # mid_tile_cap > 0); demand above max_mid_tris means dropped draws
+    mid_tri_count: jnp.ndarray | int = 0
 
 
 def bin_triangles(
@@ -165,6 +168,8 @@ def bin_triangles(
     materialize: bool = True,
     class_flags: jnp.ndarray | None = None,
     num_classes: int = 2,
+    mid_tile_cap: int = 0,
+    max_mid_tris: int = 0,
 ) -> TileBins:
     """Sort-based binning (the TPU replacement for the reference's
     atomic-append compaction, SURVEY.md §2.6).
@@ -214,44 +219,70 @@ def bin_triangles(
     flat_bins = bin_id.reshape(-1)
     flat_tris = tri_ids.reshape(-1)
 
+    mid_demand = jnp.zeros((), jnp.int32)
     if not materialize:
-        # Big triangles join the SAME sorted stream via bbox-expanded
-        # pairs (up to max_big_tris of them; n_tiles pairs each). The
-        # kernels then walk no per-tile big list at all — the old
-        # every-tile-walks-every-big-record loop cost ~1.2 us per tile
+        # Demoted triangles join the SAME sorted stream via bbox-expanded
+        # pairs. The kernels then walk no per-tile big list at all — the
+        # old every-tile-walks-every-big-record loop cost ~1.2 us per tile
         # per record (~19 ms/pass at 1080p with a handful of walls).
-        big_order = jnp.argsort(~is_big, stable=True).astype(jnp.int32)
-        n_big = jnp.sum(is_big)
-        big_tri = jnp.where(
-            jnp.arange(num_tris) < n_big, big_order, num_tris
-        )[:max_big_tris]
-        if num_tris < max_big_tris:
-            big_tri = jnp.pad(
-                big_tri, (0, max_big_tris - num_tris), constant_values=num_tris
+        # With ``mid_tile_cap`` > 0 demotion is TIERED: coverage in
+        # (k, mid_tile_cap] -> a mid list of max_mid_tris slots at
+        # mid_tile_cap pairs each, coverage > mid_tile_cap -> the giant
+        # list at n_tiles pairs each. One flat worst-case tier would feed
+        # the sort max_big_tris * n_tiles pair slots (0.5M at 1080p —
+        # ~40% of the whole sort for a scene with 3 walls); the mid tier
+        # keeps K small for the millions of tiny triangles without
+        # paying full-screen slots for every mid-size one.
+        def demoted_pairs(sel, cap, slots):
+            order = jnp.argsort(~sel, stable=True).astype(jnp.int32)
+            n_sel = jnp.sum(sel)
+            tri = jnp.where(
+                jnp.arange(num_tris) < n_sel, order, num_tris
+            )[:cap]
+            if num_tris < cap:
+                tri = jnp.pad(
+                    tri, (0, cap - num_tris), constant_values=num_tris
+                )
+            safe = jnp.minimum(tri, num_tris - 1)
+            btx0, bty0, btx1, bty1 = (
+                setup.tile_bbox[safe, i] for i in range(4)
             )
-        safe_big = jnp.minimum(big_tri, num_tris - 1)
-        btx0, bty0, btx1, bty1 = (
-            setup.tile_bbox[safe_big, i] for i in range(4)
-        )
-        bbw = btx1 - btx0 + 1
-        slot_b = jnp.arange(n_tiles, dtype=jnp.int32)[None, :]  # [1, NT]
-        bjx = slot_b % bbw[:, None]
-        bjy = slot_b // bbw[:, None]
-        big_tile = (bty0[:, None] + bjy) * tiles_x + (btx0[:, None] + bjx)
-        cov_b = bbw * (bty1 - bty0 + 1)
-        bvalid = (big_tri[:, None] < num_tris) & (slot_b < cov_b[:, None])
-        if class_flags is not None:
-            bcls = class_flags.astype(jnp.int32)[safe_big]
-            big_bin = big_tile * num_classes + bcls[:, None]
+            bbw = btx1 - btx0 + 1
+            slot_b = jnp.arange(slots, dtype=jnp.int32)[None, :]  # [1, S]
+            bjx = slot_b % bbw[:, None]
+            bjy = slot_b // bbw[:, None]
+            tile = (bty0[:, None] + bjy) * tiles_x + (btx0[:, None] + bjx)
+            cov_b = bbw * (bty1 - bty0 + 1)
+            bvalid = (tri[:, None] < num_tris) & (slot_b < cov_b[:, None])
+            if class_flags is not None:
+                bcls = class_flags.astype(jnp.int32)[safe]
+                bin_b = tile * num_classes + bcls[:, None]
+            else:
+                bin_b = tile
+            bin_b = jnp.where(bvalid, bin_b, n_bins)
+            tri_b = jnp.broadcast_to(tri[:, None], (cap, slots)).astype(
+                jnp.int32
+            )
+            return bin_b.reshape(-1), tri_b.reshape(-1), n_sel
+
+        use_mid = 0 < mid_tile_cap < n_tiles and max_mid_tris > 0
+        parts_b, parts_t = [flat_bins], [flat_tris]
+        if use_mid:
+            is_mid = is_big & (coverage <= mid_tile_cap)
+            is_giant = is_big & (coverage > mid_tile_cap)
+            mb, mt, mid_demand = demoted_pairs(
+                is_mid, max_mid_tris, mid_tile_cap
+            )
+            parts_b.append(mb)
+            parts_t.append(mt)
         else:
-            big_bin = big_tile
-        big_bin = jnp.where(bvalid, big_bin, n_bins)
-        big_tri_b = jnp.broadcast_to(
-            big_tri[:, None], (max_big_tris, n_tiles)
-        ).astype(jnp.int32)
-        flat_bins = jnp.concatenate([flat_bins, big_bin.reshape(-1)])
-        flat_tris = jnp.concatenate([flat_tris, big_tri_b.reshape(-1)])
-        # big-emitted pairs carry sentinel tri = num_tris where invalid;
+            is_giant = is_big
+        gb, gt, giant_demand = demoted_pairs(is_giant, max_big_tris, n_tiles)
+        parts_b.append(gb)
+        parts_t.append(gt)
+        flat_bins = jnp.concatenate(parts_b)
+        flat_tris = jnp.concatenate(parts_t)
+        # demoted pairs carry sentinel tri = num_tris where invalid;
         # map them to the sorted sentinel (-1 handled by payload pad)
         flat_tris = jnp.where(flat_tris >= num_tris, -1, flat_tris)
 
@@ -301,7 +332,7 @@ def bin_triangles(
         # count keeps the UNCLAMPED demand for overflow diagnostics
         # (demand > max_big_tris means dropped draws).
         big_ids = jnp.full((1,), -1, jnp.int32)
-        big_count = jnp.sum(is_big).astype(jnp.int32)
+        big_count = giant_demand.astype(jnp.int32)
 
     return TileBins(
         tile_tri_ids=tile_tri_ids,
@@ -311,6 +342,7 @@ def bin_triangles(
         sorted_tri_ids=sorted_tris,
         tile_start=tile_start,
         max_bin_count=jnp.max(raw_counts).astype(jnp.int32),
+        mid_tri_count=jnp.asarray(mid_demand, jnp.int32),
     )
 
 

@@ -362,9 +362,11 @@ def render_frame_sharded(
             )
             setup = setup_triangles(clip, dl.tri_vtx, mask_all, w, h, tw, th)
             bins = bin_triangles(
-                setup, tiles_x, tiles_y_padded, config.max_tiles_per_tri,
-                config.max_tris_per_tile, config.max_big_tris,
+                setup, tiles_x, tiles_y_padded, config.pallas_tiles_per_tri,
+                config.max_tris_per_tile, config.pallas_max_big_tris,
                 materialize=False, class_flags=is_trans_tri,
+                mid_tile_cap=config.pallas_mid_tile_cap,
+                max_mid_tris=config.pallas_max_mid_tris,
             )
             records = pack_gbuf_payload(
                 setup, dl.tri_vtx, dl.tri_material, tri_scale,

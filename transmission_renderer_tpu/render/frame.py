@@ -314,6 +314,14 @@ class FrameDiagnostics(NamedTuple):
     # alpha-clip pixels whose depth-peeling did not converge within
     # config.alpha_clip_rounds (0 = image exact)
     clip_unresolved: jnp.ndarray | int = 0
+    # mid-tier binning demand (Pallas path; ops/raster.py tiered demotion)
+    mid_tri_count: jnp.ndarray | int = 0
+    mid_tri_capacity: int = 0
+    # sparse-tile raster worklists (render_frame Pallas path)
+    transmission_tiles: jnp.ndarray | int = 0
+    transmission_tile_capacity: int = 0
+    clip_tiles: jnp.ndarray | int = 0
+    clip_tile_capacity: int = 0
 
     def overflowed(self) -> bool:
         """Host-side check (call outside jit on fetched values)."""
@@ -322,6 +330,9 @@ class FrameDiagnostics(NamedTuple):
             (int(self.big_tri_count), self.big_tri_capacity),
             (int(self.opaque_blocks), self.opaque_block_capacity),
             (int(self.transmission_blocks), self.transmission_block_capacity),
+            (int(self.mid_tri_count), self.mid_tri_capacity),
+            (int(self.transmission_tiles), self.transmission_tile_capacity),
+            (int(self.clip_tiles), self.clip_tile_capacity),
         ]
         return any(cap and n > cap for n, cap in checks) or int(
             self.clip_unresolved
@@ -411,6 +422,108 @@ def _merge_gbuffers(base, top):
     return GBuffer(**fields)
 
 
+def _class_tile_worklist(
+    tile_start: jnp.ndarray, n_tiles: int, num_classes: int, cls: int,
+    cap: int,
+):
+    """Compact the ids of tiles holding >= 1 sorted record of draw class
+    ``cls`` into a static-size worklist (the raster analogue of
+    render/sparse.py's block compaction). Per-tile class counts are free:
+    they are the class-split ``tile_start`` runs (ops/raster.py). Returns
+    (ids [cap] padded with n_tiles, active_count)."""
+    base = jnp.arange(n_tiles, dtype=jnp.int32) * num_classes + cls
+    active = (tile_start[base + 1] - tile_start[base]) > 0
+    pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+    count = jnp.sum(active.astype(jnp.int32))
+    tgt = jnp.where(active & (pos < cap), pos, cap)
+    ids = (
+        jnp.full((cap + 1,), n_tiles, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(n_tiles, dtype=jnp.int32))[:cap]
+    )
+    return ids, count
+
+
+def _default_gbuf_channels(n_tiles: int, init_depth_tiles: jnp.ndarray):
+    """Tiled channel dict exactly matching the kernel's cleared-tile
+    output (raster_pallas_gbuf.py::_kernel init), so a sparse-tile pass
+    scattered over these defaults is bit-identical to the dense run."""
+    from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+        GBUF_CHANNELS,
+        TILE_H,
+        TILE_W,
+    )
+
+    zero = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
+    ch = {name: zero for name in GBUF_CHANNELS}
+    ch["tri"] = jnp.full((n_tiles, TILE_H, TILE_W), -1, jnp.int32)
+    ch["material"] = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.int32)
+    ch["depth"] = init_depth_tiles
+    ch["nrm_z"] = zero + 1.0
+    ch["scale"] = zero + 1.0
+    return ch
+
+
+def _scatter_tile_channels(ch: dict, ids: jnp.ndarray, sub: dict, n_tiles):
+    """Scatter a tile-worklist's channels back over the dense tiled dict
+    (empty slots target the pad row and are dropped)."""
+    out = {}
+    for name, dense in ch.items():
+        padded = jnp.concatenate([dense, jnp.zeros_like(dense[:1])], axis=0)
+        out[name] = padded.at[ids].set(sub[name], mode="drop")[:n_tiles]
+    return out
+
+
+def _rasterize_class_sparse(
+    payload, tile_start, big_count, pass_class: int, cap: int,
+    init_tiles: jnp.ndarray, config, w: int, h: int,
+    max_depth_tiles: jnp.ndarray | None = None,
+):
+    """Raster one draw class over ONLY the tiles holding records of that
+    class. Exact while the active-tile count fits ``cap`` (overflowing
+    tiles keep the cleared/default output — surfaced via
+    FrameDiagnostics). Returns (dense tiled channel dict, active_count).
+    Requires the big-record list to be empty (Pallas frame path: big
+    triangles ride the class-keyed sorted stream)."""
+    from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+        TILE_H,
+        TILE_W,
+        rasterize_gbuffer_tiles,
+    )
+
+    tiles_x = -(-w // TILE_W)
+    tiles_y = -(-h // TILE_H)
+    n_tiles = tiles_x * tiles_y
+    num_classes = (tile_start.shape[0] - 1) // n_tiles
+    ids, count = _class_tile_worklist(
+        tile_start, n_tiles, num_classes, pass_class, cap
+    )
+    safe_ids = jnp.minimum(ids, n_tiles - 1)
+    sub = rasterize_gbuffer_tiles(
+        payload, safe_ids, tile_start, big_count, w, h,
+        init_depth_tiles=init_tiles[safe_ids],
+        max_depth_tiles=(
+            max_depth_tiles[safe_ids] if max_depth_tiles is not None else None
+        ),
+        pass_class=pass_class, interpret=config.pallas_interpret,
+    )
+    ch = _scatter_tile_channels(
+        _default_gbuf_channels(n_tiles, init_tiles), ids, sub, n_tiles
+    )
+    return ch, count, (ids, safe_ids, sub)
+
+
+def _tile_cap(frac: float | None, n_tiles: int, floor: int) -> int:
+    """Static sparse-raster tile cap: fraction of the grid with a floor
+    (small frames quantise coverage upward and are cheap anyway). 0 =
+    keep the dense path (also when the cap would cover the whole grid —
+    sparse would only add scatter overhead)."""
+    if frac is None:
+        return 0
+    cap = max(int(np.ceil(n_tiles * frac)), floor)
+    return 0 if cap >= n_tiles else cap
+
+
 def _rasterize_clip_peeled(
     scene: Scene, payload, bins, big_count, pass_class: int, base, config,
     w: int, h: int,
@@ -422,7 +535,8 @@ def _rasterize_clip_peeled(
     excluding the rejected layer. Exact once the number of rejected layers
     above the true winner is under ``config.alpha_clip_rounds``; leftovers
     are invalidated (fall through to base) and counted in the returned
-    diagnostic. Returns (merged GBuffer, unresolved-pixel count)."""
+    diagnostic. Returns (merged GBuffer, unresolved-pixel count,
+    active-tile count of the sparse first round — 0 when dense)."""
     from transmission_renderer_tpu.ops.raster import tile_image, untile_image
     from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
         GBUF_CHANNELS,
@@ -437,16 +551,32 @@ def _rasterize_clip_peeled(
     n_tiles = tiles_x * tiles_y
     all_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     init_tiles = tile_image(base.depth, TILE_W, TILE_H)
-    ch = rasterize_gbuffer_tiles(
-        payload, all_ids, bins.tile_start, big_count, w, h,
-        init_depth_tiles=init_tiles, pass_class=pass_class,
-        interpret=config.pallas_interpret,
+    cap_c = _tile_cap(
+        config.clip_tile_cap_frac, n_tiles, config.sparse_raster_tile_floor
     )
+    clip_tiles = jnp.int32(0)
+    if cap_c:
+        # sparse first round: raster + alpha-test only the tiles holding
+        # records of this clip class (coverage is usually a small screen
+        # fraction; inactive tiles keep the cleared output = base wins)
+        ch, clip_tiles, (ids0, _safe0, sub0) = _rasterize_class_sparse(
+            payload, bins.tile_start, big_count, pass_class, cap_c,
+            init_tiles, config, w, h,
+        )
+        ok_sub = _clip_alpha_ok_tiles(scene, sub0)
+        ones = jnp.ones((n_tiles + 1, TILE_H, TILE_W), bool)
+        ok = ones.at[ids0].set(ok_sub, mode="drop")[:n_tiles]
+    else:
+        ch = rasterize_gbuffer_tiles(
+            payload, all_ids, bins.tile_start, big_count, w, h,
+            init_depth_tiles=init_tiles, pass_class=pass_class,
+            interpret=config.pallas_interpret,
+        )
+        # ONE dense alpha test; later rounds only change the re-raced tile
+        # subset, so the test (an atlas tap per pixel — the expensive part)
+        # reruns on [cap] tiles and scatters back into ``ok``.
+        ok = _clip_alpha_ok_tiles(scene, ch)
     cap = max(int(np.ceil(n_tiles * config.clip_retile_cap_frac)), 1)
-    # ONE dense alpha test; later rounds only change the re-raced tile
-    # subset, so the test (an atlas tap per pixel — the expensive part)
-    # reruns on [cap] tiles and scatters back into ``ok``.
-    ok = _clip_alpha_ok_tiles(scene, ch)
     for _ in range(1, max(config.alpha_clip_rounds, 1)):
         failed = (ch["tri"] >= 0) & ~ok
         ft = jnp.any(failed.reshape(n_tiles, -1), axis=1)
@@ -489,7 +619,7 @@ def _rasterize_clip_peeled(
         return untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H, w, h)
 
     g_clip = gbuffer_from_channels({k: ut(v) for k, v in ch.items()})
-    return _merge_gbuffers(base, g_clip), unresolved
+    return _merge_gbuffers(base, g_clip), unresolved, clip_tiles
 
 
 def _make_alpha_fn(scene: Scene, dl: DrawList, uvs_expanded: jnp.ndarray):
@@ -611,6 +741,9 @@ def render_frame(
     # capacity diagnostics accumulated across every binning call this frame
     max_bin_count = jnp.int32(0)
     big_tri_demand = jnp.int32(0)
+    mid_tri_demand = jnp.int32(0)
+    clip_tiles = jnp.int32(0)
+    transmission_tiles = jnp.int32(0)
 
     def _track_bins(bins):
         nonlocal max_bin_count, big_tri_demand
@@ -657,14 +790,20 @@ def render_frame(
         mask_all = mask_o | mask_t if flags.has_transmission else mask_o
         setup_all = setup_triangles(clip, dl.tri_vtx, mask_all, w, h, tw, th)
         bins_all = bin_triangles(
-            setup_all, tiles_x, tiles_y, config.max_tiles_per_tri,
-            config.max_tris_per_tile, config.max_big_tris, materialize=False,
-            class_flags=tri_class, num_classes=num_classes,
+            setup_all, tiles_x, tiles_y, config.pallas_tiles_per_tri,
+            config.max_tris_per_tile, config.pallas_max_big_tris,
+            materialize=False, class_flags=tri_class,
+            num_classes=num_classes,
+            mid_tile_cap=config.pallas_mid_tile_cap,
+            max_mid_tris=config.pallas_max_mid_tris,
         )
         # the Pallas tile lists are uncapped (they read tile_start), but
-        # the big-triangle list is a static buffer
+        # the demotion tiers are static buffers
         big_tri_demand = jnp.maximum(
             big_tri_demand, bins_all.big_tri_count.astype(jnp.int32)
+        )
+        mid_tri_demand = jnp.maximum(
+            mid_tri_demand, bins_all.mid_tri_count
         )
         records = pack_gbuf_payload(
             setup_all, dl.tri_vtx, dl.tri_material, tri_scale,
@@ -680,10 +819,11 @@ def render_frame(
             interpret=config.pallas_interpret,
         )
         if flags.has_alpha_clip:
-            g_o, miss = _rasterize_clip_peeled(
+            g_o, miss, ct = _rasterize_clip_peeled(
                 scene, gpayload, bins_all, big_cnt, 2, g_o, config, w, h
             )
             clip_unresolved = clip_unresolved + miss
+            clip_tiles = jnp.maximum(clip_tiles, ct)
     else:
         # ---- 2. opaque + alpha-clip raster (pure-JAX path) ------------------
         setup_o = setup_triangles(clip, dl.tri_vtx, mask_o, w, h, tw, th)
@@ -774,6 +914,7 @@ def render_frame(
 
     transmission_blocks = jnp.int32(0)
     cap_t = 0
+    cap_rt = 0
     if flags.has_transmission:
         # ---- 5. opaque mip pyramid ----------------------------------------
         with pass_scope("mip_pyramid"):
@@ -786,15 +927,46 @@ def render_frame(
 
         # ---- 6-7. transmissive raster + shade ------------------------------
         if use_gbuf_kernel:
-            g_t = rasterize_gbuffer_pallas(
-                records, bins_all, w, h, pass_class=1, payload=gpayload,
-                init_depth=g_o.depth, interpret=config.pallas_interpret,
+            from transmission_renderer_tpu.ops.raster import (
+                tile_image,
+                untile_image,
             )
+            from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+                TILE_H,
+                TILE_W,
+                gbuffer_from_channels,
+            )
+
+            n_tiles = tiles_x * tiles_y
+            cap_rt = _tile_cap(
+                config.transmission_tile_cap_frac, n_tiles,
+                config.sparse_raster_tile_floor,
+            )
+            if cap_rt:
+                # sparse-tile transmission raster: only tiles holding
+                # class-1 records run the kernel (transmissive coverage
+                # is a small screen fraction — see config)
+                init_tiles = tile_image(g_o.depth, TILE_W, TILE_H)
+                ch_t, transmission_tiles, _ = _rasterize_class_sparse(
+                    gpayload, bins_all.tile_start, big_cnt, 1, cap_rt,
+                    init_tiles, config, w, h,
+                )
+                g_t = gbuffer_from_channels({
+                    name: untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H,
+                                       w, h)
+                    for name, a in ch_t.items()
+                })
+            else:
+                g_t = rasterize_gbuffer_pallas(
+                    records, bins_all, w, h, pass_class=1, payload=gpayload,
+                    init_depth=g_o.depth, interpret=config.pallas_interpret,
+                )
             if flags.has_alpha_clip:
-                g_t, miss = _rasterize_clip_peeled(
+                g_t, miss, ct = _rasterize_clip_peeled(
                     scene, gpayload, bins_all, big_cnt, 3, g_t, config, w, h
                 )
                 clip_unresolved = clip_unresolved + miss
+                clip_tiles = jnp.maximum(clip_tiles, ct)
         else:
             setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
             vis_t = jax_raster_pass(setup_t, init_depth=vis_o.depth)
@@ -870,16 +1042,30 @@ def render_frame(
     with pass_scope("tonemap"):
         ldr = lottes_tonemap(hdr, bake_lottes_params())
     if return_diagnostics:
+        cap_clip = (
+            _tile_cap(config.clip_tile_cap_frac, tiles_x * tiles_y,
+                      config.sparse_raster_tile_floor)
+            if (use_pallas and flags.has_alpha_clip)
+            else 0
+        )
         diags = FrameDiagnostics(
             max_bin_count=max_bin_count,
             bin_capacity=config.max_tris_per_tile,
             big_tri_count=big_tri_demand,
-            big_tri_capacity=config.max_big_tris,
+            big_tri_capacity=(
+                config.pallas_max_big_tris if use_pallas else config.max_big_tris
+            ),
             opaque_blocks=opaque_blocks,
             opaque_block_capacity=cap_o,
             transmission_blocks=transmission_blocks,
             transmission_block_capacity=cap_t,
             clip_unresolved=clip_unresolved,
+            mid_tri_count=mid_tri_demand,
+            mid_tri_capacity=config.pallas_max_mid_tris if use_pallas else 0,
+            transmission_tiles=transmission_tiles,
+            transmission_tile_capacity=cap_rt,
+            clip_tiles=clip_tiles,
+            clip_tile_capacity=cap_clip,
         )
         if return_hdr:
             return ldr, hdr, diags
