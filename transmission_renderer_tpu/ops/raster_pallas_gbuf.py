@@ -69,6 +69,21 @@ GBUF_CHANNELS = (
 )
 N_OUT = len(GBUF_CHANNELS)
 
+# position-derivative channels only feed normal mapping's cotangent frame
+# (render/shading.py; shader/src/lighting.rs:243-259) — a pass whose
+# materials use no normal_map texture skips computing and storing them
+# (``pos_derivs=False``), ~1/4 of the per-record interpolation work
+DPOS_CHANNELS = (
+    "dposdx_x", "dposdx_y", "dposdx_z",
+    "dposdy_x", "dposdy_y", "dposdy_z",
+)
+
+
+def active_channels(pos_derivs: bool) -> tuple:
+    if pos_derivs:
+        return GBUF_CHANNELS
+    return tuple(c for c in GBUF_CHANNELS if c not in DPOS_CHANNELS)
+
 
 def pack_gbuf_payload(
     setup: TriangleSetup,
@@ -145,14 +160,21 @@ def _kernel(
     pass_class: int | None,
     num_classes: int,
     use_max_depth: bool,
+    pos_derivs: bool,
 ):
-    outs = refs[:N_OUT]
-    chunk_ref, sems = refs[N_OUT], refs[N_OUT + 1]
+    n_out = len(active_channels(pos_derivs))
+    outs = refs[:n_out]
+    chunk_ref, sems = refs[n_out], refs[n_out + 1]
     # VMEM accumulators live in the output blocks directly.
-    (tri_o, depth_o, px_o, py_o, pz_o, nx_o, ny_o, nz_o, u_o, v_o,
-     duxu_o, duxv_o, duyu_o, duyv_o,
-     dpxx_o, dpxy_o, dpxz_o, dpyx_o, dpyy_o, dpyz_o,
-     mat_o, scale_o) = outs
+    if pos_derivs:
+        (tri_o, depth_o, px_o, py_o, pz_o, nx_o, ny_o, nz_o, u_o, v_o,
+         duxu_o, duxv_o, duyu_o, duyv_o,
+         dpxx_o, dpxy_o, dpxz_o, dpyx_o, dpyy_o, dpyz_o,
+         mat_o, scale_o) = outs
+    else:
+        (tri_o, depth_o, px_o, py_o, pz_o, nx_o, ny_o, nz_o, u_o, v_o,
+         duxu_o, duxv_o, duyu_o, duyv_o, mat_o, scale_o) = outs
+        dpxx_o = dpxy_o = dpxz_o = dpyx_o = dpyy_o = dpyz_o = None
 
     t = pl.program_id(0)
     tile_id = tile_ids_ref[t]
@@ -176,6 +198,8 @@ def _kernel(
     for ref in (px_o, py_o, pz_o, nx_o, ny_o, u_o, v_o, duxu_o, duxv_o,
                 duyu_o, duyv_o, dpxx_o, dpxy_o, dpxz_o, dpyx_o, dpyy_o,
                 dpyz_o, mat_o):
+        if ref is None:
+            continue
         if ref is mat_o:
             ref[0] = jnp.zeros((TILE_H, TILE_W), jnp.int32)
         else:
@@ -253,9 +277,9 @@ def _kernel(
             A0, A1, A2 = rec(16 + k), rec(24 + k), rec(32 + k)
             n_attr = e0 * A0 + e1 * A1 + e2 * A2
             store(attr_outs[k], n_attr * inv_d)
-            na = a0 * A0 + a1 * A1 + a2 * A2
-            nb = b0 * A0 + b1_ * A1 + b2_ * A2
             if dx_outs[k] is not None:
+                na = a0 * A0 + a1 * A1 + a2 * A2
+                nb = b0 * A0 + b1_ * A1 + b2_ * A2
                 store(dx_outs[k], (na * d_sum - n_attr * a_sum) * inv_d2x)
                 store(dy_outs[k], (nb * d_sum - n_attr * b_sum) * inv_d2y)
 
@@ -333,12 +357,14 @@ def rasterize_gbuffer_tiles(
     interpret: bool = False,
     n_tiles_global: int | None = None,  # bins' tile-grid size when padded
     # beyond the frame (the sharded path bins over a band-aligned grid)
+    pos_derivs: bool = True,
 ) -> dict:
     """Run the G-buffer kernel over an arbitrary tile list (the building
     block shared by the single-chip frame, the row-band sharded path, and
     the alpha-clip peeling re-races). ``tile_start`` is the GLOBAL bins
     array; the per-tile class count is inferred from its length. Returns
-    {channel: [K, TILE_H, TILE_W]}."""
+    {channel: [K, TILE_H, TILE_W]} (no dpos channels when
+    ``pos_derivs=False`` — see DPOS_CHANNELS)."""
     k_tiles = tile_ids.shape[0]
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
@@ -377,7 +403,7 @@ def rasterize_gbuffer_tiles(
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-            for _ in range(N_OUT)
+            for _ in range(len(active_channels(pos_derivs)))
         ],
         scratch_shapes=[
             pltpu.SMEM((2, CHUNK_ROWS, 128), jnp.float32),
@@ -387,14 +413,14 @@ def rasterize_gbuffer_tiles(
     out_shapes = [
         jax.ShapeDtypeStruct(
             (k_tiles, TILE_H, TILE_W),
-            jnp.int32 if GBUF_CHANNELS[i] in ("tri", "material") else jnp.float32,
+            jnp.int32 if name in ("tri", "material") else jnp.float32,
         )
-        for i in range(N_OUT)
+        for name in active_channels(pos_derivs)
     ]
     kernel = functools.partial(
         _kernel, tiles_x=tiles_x, width=width, height=height,
         pass_class=pass_class, num_classes=num_classes,
-        use_max_depth=use_max_depth,
+        use_max_depth=use_max_depth, pos_derivs=pos_derivs,
     )
     outs = pl.pallas_call(
         kernel,
@@ -410,7 +436,7 @@ def rasterize_gbuffer_tiles(
         init_tiles,
         maxd_tiles,
     )
-    return {name: a for name, a in zip(GBUF_CHANNELS, outs)}
+    return {name: a for name, a in zip(active_channels(pos_derivs), outs)}
 
 
 def rasterize_gbuffer_pallas(
@@ -422,6 +448,7 @@ def rasterize_gbuffer_pallas(
     pass_class: int | None = None,
     payload=None,  # optional precomputed (rows, big_rows)
     interpret: bool = False,
+    pos_derivs: bool = True,
 ):
     """Full-frame G-buffer raster. Returns a render.gbuffer.GBuffer."""
     from transmission_renderer_tpu.ops.raster import tile_image, untile_image
@@ -448,7 +475,7 @@ def rasterize_gbuffer_pallas(
     raw = rasterize_gbuffer_tiles(
         payload, tile_ids, bins.tile_start, big_count, width, height,
         init_depth_tiles=init_tiles, pass_class=pass_class,
-        interpret=interpret,
+        interpret=interpret, pos_derivs=pos_derivs,
     )
 
     def ut(a):
@@ -459,9 +486,15 @@ def rasterize_gbuffer_pallas(
 
 
 def gbuffer_from_channels(ch: dict):
-    """Assemble a render.gbuffer.GBuffer from untiled channel images."""
+    """Assemble a render.gbuffer.GBuffer from untiled channel images.
+    Missing dpos channels (a ``pos_derivs=False`` pass) become zeros —
+    exactly the kernel's cleared value, and unread by shading when no
+    material uses a normal map."""
     from transmission_renderer_tpu.render.gbuffer import GBuffer
 
+    if "dposdx_x" not in ch:
+        zero = jnp.zeros_like(ch["depth"])
+        ch = {**ch, **{name: zero for name in DPOS_CHANNELS}}
     valid = ch["tri"] >= 0
     vmask = valid[..., None]
     stack3 = lambda a, b, c: jnp.stack([ch[a], ch[b], ch[c]], axis=-1)

@@ -375,12 +375,17 @@ def render_frame_sharded(
             payload = gather_gbuf_payload(records, bins)
             # big tris ride the sorted stream (ops/raster.py)
             big_count = jnp.zeros((), jnp.int32)
+            # dpos channels only feed normal mapping (union over both
+            # passes' materials keeps one payload/kernel shape per band)
+            pos_derivs = flags.tex_slots[2] or flags.tex_slots_transmission[2]
+
             def band_gbuffer(pass_class, init_tiles=None):
                 ch = rasterize_gbuffer_tiles(
                     payload, band_tiles, bins.tile_start, big_count, w, h,
                     init_depth_tiles=init_tiles, pass_class=pass_class,
                     interpret=config.pallas_interpret,
                     n_tiles_global=tiles_x * tiles_y_padded,
+                    pos_derivs=pos_derivs,
                 )
                 ch = {
                     name: untile_image(

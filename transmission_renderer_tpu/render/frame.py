@@ -444,18 +444,20 @@ def _class_tile_worklist(
     return ids, count
 
 
-def _default_gbuf_channels(n_tiles: int, init_depth_tiles: jnp.ndarray):
+def _default_gbuf_channels(
+    n_tiles: int, init_depth_tiles: jnp.ndarray, pos_derivs: bool
+):
     """Tiled channel dict exactly matching the kernel's cleared-tile
     output (raster_pallas_gbuf.py::_kernel init), so a sparse-tile pass
     scattered over these defaults is bit-identical to the dense run."""
     from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
-        GBUF_CHANNELS,
         TILE_H,
         TILE_W,
+        active_channels,
     )
 
     zero = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
-    ch = {name: zero for name in GBUF_CHANNELS}
+    ch = {name: zero for name in active_channels(pos_derivs)}
     ch["tri"] = jnp.full((n_tiles, TILE_H, TILE_W), -1, jnp.int32)
     ch["material"] = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.int32)
     ch["depth"] = init_depth_tiles
@@ -478,6 +480,7 @@ def _rasterize_class_sparse(
     payload, tile_start, big_count, pass_class: int, cap: int,
     init_tiles: jnp.ndarray, config, w: int, h: int,
     max_depth_tiles: jnp.ndarray | None = None,
+    pos_derivs: bool = True,
 ):
     """Raster one draw class over ONLY the tiles holding records of that
     class. Exact while the active-tile count fits ``cap`` (overflowing
@@ -506,9 +509,11 @@ def _rasterize_class_sparse(
             max_depth_tiles[safe_ids] if max_depth_tiles is not None else None
         ),
         pass_class=pass_class, interpret=config.pallas_interpret,
+        pos_derivs=pos_derivs,
     )
     ch = _scatter_tile_channels(
-        _default_gbuf_channels(n_tiles, init_tiles), ids, sub, n_tiles
+        _default_gbuf_channels(n_tiles, init_tiles, pos_derivs), ids, sub,
+        n_tiles,
     )
     return ch, count, (ids, safe_ids, sub)
 
@@ -526,7 +531,7 @@ def _tile_cap(frac: float | None, n_tiles: int, floor: int) -> int:
 
 def _rasterize_clip_peeled(
     scene: Scene, payload, bins, big_count, pass_class: int, base, config,
-    w: int, h: int,
+    w: int, h: int, pos_derivs: bool = True,
 ):
     """Rasterise an alpha-clip draw class through the Pallas kernel by
     depth PEELING: race ignoring alpha (seeded with the base pass's depth,
@@ -539,7 +544,6 @@ def _rasterize_clip_peeled(
     active-tile count of the sparse first round — 0 when dense)."""
     from transmission_renderer_tpu.ops.raster import tile_image, untile_image
     from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
-        GBUF_CHANNELS,
         TILE_H,
         TILE_W,
         gbuffer_from_channels,
@@ -561,7 +565,7 @@ def _rasterize_clip_peeled(
         # fraction; inactive tiles keep the cleared output = base wins)
         ch, clip_tiles, (ids0, _safe0, sub0) = _rasterize_class_sparse(
             payload, bins.tile_start, big_count, pass_class, cap_c,
-            init_tiles, config, w, h,
+            init_tiles, config, w, h, pos_derivs=pos_derivs,
         )
         ok_sub = _clip_alpha_ok_tiles(scene, sub0)
         ones = jnp.ones((n_tiles + 1, TILE_H, TILE_W), bool)
@@ -570,7 +574,7 @@ def _rasterize_clip_peeled(
         ch = rasterize_gbuffer_tiles(
             payload, all_ids, bins.tile_start, big_count, w, h,
             init_depth_tiles=init_tiles, pass_class=pass_class,
-            interpret=config.pallas_interpret,
+            interpret=config.pallas_interpret, pos_derivs=pos_derivs,
         )
         # ONE dense alpha test; later rounds only change the re-raced tile
         # subset, so the test (an atlas tap per pixel — the expensive part)
@@ -593,11 +597,11 @@ def _rasterize_clip_peeled(
             payload, safe_ids, bins.tile_start, big_count, w, h,
             init_depth_tiles=init_tiles[safe_ids],
             max_depth_tiles=maxd[safe_ids], pass_class=pass_class,
-            interpret=config.pallas_interpret,
+            interpret=config.pallas_interpret, pos_derivs=pos_derivs,
         )
         failed_sel = failed[safe_ids]
         sub = {}
-        for name in GBUF_CHANNELS:
+        for name in ch:
             merged = jnp.where(failed_sel, new[name], ch[name][safe_ids])
             sub[name] = merged
             padded = jnp.concatenate(
@@ -814,13 +818,18 @@ def render_frame(
         big_cnt = jnp.zeros((), jnp.int32)
 
         # ---- 2. opaque raster + G-buffer in one kernel ---------------------
+        # position-derivative channels are only read by normal mapping;
+        # skip them statically when no material in the pass uses one
+        pos_derivs_o = flags.tex_slots[2]
+        pos_derivs_t = flags.tex_slots_transmission[2]
         g_o = rasterize_gbuffer_pallas(
             records, bins_all, w, h, pass_class=0, payload=gpayload,
-            interpret=config.pallas_interpret,
+            interpret=config.pallas_interpret, pos_derivs=pos_derivs_o,
         )
         if flags.has_alpha_clip:
             g_o, miss, ct = _rasterize_clip_peeled(
-                scene, gpayload, bins_all, big_cnt, 2, g_o, config, w, h
+                scene, gpayload, bins_all, big_cnt, 2, g_o, config, w, h,
+                pos_derivs=pos_derivs_o,
             )
             clip_unresolved = clip_unresolved + miss
             clip_tiles = jnp.maximum(clip_tiles, ct)
@@ -949,7 +958,7 @@ def render_frame(
                 init_tiles = tile_image(g_o.depth, TILE_W, TILE_H)
                 ch_t, transmission_tiles, _ = _rasterize_class_sparse(
                     gpayload, bins_all.tile_start, big_cnt, 1, cap_rt,
-                    init_tiles, config, w, h,
+                    init_tiles, config, w, h, pos_derivs=pos_derivs_t,
                 )
                 g_t = gbuffer_from_channels({
                     name: untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H,
@@ -960,10 +969,12 @@ def render_frame(
                 g_t = rasterize_gbuffer_pallas(
                     records, bins_all, w, h, pass_class=1, payload=gpayload,
                     init_depth=g_o.depth, interpret=config.pallas_interpret,
+                    pos_derivs=pos_derivs_t,
                 )
             if flags.has_alpha_clip:
                 g_t, miss, ct = _rasterize_clip_peeled(
-                    scene, gpayload, bins_all, big_cnt, 3, g_t, config, w, h
+                    scene, gpayload, bins_all, big_cnt, 3, g_t, config, w, h,
+                    pos_derivs=pos_derivs_t,
                 )
                 clip_unresolved = clip_unresolved + miss
                 clip_tiles = jnp.maximum(clip_tiles, ct)
