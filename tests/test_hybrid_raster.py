@@ -160,3 +160,53 @@ def test_sparse_tile_raster_overflow_detected():
     ])
     assert host.transmission_tiles > host.transmission_tile_capacity
     assert host.overflowed()
+
+
+def _scene_transmission_only():
+    b = SceneBuilder()
+    floor_mat = b.add_material(roughness_factor=0.8, metallic_factor=0.0,
+                               diffuse_factor=(0.6, 0.6, 0.6, 1.0))
+    glass_mat = b.add_material(
+        transmission_factor=1.0, metallic_factor=0.0, roughness_factor=0.25,
+        thickness_factor=0.3, attenuation_distance=1.0,
+        attenuation_colour=(0.5, 0.8, 0.9),
+    )
+    p_floor = b.add_primitive(*make_plane_mesh(6.0), bucket=BUCKET_OPAQUE)
+    p_glass = b.add_primitive(*make_sphere_mesh(8, 16),
+                              bucket=BUCKET_TRANSMISSION)
+    b.add_instance(p_floor, floor_mat)
+    b.add_instance(p_glass, glass_mat, translation=(0.5, 0.9, -2.5))
+    return b.finish_bundle()
+
+
+def test_fused_sparse_transmission_matches_dense_pallas():
+    """The fused sparse-raster -> sparse-shade transmission path (tile
+    rows feeding the shading blocks directly) must match the dense Pallas
+    path bit-for-bit on a clip-free scene."""
+    scene, dl, flags = _scene_transmission_only()
+    assert flags.has_transmission and not flags.has_alpha_clip
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.2, 2.0], np.float32)
+    rig.camera.pitch = -0.5
+    params = make_frame_params(
+        CFG_PAL, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+    )
+    lights = pack_lights([point_light([0.0, 1.5, 0.0], [1, 1, 1], 4.0)])
+    cfg_dense = dataclasses.replace(
+        CFG_PAL, transmission_tile_cap_frac=None, clip_tile_cap_frac=None
+    )
+    cfg_fused = dataclasses.replace(
+        CFG_PAL, transmission_tile_cap_frac=0.75, sparse_raster_tile_floor=1
+    )
+    dense = np.asarray(
+        jax.jit(partial(render_frame, config=cfg_dense, flags=flags))(
+            scene, dl, params, lights
+        )
+    )
+    fused, diag = jax.jit(
+        partial(render_frame, config=cfg_fused, flags=flags,
+                return_diagnostics=True)
+    )(scene, dl, params, lights)
+    np.testing.assert_array_equal(np.asarray(fused), dense)
+    assert 0 < int(diag.transmission_tiles) <= diag.transmission_tile_capacity
+    assert int(diag.transmission_blocks) > 0

@@ -65,6 +65,8 @@ def main():
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--dense", action="store_true",
                     help="disable block-sparse shading caps")
+    ap.add_argument("--shade-sub", action="store_true",
+                    help="also time shade_opaque's material/lights halves")
     args = ap.parse_args()
 
     from transmission_renderer_tpu.config import (
@@ -156,16 +158,19 @@ def main():
 
     setup_all, is_trans = stage("cull+setup", f_setup, scene, dl, params, clip)
 
-    def f_bin(setup):
+    def f_bin(setup, is_trans):
+        # class-split bins exactly as render_frame (frame.py): each pass
+        # streams only its class's record runs
         return bin_triangles(
             setup, config.tiles_x, config.tiles_y,
             config.pallas_tiles_per_tri, config.max_tris_per_tile,
             config.pallas_max_big_tris, materialize=False,
+            class_flags=is_trans.astype(jnp.int32), num_classes=2,
             mid_tile_cap=config.pallas_mid_tile_cap,
             max_mid_tris=config.pallas_max_mid_tris,
         )
 
-    bins = stage("binning_sort", f_bin, setup_all)
+    bins = stage("binning_sort", f_bin, setup_all, is_trans)
 
     def f_payload(setup, dl, world_pos, world_nrm, uvs, is_trans, bins):
         tri_scale = scene.inst_transform.scale[dl.tri_inst]
@@ -180,9 +185,13 @@ def main():
         uvs, is_trans, bins,
     )
 
+    pos_derivs_o = flags.tex_slots[2]
+    pos_derivs_t = flags.tex_slots_transmission[2]
+
     def f_raster_o(records, bins, gpayload):
         return rasterize_gbuffer_pallas(
-            records, bins, w, h, pass_class=0, payload=gpayload
+            records, bins, w, h, pass_class=0, payload=gpayload,
+            pos_derivs=pos_derivs_o,
         )
 
     g_o = stage("raster_gbuf_opaque", f_raster_o, records, bins, gpayload)
@@ -256,30 +265,110 @@ def main():
         return shade_opaque(scene, g_o, ctx)
 
     hdr = stage("shade_opaque", f_shade_o, g_o)
-    pyramid = stage("mip_pyramid", build_pyramid, hdr)
 
-    def f_raster_t(records, bins, gpayload, g_o):
-        return rasterize_gbuffer_pallas(
-            records, bins, w, h, pass_class=1, payload=gpayload,
-            init_depth=g_o.depth,
+    if args.shade_sub:
+        from transmission_renderer_tpu.render.shading import (
+            _dense_coords,
+            evaluate_lights_common,
+            evaluate_pixel_material,
+            flatten_gbuffer,
         )
 
+        gf = jax.jit(flatten_gbuffer)(g_o)
+        pxd, pyd = _dense_coords(h, w)
+
+        def f_mat(gf):
+            ctx = make_ctx(flags.tex_slots)
+            view_vector = ctx.view_position - gf.position
+            return evaluate_pixel_material(
+                scene, gf, view_vector, ctx.tex_slots
+            )
+
+        pm = stage("  shade_o/material", f_mat, gf)
+
+        def f_lights(gf, pm):
+            ctx = make_ctx(flags.tex_slots)
+            view_vector = ctx.view_position - gf.position
+            view = view_vector / jnp.maximum(
+                jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
+            )
+            r, _, _, _ = evaluate_lights_common(
+                ctx, pm.params, view, gf.position, pm.normal, gf.depth,
+                pxd, pyd, with_transmission=False,
+            )
+            return r.diffuse + r.specular
+
+        stage("  shade_o/lights", f_lights, gf, pm)
+    pyramid = stage("mip_pyramid", build_pyramid, hdr)
+
+    def f_raster_t_dense(records, bins, gpayload, g_o):
+        return rasterize_gbuffer_pallas(
+            records, bins, w, h, pass_class=1, payload=gpayload,
+            init_depth=g_o.depth, pos_derivs=pos_derivs_t,
+        )
+
+    # sparse-tile variant (what render_frame actually runs; frame.py)
+    from transmission_renderer_tpu.render.frame import (
+        _rasterize_class_sparse, _tile_cap,
+    )
+    from transmission_renderer_tpu.ops.raster import tile_image, untile_image
+    from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+        TILE_H, TILE_W, gbuffer_from_channels,
+    )
+
+    n_tiles = config.tiles_x * config.tiles_y
+    cap_rt = _tile_cap(config.transmission_tile_cap_frac, n_tiles,
+                       config.sparse_raster_tile_floor)
+
+    def f_raster_t(records, bins, gpayload, g_o):
+        if not cap_rt:
+            return f_raster_t_dense(records, bins, gpayload, g_o)
+        init_tiles = tile_image(g_o.depth, TILE_W, TILE_H)
+        ch_t, cnt, _ = _rasterize_class_sparse(
+            gpayload, bins.tile_start, jnp.zeros((), jnp.int32), 1, cap_rt,
+            init_tiles, config, w, h, pos_derivs=pos_derivs_t,
+        )
+        return gbuffer_from_channels({
+            name: untile_image(a, config.tiles_x, config.tiles_y,
+                               TILE_W, TILE_H, w, h)
+            for name, a in ch_t.items()
+        })
+
+    stage("raster_gbuf_trans_dense", f_raster_t_dense, records, bins, gpayload, g_o)
     g_t = stage("raster_gbuf_transmission", f_raster_t, records, bins, gpayload, g_o)
+
+    from transmission_renderer_tpu.render.frame import refraction_level_set
+
+    level_set = refraction_level_set(flags, w, build_pyramid(
+        jnp.zeros((h, w, 3), jnp.float32)).num_levels)
+
+    # the pyramid's offsets/widths/heights are static Python ints inside
+    # the frame jit; crossing the stage boundary as an argument would
+    # trace them — re-attach the statics and pass only the level arrays
+    pyr_static = build_pyramid(jnp.zeros((h, w, 3), jnp.float32))
+
+    def f_shade_t_inner(g_t, hdr, level_quads):
+        pyramid = pyr_static._replace(level_quads=level_quads)
+        return f_shade_t(g_t, hdr, pyramid)
 
     def f_shade_t(g_t, hdr, pyramid):
         ctx = make_ctx(flags.tex_slots_transmission)
         if config.transmission_block_cap_frac is not None:
-            cap = min(int(np.ceil(nb * config.transmission_block_cap_frac)), nb)
+            cap = min(max(int(np.ceil(nb * config.transmission_block_cap_frac)),
+                          256), nb)
             wk = compact_blocks(g_t.valid, cap)
             gf = _gather_gbuffer(wk, g_t)
             px, py = pixel_coords(wk)
-            out = shade_transmission_flat(scene, gf, ctx, pyramid, px, py)
+            out = shade_transmission_flat(scene, gf, ctx, pyramid, px, py,
+                                          pyramid_level_set=level_set)
             merged = jnp.where(gf.valid[..., None], out, block_gather(wk, hdr))
             return block_scatter(wk, merged, hdr)
-        out = shade_transmission(scene, g_t, ctx, pyramid)
+        out = shade_transmission(scene, g_t, ctx, pyramid,
+                                 pyramid_level_set=level_set)
         return jnp.where(g_t.valid[..., None], out, hdr)
 
-    hdr2 = stage("shade_transmission", f_shade_t, g_t, hdr, pyramid)
+    hdr2 = stage("shade_transmission", f_shade_t_inner, g_t, hdr,
+                 pyramid.level_quads)
 
     stage("tonemap", lambda x: lottes_tonemap(x, bake_lottes_params()), hdr2)
 

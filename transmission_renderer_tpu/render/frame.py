@@ -935,6 +935,7 @@ def render_frame(
         level_set = refraction_level_set(flags, w, pyramid.num_levels)
 
         # ---- 6-7. transmissive raster + shade ------------------------------
+        fused_sparse = False
         if use_gbuf_kernel:
             from transmission_renderer_tpu.ops.raster import (
                 tile_image,
@@ -951,7 +952,61 @@ def render_frame(
                 config.transmission_tile_cap_frac, n_tiles,
                 config.sparse_raster_tile_floor,
             )
-            if cap_rt:
+            # FUSED sparse raster -> sparse shade: at w % 128 == 0 every
+            # 8-px tile row IS one flat 128-px shading block, so the
+            # kernel's [cap, 8, 128] channels feed the block-sparse
+            # transmission shade directly — no dense G-buffer
+            # materialisation, no compaction scan, no per-channel block
+            # gathers (measured ~6 ms of pure overhead at 1080p).
+            fused_sparse = bool(
+                cap_rt
+                and not flags.has_alpha_clip
+                and not config.half_res_refraction
+                and w % TILE_W == 0
+            )
+            if fused_sparse:
+                from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
+                    rasterize_gbuffer_tiles,
+                )
+                from transmission_renderer_tpu.render.sparse import (
+                    BLOCK,
+                    BlockWork,
+                )
+                import jax as _jax
+
+                init_tiles = tile_image(g_o.depth, TILE_W, TILE_H)
+                nc = (bins_all.tile_start.shape[0] - 1) // n_tiles
+                ids_t, t_count = _class_tile_worklist(
+                    bins_all.tile_start, n_tiles, nc, 1, cap_rt
+                )
+                transmission_tiles = t_count
+                safe_t = jnp.minimum(ids_t, n_tiles - 1)
+                sub_t = rasterize_gbuffer_tiles(
+                    gpayload, safe_t, bins_all.tile_start, big_cnt, w, h,
+                    init_depth_tiles=init_tiles[safe_t], pass_class=1,
+                    interpret=config.pallas_interpret,
+                    pos_derivs=pos_derivs_t,
+                )
+                g_tf = _jax.tree_util.tree_map(
+                    lambda a: a.reshape(
+                        (cap_rt * TILE_H * TILE_W,) + a.shape[3:]
+                    ),
+                    gbuffer_from_channels(sub_t),
+                )
+                # tile rows -> flat block ids (pad row when the slot is
+                # empty or the row is past the frame bottom)
+                bpr = w // BLOCK
+                r8 = jnp.arange(TILE_H, dtype=jnp.int32)
+                prow = (ids_t // tiles_x)[:, None] * TILE_H + r8[None, :]
+                ok_b = (ids_t[:, None] < n_tiles) & (prow < h)
+                bids = jnp.where(
+                    ok_b, prow * bpr + (ids_t % tiles_x)[:, None], nb
+                ).reshape(-1)
+                wk_t = BlockWork(
+                    block_ids=bids, count=t_count * TILE_H, n_blocks=nb,
+                    cap_b=cap_rt * TILE_H, shape=(h, w),
+                )
+            elif cap_rt:
                 # sparse-tile transmission raster: only tiles holding
                 # class-1 records run the kernel (transmissive coverage
                 # is a small screen fraction — see config)
@@ -999,10 +1054,34 @@ def render_frame(
             )
             if config.transmission_block_cap_frac is not None
             and not config.half_res_refraction  # half-res needs the 2D grid
+            and not fused_sparse  # worklist comes from the raster tiles
             else 0
         )
         with pass_scope("shade_transmission"):
-            if cap_t:
+            if fused_sparse:
+                transmission_blocks = wk_t.count
+                cap_t = wk_t.cap_b
+                ctx_tf = ctx_t
+                if use_rt:
+                    with pass_scope("shadow_rays_transmission"):
+                        sun_f_t, light_f_t = shadow_factors(
+                            bvh, dl.tri_vtx, world_pos, g_tf,
+                            params.sun_dir, lights,
+                        )
+                    ctx_tf = ctx_tf._replace(
+                        sun_shadow_factor=sun_f_t,
+                        light_shadow_factors=light_f_t,
+                    )
+                px_t, py_t = pixel_coords(wk_t)
+                hdr_t_flat = shade_transmission_flat(
+                    scene, g_tf, ctx_tf, pyramid, px_t, py_t,
+                    pyramid_level_set=level_set,
+                )
+                merged = jnp.where(
+                    g_tf.valid[..., None], hdr_t_flat, block_gather(wk_t, hdr)
+                )
+                hdr = block_scatter(wk_t, merged, hdr)
+            elif cap_t:
                 wk_t = compact_blocks(g_t.valid, cap_t)
                 transmission_blocks = wk_t.count
                 g_tf = _gather_gbuffer(wk_t, g_t)
