@@ -77,12 +77,20 @@ DPOS_CHANNELS = (
     "dposdx_x", "dposdx_y", "dposdx_z",
     "dposdy_x", "dposdy_y", "dposdy_z",
 )
+# uv + uv-derivative channels only feed texture taps (and the alpha-clip
+# coverage test) — a pass whose materials sample NO texture slot at all
+# (e.g. an untextured-glass transmission pass) skips them too
+UV_CHANNELS = (
+    "uv_u", "uv_v",
+    "duvdx_u", "duvdx_v", "duvdy_u", "duvdy_v",
+)
 
 
-def active_channels(pos_derivs: bool) -> tuple:
-    if pos_derivs:
-        return GBUF_CHANNELS
-    return tuple(c for c in GBUF_CHANNELS if c not in DPOS_CHANNELS)
+def active_channels(pos_derivs: bool, uv_channels: bool = True) -> tuple:
+    drop = () if pos_derivs else DPOS_CHANNELS
+    if not uv_channels:
+        drop = drop + UV_CHANNELS
+    return tuple(c for c in GBUF_CHANNELS if c not in drop)
 
 
 def pack_gbuf_payload(
@@ -161,20 +169,26 @@ def _kernel(
     num_classes: int,
     use_max_depth: bool,
     pos_derivs: bool,
+    uv_channels: bool,
 ):
-    n_out = len(active_channels(pos_derivs))
-    outs = refs[:n_out]
-    chunk_ref, sems = refs[n_out], refs[n_out + 1]
-    # VMEM accumulators live in the output blocks directly.
-    if pos_derivs:
-        (tri_o, depth_o, px_o, py_o, pz_o, nx_o, ny_o, nz_o, u_o, v_o,
-         duxu_o, duxv_o, duyu_o, duyv_o,
-         dpxx_o, dpxy_o, dpxz_o, dpyx_o, dpyy_o, dpyz_o,
-         mat_o, scale_o) = outs
-    else:
-        (tri_o, depth_o, px_o, py_o, pz_o, nx_o, ny_o, nz_o, u_o, v_o,
-         duxu_o, duxv_o, duyu_o, duyv_o, mat_o, scale_o) = outs
-        dpxx_o = dpxy_o = dpxz_o = dpyx_o = dpyy_o = dpyz_o = None
+    names = active_channels(pos_derivs, uv_channels)
+    outs = refs[:len(names)]
+    chunk_ref, sems = refs[len(names)], refs[len(names) + 1]
+    # VMEM accumulators live in the output blocks directly; statically
+    # disabled channels (see DPOS_CHANNELS / UV_CHANNELS) have no ref.
+    ch = dict(zip(names, outs))
+    get = ch.get
+    tri_o, depth_o = ch["tri"], ch["depth"]
+    px_o, py_o, pz_o = ch["pos_x"], ch["pos_y"], ch["pos_z"]
+    nx_o, ny_o, nz_o = ch["nrm_x"], ch["nrm_y"], ch["nrm_z"]
+    u_o, v_o = get("uv_u"), get("uv_v")
+    duxu_o, duxv_o = get("duvdx_u"), get("duvdx_v")
+    duyu_o, duyv_o = get("duvdy_u"), get("duvdy_v")
+    dpxx_o, dpxy_o, dpxz_o = (
+        get("dposdx_x"), get("dposdx_y"), get("dposdx_z"))
+    dpyx_o, dpyy_o, dpyz_o = (
+        get("dposdy_x"), get("dposdy_y"), get("dposdy_z"))
+    mat_o, scale_o = ch["material"], ch["scale"]
 
     t = pl.program_id(0)
     tile_id = tile_ids_ref[t]
@@ -274,9 +288,12 @@ def _kernel(
         dx_outs = (dpxx_o, dpxy_o, dpxz_o, None, None, None, duxu_o, duxv_o)
         dy_outs = (dpyx_o, dpyy_o, dpyz_o, None, None, None, duyu_o, duyv_o)
         for k in range(8):
+            if attr_outs[k] is None and dx_outs[k] is None:
+                continue
             A0, A1, A2 = rec(16 + k), rec(24 + k), rec(32 + k)
             n_attr = e0 * A0 + e1 * A1 + e2 * A2
-            store(attr_outs[k], n_attr * inv_d)
+            if attr_outs[k] is not None:
+                store(attr_outs[k], n_attr * inv_d)
             if dx_outs[k] is not None:
                 na = a0 * A0 + a1 * A1 + a2 * A2
                 nb = b0 * A0 + b1_ * A1 + b2_ * A2
@@ -358,6 +375,7 @@ def rasterize_gbuffer_tiles(
     n_tiles_global: int | None = None,  # bins' tile-grid size when padded
     # beyond the frame (the sharded path bins over a band-aligned grid)
     pos_derivs: bool = True,
+    uv_channels: bool = True,
 ) -> dict:
     """Run the G-buffer kernel over an arbitrary tile list (the building
     block shared by the single-chip frame, the row-band sharded path, and
@@ -403,7 +421,7 @@ def rasterize_gbuffer_tiles(
         out_specs=[
             pl.BlockSpec((1, TILE_H, TILE_W), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM)
-            for _ in range(len(active_channels(pos_derivs)))
+            for _ in range(len(active_channels(pos_derivs, uv_channels)))
         ],
         scratch_shapes=[
             pltpu.SMEM((2, CHUNK_ROWS, 128), jnp.float32),
@@ -415,12 +433,13 @@ def rasterize_gbuffer_tiles(
             (k_tiles, TILE_H, TILE_W),
             jnp.int32 if name in ("tri", "material") else jnp.float32,
         )
-        for name in active_channels(pos_derivs)
+        for name in active_channels(pos_derivs, uv_channels)
     ]
     kernel = functools.partial(
         _kernel, tiles_x=tiles_x, width=width, height=height,
         pass_class=pass_class, num_classes=num_classes,
         use_max_depth=use_max_depth, pos_derivs=pos_derivs,
+        uv_channels=uv_channels,
     )
     outs = pl.pallas_call(
         kernel,
@@ -436,7 +455,10 @@ def rasterize_gbuffer_tiles(
         init_tiles,
         maxd_tiles,
     )
-    return {name: a for name, a in zip(active_channels(pos_derivs), outs)}
+    return {
+        name: a
+        for name, a in zip(active_channels(pos_derivs, uv_channels), outs)
+    }
 
 
 def rasterize_gbuffer_pallas(
@@ -449,6 +471,7 @@ def rasterize_gbuffer_pallas(
     payload=None,  # optional precomputed (rows, big_rows)
     interpret: bool = False,
     pos_derivs: bool = True,
+    uv_channels: bool = True,
 ):
     """Full-frame G-buffer raster. Returns a render.gbuffer.GBuffer."""
     from transmission_renderer_tpu.ops.raster import tile_image, untile_image
@@ -475,7 +498,7 @@ def rasterize_gbuffer_pallas(
     raw = rasterize_gbuffer_tiles(
         payload, tile_ids, bins.tile_start, big_count, width, height,
         init_depth_tiles=init_tiles, pass_class=pass_class,
-        interpret=interpret, pos_derivs=pos_derivs,
+        interpret=interpret, pos_derivs=pos_derivs, uv_channels=uv_channels,
     )
 
     def ut(a):
@@ -487,14 +510,15 @@ def rasterize_gbuffer_pallas(
 
 def gbuffer_from_channels(ch: dict):
     """Assemble a render.gbuffer.GBuffer from untiled channel images.
-    Missing dpos channels (a ``pos_derivs=False`` pass) become zeros —
-    exactly the kernel's cleared value, and unread by shading when no
-    material uses a normal map."""
+    Missing dpos/uv channels (``pos_derivs=False`` / ``uv_channels=False``
+    passes) become zeros — exactly the kernel's cleared value, and unread
+    by shading when no material uses the corresponding texture slots."""
     from transmission_renderer_tpu.render.gbuffer import GBuffer
 
-    if "dposdx_x" not in ch:
-        zero = jnp.zeros_like(ch["depth"])
-        ch = {**ch, **{name: zero for name in DPOS_CHANNELS}}
+    zero = jnp.zeros_like(ch["depth"])
+    for grp in (DPOS_CHANNELS, UV_CHANNELS):
+        if grp[0] not in ch:
+            ch = {**ch, **{name: zero for name in grp}}
     valid = ch["tri"] >= 0
     vmask = valid[..., None]
     stack3 = lambda a, b, c: jnp.stack([ch[a], ch[b], ch[c]], axis=-1)

@@ -445,7 +445,8 @@ def _class_tile_worklist(
 
 
 def _default_gbuf_channels(
-    n_tiles: int, init_depth_tiles: jnp.ndarray, pos_derivs: bool
+    n_tiles: int, init_depth_tiles: jnp.ndarray, pos_derivs: bool,
+    uv_channels: bool = True,
 ):
     """Tiled channel dict exactly matching the kernel's cleared-tile
     output (raster_pallas_gbuf.py::_kernel init), so a sparse-tile pass
@@ -457,7 +458,7 @@ def _default_gbuf_channels(
     )
 
     zero = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
-    ch = {name: zero for name in active_channels(pos_derivs)}
+    ch = {name: zero for name in active_channels(pos_derivs, uv_channels)}
     ch["tri"] = jnp.full((n_tiles, TILE_H, TILE_W), -1, jnp.int32)
     ch["material"] = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.int32)
     ch["depth"] = init_depth_tiles
@@ -481,6 +482,7 @@ def _rasterize_class_sparse(
     init_tiles: jnp.ndarray, config, w: int, h: int,
     max_depth_tiles: jnp.ndarray | None = None,
     pos_derivs: bool = True,
+    uv_channels: bool = True,
 ):
     """Raster one draw class over ONLY the tiles holding records of that
     class. Exact while the active-tile count fits ``cap`` (overflowing
@@ -509,11 +511,11 @@ def _rasterize_class_sparse(
             max_depth_tiles[safe_ids] if max_depth_tiles is not None else None
         ),
         pass_class=pass_class, interpret=config.pallas_interpret,
-        pos_derivs=pos_derivs,
+        pos_derivs=pos_derivs, uv_channels=uv_channels,
     )
     ch = _scatter_tile_channels(
-        _default_gbuf_channels(n_tiles, init_tiles, pos_derivs), ids, sub,
-        n_tiles,
+        _default_gbuf_channels(n_tiles, init_tiles, pos_derivs, uv_channels),
+        ids, sub, n_tiles,
     )
     return ch, count, (ids, safe_ids, sub)
 
@@ -818,13 +820,18 @@ def render_frame(
         big_cnt = jnp.zeros((), jnp.int32)
 
         # ---- 2. opaque raster + G-buffer in one kernel ---------------------
-        # position-derivative channels are only read by normal mapping;
-        # skip them statically when no material in the pass uses one
+        # position-derivative channels are only read by normal mapping,
+        # uv(+derivative) channels only by texture taps; skip each
+        # statically when no material in the pass reads them (the clip
+        # peel always keeps uv for its coverage test)
         pos_derivs_o = flags.tex_slots[2]
         pos_derivs_t = flags.tex_slots_transmission[2]
+        uv_o = any(flags.tex_slots) or flags.has_alpha_clip
+        uv_t = any(flags.tex_slots_transmission) or flags.has_alpha_clip
         g_o = rasterize_gbuffer_pallas(
             records, bins_all, w, h, pass_class=0, payload=gpayload,
             interpret=config.pallas_interpret, pos_derivs=pos_derivs_o,
+            uv_channels=uv_o,
         )
         if flags.has_alpha_clip:
             g_o, miss, ct = _rasterize_clip_peeled(
@@ -985,7 +992,7 @@ def render_frame(
                     gpayload, safe_t, bins_all.tile_start, big_cnt, w, h,
                     init_depth_tiles=init_tiles[safe_t], pass_class=1,
                     interpret=config.pallas_interpret,
-                    pos_derivs=pos_derivs_t,
+                    pos_derivs=pos_derivs_t, uv_channels=uv_t,
                 )
                 g_tf = _jax.tree_util.tree_map(
                     lambda a: a.reshape(
@@ -1014,6 +1021,7 @@ def render_frame(
                 ch_t, transmission_tiles, _ = _rasterize_class_sparse(
                     gpayload, bins_all.tile_start, big_cnt, 1, cap_rt,
                     init_tiles, config, w, h, pos_derivs=pos_derivs_t,
+                    uv_channels=uv_t,
                 )
                 g_t = gbuffer_from_channels({
                     name: untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H,
@@ -1024,7 +1032,7 @@ def render_frame(
                 g_t = rasterize_gbuffer_pallas(
                     records, bins_all, w, h, pass_class=1, payload=gpayload,
                     init_depth=g_o.depth, interpret=config.pallas_interpret,
-                    pos_derivs=pos_derivs_t,
+                    pos_derivs=pos_derivs_t, uv_channels=uv_t,
                 )
             if flags.has_alpha_clip:
                 g_t, miss, ct = _rasterize_clip_peeled(
