@@ -82,7 +82,6 @@ def main():
     from transmission_renderer_tpu.pbr import bake_lottes_params, lottes_tonemap
     from transmission_renderer_tpu.pbr.lights import pack_lights, point_light
     from transmission_renderer_tpu.render import make_frame_params, render_frame
-    from transmission_renderer_tpu.render.frame import scene_flags
     from transmission_renderer_tpu.scene.camera import CameraRig
     from transmission_renderer_tpu.scene.types import Similarity, quat_rotate, similarity_apply
 

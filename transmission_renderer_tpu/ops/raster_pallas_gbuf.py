@@ -38,7 +38,6 @@ per-record *scalar*, so the per-pixel cost is a handful of VPU ops.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +66,6 @@ GBUF_CHANNELS = (
     "material",  # int32
     "scale",
 )
-N_OUT = len(GBUF_CHANNELS)
 
 # position-derivative channels only feed normal mapping's cotangent frame
 # (render/shading.py; shader/src/lighting.rs:243-259) — a pass whose
@@ -160,7 +158,7 @@ def _kernel(
     big_payload_ref,  # SMEM
     init_depth_ref,  # VMEM [1, TILE_H, TILE_W]
     max_depth_ref,  # VMEM [1, TILE_H, TILE_W] (peeling bound; all-inf when off)
-    # outputs: N_OUT per-tile blocks
+    # outputs: one per-tile block per active channel
     *refs,
     tiles_x: int,
     width: int,
@@ -353,12 +351,6 @@ def _kernel(
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
-
-
-class GBufferTiles(NamedTuple):
-    """Raw per-tile kernel outputs, keyed like GBUF_CHANNELS."""
-
-    arrays: tuple
 
 
 def rasterize_gbuffer_tiles(
