@@ -143,6 +143,15 @@ class RenderConfig:
     # pixels of the band are exact; farther ones clamp to the halo edge.
     sharded_refraction_halo_px: int = 64
 
+    # --- GGX split-sum LUT -------------------------------------------------
+    # Sampled size of the reference's 1024^2 ggx_lut.png asset. The default
+    # 256 box-reduces it (bilinear-sampled error ~1e-4, below the asset's
+    # own 8-bit quantisation — utils/ggx_lut.py) because TPU gather cost is
+    # table-size-bound; set None for the native-resolution table when a
+    # strict-parity run should sample the identical texels the reference
+    # does.
+    ggx_lut_size: int | None = 256
+
     # --- precision ---------------------------------------------------------
     # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,
     # hard part 6); bf16 is only used where it cannot affect fidelity.

@@ -155,21 +155,97 @@ def build_test_scene() -> SceneBuilder:
     return b
 
 
-def build_opaque_scene(stacks: int = 64, sectors: int = 128) -> SceneBuilder:
-    """DamagedHelmet-analogue: one textured high-poly opaque object over a
-    floor (~16k tris at defaults)."""
+def _helmet_texture_set(size: int = 512, seed: int = 3):
+    """DamagedHelmet-style 5-texture material set (same-size, uint8):
+    diffuse (sRGB), metallic-roughness, normal map, emissive (sRGB),
+    occlusion — the full slot usage the real asset forces
+    (reference src/model_loading.rs:171-291). Procedural but
+    non-degenerate: every channel varies so no pass can be gated away."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.meshgrid(
+        np.arange(size, dtype=np.float32), np.arange(size, dtype=np.float32),
+        indexing="ij",
+    )
+    u = xs / size
+    v = ys / size
+
+    def octaves(freqs, seed_off=0):
+        acc = np.zeros((size, size), np.float32)
+        r = np.random.default_rng(seed + seed_off)
+        for f in freqs:
+            px, py = r.uniform(0, 2 * np.pi, 2)
+            acc += np.sin(2 * np.pi * f * u + px) * np.sin(
+                2 * np.pi * f * v + py
+            ) / len(freqs)
+        return acc  # ~[-1, 1]
+
+    # diffuse: painted-metal look — base hue + grime octaves + panel lines
+    base = octaves((3, 7, 13), 1)
+    panels = ((np.sin(2 * np.pi * 6 * u) > 0.97)
+              | (np.sin(2 * np.pi * 6 * v) > 0.97))
+    diffuse = np.zeros((size, size, 4), np.uint8)
+    diffuse[..., 0] = np.clip(150 + 70 * base - 90 * panels, 0, 255)
+    diffuse[..., 1] = np.clip(110 + 55 * octaves((5, 11), 2) - 80 * panels, 0, 255)
+    diffuse[..., 2] = np.clip(80 + 40 * octaves((4, 9), 3) - 60 * panels, 0, 255)
+    diffuse[..., 3] = 255
+
+    # metallic-roughness (B = metallic, G = roughness — the swapped-channel
+    # convention the shader reads, shader/src/lighting.rs:269-277)
+    mr = np.zeros((size, size, 4), np.uint8)
+    mr[..., 1] = np.clip(140 + 80 * octaves((6, 14), 4), 20, 235)
+    mr[..., 2] = np.where(octaves((3, 8), 5) > 0.15, 255, 30)
+    mr[..., 3] = 255
+
+    # normal map: analytic slope of a bump field (unit-ish tangent normals)
+    bump = octaves((8, 17, 31), 6)
+    gx = np.gradient(bump, axis=1) * size * 0.02
+    gy = np.gradient(bump, axis=0) * size * 0.02
+    inv = 1.0 / np.sqrt(gx * gx + gy * gy + 1.0)
+    normal = np.zeros((size, size, 4), np.uint8)
+    normal[..., 0] = np.clip(((-gx * inv) * 0.5 + 0.5) * 255, 0, 255)
+    normal[..., 1] = np.clip(((-gy * inv) * 0.5 + 0.5) * 255, 0, 255)
+    normal[..., 2] = np.clip((inv * 0.5 + 0.5) * 255, 0, 255)
+    normal[..., 3] = 255
+
+    # emissive: a few glowing strips (DamagedHelmet's visor lights)
+    glow = (np.sin(2 * np.pi * 2.0 * v + 0.7) > 0.995).astype(np.float32)
+    emissive = np.zeros((size, size, 4), np.uint8)
+    emissive[..., 0] = np.clip(glow * 255, 0, 255)
+    emissive[..., 1] = np.clip(glow * 180, 0, 255)
+    emissive[..., 2] = np.clip(glow * 60, 0, 255)
+    emissive[..., 3] = 255
+
+    # occlusion in R (loaded but not applied, matching the reference)
+    occ = np.zeros((size, size, 4), np.uint8)
+    occ[..., 0] = np.clip(200 + 55 * octaves((5, 9), 7), 0, 255)
+    occ[..., 3] = 255
+    return diffuse, mr, normal, emissive, occ
+
+
+def build_opaque_scene(
+    stacks: int = 64, sectors: int = 128, texture_size: int = 512,
+) -> SceneBuilder:
+    """DamagedHelmet-analogue: one high-poly opaque object with the full
+    5-texture material set (diffuse + metallic-roughness + normal map +
+    emissive + occlusion, matching the real asset's slot usage,
+    src/model_loading.rs:171-291) over a textured floor (~16k tris at
+    defaults). The five same-size textures load as ONE atlas bundle, so
+    the deferred material tap pays one gather for the whole set."""
     b = SceneBuilder()
     checker = b.add_texture(checkerboard_texture(512, 16), srgb=True)
-    noise_rng = np.random.default_rng(3)
-    mr = np.zeros((256, 256, 4), np.uint8)
-    mr[..., 1] = (noise_rng.uniform(80, 220, (256, 256))).astype(np.uint8)  # roughness in g
-    mr[..., 2] = (noise_rng.uniform(0, 255, (256, 256)) > 200) * 255  # metallic in b
-    mr[..., 3] = 255
-    mr_tex = b.add_texture(mr, srgb=False)
+    d, mr, nm, em, oc = _helmet_texture_set(texture_size)
+    refs = b.add_texture_bundle(
+        [(d, True), (mr, False), (nm, False), (em, True), (oc, False)]
+    )
     floor_mat = b.add_material(tex_diffuse=checker, roughness_factor=0.9)
     helmet_mat = b.add_material(
-        diffuse_factor=(0.6, 0.45, 0.3, 1.0),
-        tex_metallic_roughness=mr_tex,
+        diffuse_factor=(1.0, 1.0, 1.0, 1.0),
+        tex_diffuse=refs[0],
+        tex_metallic_roughness=refs[1],
+        tex_normal_map=refs[2],
+        tex_emissive=refs[3],
+        tex_occlusion=refs[4],
+        emissive_factor=(2.0, 2.0, 2.0),
         roughness_factor=1.0,
         metallic_factor=1.0,
     )

@@ -36,8 +36,9 @@ import numpy as np
 LEAF_TRIS = 4  # triangles per leaf row (one gather = 4 Moller-Trumbore)
 WIDE = 8  # children per internal node (one gather = 8 slab tests)
 # The stackless bitstack traversal keeps one 8-bit child mask per level in
-# two packed uint32 registers -> at most 8 level codes -> 7 internal
-# levels -> 4 * 8^7 = 33.5M triangles. Plenty; asserted at build time.
+# two packed uint32 registers -> at most 8 level codes, of which one is
+# the root -> 7 internal levels -> LEAF_TRIS * WIDE^7 = 4 * 8^7 ≈ 8.4M
+# triangles. Plenty for the target scenes; asserted at build time.
 MAX_LEVELS = 7
 _RAY_CHUNK = 1 << 18  # rays per sequential lax.map chunk (see trace_rays)
 
@@ -105,6 +106,8 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 def wide_layout(num_tris: int) -> tuple[int, tuple, tuple]:
     """(num_leaves, level_counts, level_offsets) for a T-triangle build —
     the static shape contract shared by build, refit and traversal."""
+    if num_tris <= 0:
+        raise ValueError("wide_layout: BVH build requires at least 1 triangle")
     leaves = -(-num_tris // LEAF_TRIS)
     counts = []
     n = leaves

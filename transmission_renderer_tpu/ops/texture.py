@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from transmission_renderer_tpu.scene.textures import (  # noqa: F401
+    IMAGE_MASK,
+    LAYER_SHIFT,
     MAX_MIPS,
     META_COLS,
     QUAD_GROUP,
@@ -31,31 +33,18 @@ WRAP_REPEAT = 0
 WRAP_CLAMP = 1
 
 
-def _unpack_rgba8(packed: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> [..., 4] float32 in [0, 1]."""
-    packed = packed.astype(jnp.uint32)
-    r = (packed & 0xFF).astype(jnp.float32)
-    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
-    b = ((packed >> 16) & 0xFF).astype(jnp.float32)
-    a = ((packed >> 24) & 0xFF).astype(jnp.float32)
-    return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
-
-
-def _srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
-    """Exact sRGB EOTF, as applied by R8G8B8A8_SRGB sampling."""
-    return jnp.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
-
-
 def _bilinear_level_quad(
-    quads: jnp.ndarray,  # [B, 4] uint32 atlas pool
+    quads: jnp.ndarray,  # [R, QUAD_GROUP * 16 * L] f32 atlas pool
     qoff: jnp.ndarray,  # [...] int32 level block offset
     width: jnp.ndarray,  # [...] int32 level size in texels
     height: jnp.ndarray,  # [...] int32
     uv: jnp.ndarray,  # [..., 2]
-    srgb: jnp.ndarray,  # [...] bool
     wrap_mode: int,
 ) -> jnp.ndarray:
-    """One bilinear tap at a single mip level. ONE gather.
+    """One bilinear tap (ALL layers) at a single mip level -> [..., 4*L].
+    ONE gather; texels are pre-decoded linear float (scene/textures.py),
+    so the tap is gather + sub-block select + lerp — no u8 unpack and no
+    per-sample sRGB pow chain.
 
     The footprint {x0, x0+1} x {y0, y0+1} lives entirely in the block of
     phase (y0 & 1, x0 & 1) at (y0 >> 1, x0 >> 1); edge wrap behaviour is
@@ -92,21 +81,18 @@ def _bilinear_level_quad(
     # ~10 ms vs 87.5k-row [48]f32 ~1 ms). The atlas therefore stores
     # QUAD_GROUP consecutive quad-blocks per row; the sub-block select
     # is register work.
-    row = quads[qidx >> QUAD_GROUP_SHIFT]  # [..., 4 * QUAD_GROUP] u32
+    row = quads[qidx >> QUAD_GROUP_SHIFT]  # [..., QUAD_GROUP * 16 * L] f32
     # materialise the WIDE row gather before the sub-block select: fused,
     # XLA re-splits it into QUAD_GROUP strided gathers and the row
     # grouping regresses 2-10x (docs/PERFORMANCE.md negative-result note)
     row = jax.lax.optimization_barrier(row)
-    grp = row.reshape(row.shape[:-1] + (QUAD_GROUP, 4))
+    blkw = row.shape[-1] // QUAD_GROUP  # 16 * L
+    grp = row.reshape(row.shape[:-1] + (QUAD_GROUP, blkw))
     sub = qidx & (QUAD_GROUP - 1)
-    packed4 = grp[..., 0, :]
+    blk = grp[..., 0, :]
     for k in range(1, QUAD_GROUP):
-        packed4 = jnp.where((sub == k)[..., None], grp[..., k, :], packed4)
-    q = _unpack_rgba8(packed4)  # [..., 4 texels, 4 ch]
-    rgb = jnp.where(
-        srgb[..., None, None], _srgb_to_linear(q[..., :3]), q[..., :3]
-    )
-    q = jnp.concatenate([rgb, q[..., 3:]], axis=-1)
+        blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
+    q = blk.reshape(blk.shape[:-1] + (4, blkw // 4))  # [..., texel, 4L]
     c00 = q[..., 0, :]
     c10 = q[..., 1, :]
     c01 = q[..., 2, :]
@@ -149,10 +135,57 @@ def sample_texture(
     Matches ``texture.sample_by_lod(sampler, uv, lod)``; the implicit-LOD
     ``texture.sample`` path is this with a derivative-computed lod.
     """
-    texture_id = jnp.maximum(texture_id, 0)  # -1 handled by caller masks
-    # ONE meta-row gather per sample (srgb flag rides in column 1).
-    rows = meta[texture_id]  # [..., META_COLS]
-    return sample_texture_rows(quads, rows, uv, lod, wrap_mode, trilinear)
+    # texture_id is a PACKED ref (image | layer << 16, scene/textures.py);
+    # -1 ("no texture") is handled by caller masks
+    texture_id = jnp.maximum(texture_id, 0)
+    img = texture_id & IMAGE_MASK
+    layer = texture_id >> LAYER_SHIFT
+    # ONE meta-row gather per sample (sRGB decode is pre-baked into the
+    # float atlas; srgb_table is accepted for API compatibility only).
+    rows = meta[img]  # [..., META_COLS]
+    return sample_texture_rows(
+        quads, rows, uv, lod, wrap_mode, trilinear,
+        layer=layer if atlas_layers(quads) > 1 else None,
+    )
+
+
+def atlas_layers(quads: jnp.ndarray) -> int:
+    """Static layer count L of an atlas pool (from its row width)."""
+    return quads.shape[-1] // (16 * QUAD_GROUP)
+
+
+def sample_bundle_rows(
+    quads: jnp.ndarray,
+    rows: jnp.ndarray,  # [..., META_COLS] pre-gathered meta rows
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    wrap_mode: int = WRAP_REPEAT,
+    trilinear: bool = True,
+) -> jnp.ndarray:
+    """Explicit-LOD sample of ALL bundle layers -> [..., L, 4]. The whole
+    bundle costs the same gathers as one texture (2 trilinear / 1
+    bilinear): every layer of a 2x2 block shares the physical row."""
+    lod = jnp.maximum(lod, 0.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+
+    o0, w0, h0 = _level_meta_from_rows(rows, l0)
+    c0 = _bilinear_level_quad(quads, o0, w0, h0, uv, wrap_mode)
+    if trilinear:
+        o1, w1, h1 = _level_meta_from_rows(rows, l0 + 1)
+        c1 = _bilinear_level_quad(quads, o1, w1, h1, uv, wrap_mode)
+        frac = (lod - l0.astype(jnp.float32))[..., None]
+        c0 = c0 + (c1 - c0) * frac
+    return c0.reshape(c0.shape[:-1] + (atlas_layers(quads), 4))
+
+
+def select_layer(samples: jnp.ndarray, layer: jnp.ndarray) -> jnp.ndarray:
+    """[..., L, 4] bundle samples + [...] int32 layer -> [..., 4]
+    (register select chain over the small static layer count)."""
+    num = samples.shape[-2]
+    out = samples[..., 0, :]
+    for k in range(1, num):
+        out = jnp.where((layer == k)[..., None], samples[..., k, :], out)
+    return out
 
 
 def sample_texture_rows(
@@ -162,23 +195,17 @@ def sample_texture_rows(
     lod: jnp.ndarray,
     wrap_mode: int = WRAP_REPEAT,
     trilinear: bool = True,
+    layer: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Like sample_texture but with the per-pixel meta rows already
     fetched — callers that also need level-0 sizes (for LOD computation)
     can share the fetch (e.g. via the one-hot material matrix,
-    render/shading.py)."""
-    srgb = rows[..., 1] != 0
-    lod = jnp.maximum(lod, 0.0)
-    l0 = jnp.floor(lod).astype(jnp.int32)
-
-    o0, w0, h0 = _level_meta_from_rows(rows, l0)
-    c0 = _bilinear_level_quad(quads, o0, w0, h0, uv, srgb, wrap_mode)
-    if not trilinear:
-        return c0
-    o1, w1, h1 = _level_meta_from_rows(rows, l0 + 1)
-    c1 = _bilinear_level_quad(quads, o1, w1, h1, uv, srgb, wrap_mode)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
-    return c0 + (c1 - c0) * frac
+    render/shading.py). ``layer`` selects a bundle layer per pixel
+    (default: layer 0, exact for single-texture entries)."""
+    s = sample_bundle_rows(quads, rows, uv, lod, wrap_mode, trilinear)
+    if layer is None:
+        return s[..., 0, :]
+    return select_layer(s, layer)
 
 
 def quad_lut_2ch(lut: jnp.ndarray) -> jnp.ndarray:

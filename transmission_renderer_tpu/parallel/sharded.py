@@ -58,19 +58,16 @@ from transmission_renderer_tpu.ops.raster import (
 )
 from transmission_renderer_tpu.pbr import (
     bake_lottes_params,
-    cluster_coefficients,
     lottes_tonemap,
 )
-from transmission_renderer_tpu.pbr.clustering import (
-    assign_lights_to_clusters,
-    write_cluster_data,
-)
+from transmission_renderer_tpu.pbr.clustering import assign_lights_to_clusters
 from transmission_renderer_tpu.pbr.lights import Lights
 from transmission_renderer_tpu.render.frame import (
     DrawList,
     FrameParams,
     SceneFlags,
     _make_alpha_fn,
+    _static_cluster_data,
 )
 from transmission_renderer_tpu.render.gbuffer import interpolate_gbuffer
 from transmission_renderer_tpu.render.shading import (
@@ -275,7 +272,9 @@ def render_frame_sharded(
         use_pallas = jax.default_backend() != "cpu" and (tw, th) == (128, 8)
     use_kernel = use_pallas and not flags.has_alpha_clip
 
-    coeffs = cluster_coefficients(config.z_near, config.z_far, config.num_depth_slices)
+    # projection-static cluster data, cached per config and shared
+    # (bitwise) with the single-chip renderer — see render/frame.py
+    coeffs, cl_aabb_min, cl_aabb_max = _static_cluster_data(config)
     pyr_spec = _BandPyramidSpec(
         w, h, band_h, n_bands, config.sharded_refraction_halo_px
     )
@@ -301,10 +300,7 @@ def render_frame_sharded(
         )
         tri_scale = scene.inst_transform.scale[dl.tri_inst]
 
-        aabb_min, aabb_max = write_cluster_data(
-            params.inverse_perspective, (w, h),
-            (config.num_clusters_x, config.num_clusters_y), coeffs,
-        )
+        aabb_min, aabb_max = cl_aabb_min, cl_aabb_max
         lp_h = jnp.concatenate(
             [lights.position, jnp.ones_like(lights.position[:, :1])], -1
         )

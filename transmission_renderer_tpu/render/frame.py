@@ -18,6 +18,7 @@ subpass dependencies and vk-sync barriers.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -184,6 +185,11 @@ class SceneFlags(NamedTuple):
     # small quad tables (TPU gathers from small tables are ~free — see
     # ops/mipchain.py).
     transmission_ior_roughness: tuple | None = None
+    # Groups of sampled texture slots that, for EVERY material, reference
+    # one atlas bundle image (layers packed per texture_ref): such groups
+    # share one meta block + ONE bundle gather per tap in the material
+    # matrix (render/shading.py). Computed by compute_slot_bundles.
+    slot_bundles: tuple = ()
 
 
 TEX_SLOT_NAMES = (
@@ -191,6 +197,29 @@ TEX_SLOT_NAMES = (
     "tex_emissive", "tex_occlusion", "tex_transmission", "tex_thickness",
     "tex_specular", "tex_specular_colour",
 )
+
+
+def compute_slot_bundles(tex_columns: dict) -> tuple:
+    """Detect the scene-wide bundle group (SceneFlags.slot_bundles).
+
+    Returns one group of ALL sampled slots when every material's used
+    sampled slots point at a single atlas image (bundle layers packed via
+    scene/textures.py::texture_ref) — then the material tap pays ONE
+    gather for the whole slot set. Materials using at most one sampled
+    slot are trivially consistent, so single-texture scenes group
+    harmlessly. Mixed scenes (one material reading two DIFFERENT images
+    through sampled slots) disable grouping entirely (per-slot taps, the
+    pre-bundle behaviour)."""
+    from transmission_renderer_tpu.scene.textures import IMAGE_MASK
+
+    names = tuple(n for n in TEX_SLOT_NAMES if n != "tex_occlusion")
+    stack = np.stack([np.asarray(tex_columns[n]) for n in names])
+    imgs = np.where(stack >= 0, stack & IMAGE_MASK, -1)
+    mx = imgs.max(axis=0)
+    ok = np.all((imgs < 0) | (imgs == mx[None]), axis=0)
+    if np.all(ok):
+        return (names,)
+    return ()
 
 
 def compute_tex_slot_flags(
@@ -263,6 +292,7 @@ def scene_flags(scene: Scene) -> SceneFlags:
         transmission_ior_roughness=_transmission_ior_roughness(
             scene, trans_mids
         ),
+        slot_bundles=compute_slot_bundles(cols),
     )
 
 
@@ -376,6 +406,38 @@ def make_frame_params(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _static_cluster_data(config: RenderConfig):
+    """Cluster coefficients + view-space cluster AABBs, computed ONCE per
+    config. They depend only on the projection and the cluster grid — the
+    reference computes them at startup/resize (src/main.rs:832-840,
+    :1478-1517), not per frame. ``make_frame_params`` derives
+    ``inverse_perspective`` from the same config, so using the cached
+    value inside render_frame is exact. Returned arrays are concrete, so
+    under jit they become trace-time constants: the frame HLO no longer
+    contains the AABB construction. (ensure_compile_time_eval keeps the
+    math eager even when first called inside a trace — without it the
+    cache would capture and leak tracers.)"""
+    import jax
+
+    proj = perspective_matrix_reversed(
+        config.width, config.height, config.vertical_fov,
+        config.z_near, config.z_far,
+    )
+    coeffs = cluster_coefficients(
+        config.z_near, config.z_far, config.num_depth_slices
+    )
+    with jax.ensure_compile_time_eval():
+        inv = jnp.asarray(np.linalg.inv(proj).astype(np.float32))
+        aabb_min, aabb_max = write_cluster_data(
+            inv,
+            (config.width, config.height),
+            (config.num_clusters_x, config.num_clusters_y),
+            coeffs,
+        )
+    return coeffs, jax.device_get(aabb_min), jax.device_get(aabb_max)
+
+
 def _gather_gbuffer(wk, g):
     """Gather every G-buffer channel's active blocks -> flat worklist."""
     import jax
@@ -389,19 +451,34 @@ def _clip_alpha_ok_tiles(scene: Scene, ch: dict) -> jnp.ndarray:
     tiled channel dict. Implicit-LOD sampling from the analytic
     derivatives (the reference's ``texture_sampler.sample``). True where
     the winner passes (or there is no winner)."""
-    from transmission_renderer_tpu.ops.texture import sample_texture_rows
+    from transmission_renderer_tpu.ops.texture import (
+        atlas_layers,
+        sample_texture_rows,
+    )
     from transmission_renderer_tpu.render.shading import _mip_lod
+    from transmission_renderer_tpu.scene.textures import (
+        IMAGE_MASK,
+        LAYER_SHIFT,
+    )
 
     m = scene.materials
     valid = ch["tri"] >= 0
     safe = jnp.maximum(ch["material"], 0)
     tid = m.tex_diffuse[safe]
-    rows = scene.atlas_meta[jnp.maximum(tid, 0)]
+    packed = jnp.maximum(tid, 0)
+    rows = scene.atlas_meta[packed & IMAGE_MASK]
     uv = jnp.stack([ch["uv_u"], ch["uv_v"]], -1)
     duvdx = jnp.stack([ch["duvdx_u"], ch["duvdx_v"]], -1)
     duvdy = jnp.stack([ch["duvdy_u"], ch["duvdy_v"]], -1)
     lod = _mip_lod(duvdx, duvdy, rows[..., 2], rows[..., 3])
-    s = sample_texture_rows(scene.atlas_texels, rows, uv, lod, WRAP_REPEAT)
+    s = sample_texture_rows(
+        scene.atlas_texels, rows, uv, lod, WRAP_REPEAT,
+        layer=(
+            packed >> LAYER_SHIFT
+            if atlas_layers(scene.atlas_texels) > 1
+            else None
+        ),
+    )
     alpha = m.diffuse_factor[safe, 3] * jnp.where(tid >= 0, s[..., 3], 1.0)
     return (~valid) | (alpha >= m.alpha_clipping_cutoff[safe])
 
@@ -694,7 +771,7 @@ def render_frame(
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
     if ggx_lut is None:
-        ggx_lut = jnp.asarray(default_ggx_lut())
+        ggx_lut = jnp.asarray(default_ggx_lut(config.ggx_lut_size))
 
     # ---- 1. vertex transform (vertex_instanced, shader lib.rs:336-361) ----
     inst_t = Similarity(
@@ -850,15 +927,9 @@ def render_frame(
         )
 
     # ---- 3. clustered lighting -------------------------------------------
-    coeffs = cluster_coefficients(
-        config.z_near, config.z_far, config.num_depth_slices
-    )
-    aabb_min, aabb_max = write_cluster_data(
-        params.inverse_perspective,
-        (w, h),
-        (config.num_clusters_x, config.num_clusters_y),
-        coeffs,
-    )
+    # coefficients + cluster AABBs are projection-static: cached per
+    # config and baked into the trace as constants (_static_cluster_data)
+    coeffs, aabb_min, aabb_max = _static_cluster_data(config)
     lp_h = jnp.concatenate(
         [lights.position, jnp.ones_like(lights.position[:, :1])], -1
     )
@@ -869,6 +940,16 @@ def render_frame(
         lights.is_a_spotlight(), spot_dir_view, lights.spot_outer_angle,
         config.max_lights_per_cluster,
     )
+
+    # scene-static shade precomputations, shared by both shade passes (and
+    # constant-folded at trace time when their inputs are concrete)
+    from transmission_renderer_tpu.ops.texture import quad_lut_2ch
+    from transmission_renderer_tpu.render.shading import build_material_matrix
+
+    mat_matrix_o = build_material_matrix(
+        scene, flags.tex_slots, flags.slot_bundles
+    )
+    lut_quads = quad_lut_2ch(ggx_lut)
 
     ctx = ShadeContext(
         view_position=params.view_position,
@@ -887,6 +968,8 @@ def render_frame(
         tex_slots=flags.tex_slots,
         half_res_refraction=config.half_res_refraction,
         quad_taps=config.quad_material_taps,
+        mat_matrix=mat_matrix_o,
+        ggx_lut_quads=lut_quads,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------
@@ -1048,7 +1131,12 @@ def render_frame(
                 vis_t, setup_t, dl.tri_vtx, dl.tri_material, tri_scale,
                 world_pos, world_nrm, uvs, w, h,
             )
-        ctx_t = ctx._replace(tex_slots=flags.tex_slots_transmission)
+        ctx_t = ctx._replace(
+            tex_slots=flags.tex_slots_transmission,
+            mat_matrix=build_material_matrix(
+                scene, flags.tex_slots_transmission, flags.slot_bundles
+            ),
+        )
         # fractional cap with a 256-block floor: at small frames the flat
         # 128-px blocks quantise coverage upward (a block spans several
         # rows of a 320-px frame), so a pure fraction overflows on scenes

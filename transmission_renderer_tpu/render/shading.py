@@ -29,10 +29,13 @@ import jax.numpy as jnp
 from transmission_renderer_tpu.ops.mipchain import MipPyramid, sample_pyramid_lod
 from transmission_renderer_tpu.ops.texture import (
     WRAP_REPEAT,
+    atlas_layers,
     quad_lut_2ch,
+    sample_bundle_rows,
     sample_lut_2ch_quad,
-    sample_texture_rows,
+    select_layer,
 )
+from transmission_renderer_tpu.scene.textures import IMAGE_MASK, LAYER_SHIFT
 from transmission_renderer_tpu.pbr import (
     ClusterCoefficients,
     MaterialParams,
@@ -80,6 +83,12 @@ class ShadeContext(NamedTuple):
     # (None -> factor 1.0, the non-RayQuery variant); flat [M] / [M, L]
     sun_shadow_factor: jnp.ndarray | None = None
     light_shadow_factors: jnp.ndarray | None = None
+    # scene-static precomputations, built once per frame (or trace-time
+    # constants when their inputs are concrete) and shared by every pass:
+    # the fused material matrix matching ``tex_slots`` and the quad-block
+    # GGX LUT (render_frame hoists both; None -> built on demand)
+    mat_matrix: "MaterialMatrix | None" = None
+    ggx_lut_quads: jnp.ndarray | None = None
 
 
 def onehot_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -132,16 +141,26 @@ class MaterialMatrix(NamedTuple):
     meta_col: dict  # slot name -> column start of its meta block (or None)
 
 
-def build_material_matrix(scene: Scene, tex_slots: tuple) -> MaterialMatrix:
+def build_material_matrix(
+    scene: Scene, tex_slots: tuple, slot_bundles: tuple = (),
+) -> MaterialMatrix:
     """Fuse material factors, texture ids, and per-slot texture metadata
     into one f32 matrix (trace-time work over [n_materials] arrays).
 
     Layout: [0:20] factors (see below), [20:28] texture ids, then one
-    30-col metadata block per *used* sampled slot. attenuation_distance's
-    infinity default (src/model_loading.rs:318) is encoded as
-    (finite value, is_inf flag) to keep the table inf-free; atlas block
-    offsets are split into 12-bit halves so they survive the f32 matmul
-    exactly for atlases beyond 2^24 blocks.
+    30-col metadata block per *used* sampled slot GROUP.
+    attenuation_distance's infinity default (src/model_loading.rs:318) is
+    encoded as (finite value, is_inf flag) to keep the table inf-free;
+    atlas block offsets are split into 12-bit halves so they survive the
+    f32 matmul exactly for atlases beyond 2^24 blocks.
+
+    ``slot_bundles`` (SceneFlags.slot_bundles) lists groups of slot names
+    guaranteed to reference one bundle image per material: such groups
+    SHARE a metadata block (same column for every member), which makes
+    their taps in ``evaluate_pixel_material`` structurally identical —
+    ONE bundle gather serves the whole group; each slot extracts its
+    layer in registers. Texture-id columns carry packed
+    (image | layer << 16) refs (scene/textures.py::texture_ref).
     """
     m = scene.materials
     f32col = lambda x: x[:, None].astype(jnp.float32)
@@ -165,20 +184,36 @@ def build_material_matrix(scene: Scene, tex_slots: tuple) -> MaterialMatrix:
     tids = [getattr(m, name) for name in _MAT_SLOTS]
     cols.append(jnp.stack(tids, axis=1).astype(jnp.float32))  # 21:29
 
+    group_of = {name: (name,) for name in _MAT_SLOTS}
+    for group in slot_bundles:
+        for name in group:
+            group_of[name] = tuple(group)
+
     meta_col = {}
     c = 29
     for name, flag_pos in zip(_MAT_SLOTS, _SLOT_FLAG_POS):
         if not tex_slots[flag_pos]:
             meta_col[name] = None
             continue
-        tid = jnp.maximum(getattr(m, name), 0)
-        rows = scene.atlas_meta[tid].astype(jnp.int32)  # [n_mat, 4+13]
+        if name in meta_col:
+            continue  # group-mate already laid this block down
+        group = group_of[name]
+        # the group's per-material image: every used member references the
+        # same bundle (finish_bundle/scene_flags verified this), so the
+        # elementwise max over member refs picks it
+        tid = getattr(m, name)
+        for other in group:
+            tid = jnp.maximum(tid, getattr(m, other))
+        img = jnp.maximum(tid, 0) & IMAGE_MASK
+        rows = scene.atlas_meta[img].astype(jnp.int32)  # [n_mat, 4+13]
         head = rows[:, :4].astype(jnp.float32)
         offs = rows[:, 4:]
         off_hi = (offs >> 12).astype(jnp.float32)
         off_lo = (offs & 0xFFF).astype(jnp.float32)
         cols.append(jnp.concatenate([head, off_hi, off_lo], axis=1))
-        meta_col[name] = c
+        for member in group:
+            if member in _MAT_SLOTS:
+                meta_col[member] = c
         c += _META_BLOCK
     return MaterialMatrix(table=jnp.concatenate(cols, axis=1), meta_col=meta_col)
 
@@ -232,16 +267,34 @@ def evaluate_pixel_material(
 
     mrow = onehot_rows(mm.table, mid)  # [M, C] — ONE fused fetch
 
+    # Bundle-sample cache: slots whose meta block is SHARED (one bundle
+    # per material, see build_material_matrix) sample once per COLUMN —
+    # one gather pair serves every slot in the group; per-slot extraction
+    # is a register layer select.
+    n_layers = atlas_layers(scene.atlas_texels)
+    bundle_cache: dict = {}
+
     def tex4(slot_idx):
         name = _MAT_SLOTS[slot_idx]
         tid = mrow[..., 21 + slot_idx].astype(jnp.int32)
-        rows = _meta_rows_from(mrow, mm.meta_col[name])
-        lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
+        col = mm.meta_col[name]
+        layer = jnp.maximum(tid, 0) >> LAYER_SHIFT
+
+        def extract(bundle):
+            if n_layers == 1:
+                return bundle[..., 0, :]
+            return select_layer(bundle, layer)
+
         if quad_shape is None:
-            sample = sample_texture_rows(
-                scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT
-            )
-            return tid, sample
+            if col not in bundle_cache:
+                rows = _meta_rows_from(mrow, col)
+                lod = _mip_lod(
+                    g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3]
+                )
+                bundle_cache[col] = sample_bundle_rows(
+                    scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT
+                )
+            return tid, extract(bundle_cache[col])
         # Quality flag (RenderConfig.quad_material_taps): ONE tap per 2x2
         # pixel quad, shared by its 4 pixels — the quad's first VALID
         # pixel supplies uv/lod/meta (a representative, NOT a mean: meta
@@ -265,16 +318,18 @@ def evaluate_pixel_material(
                 -1, *x.shape[1:]
             )
 
-        sample_q = sample_texture_rows(
-            scene.atlas_texels, rep(rows), rep(g.uv),
-            rep(lod[..., None])[..., 0], WRAP_REPEAT,
-        )
-        c = sample_q.shape[-1]
-        sample = jnp.broadcast_to(
-            sample_q.reshape(h // 2, 1, w // 2, 1, c),
-            (h // 2, 2, w // 2, 2, c),
-        ).reshape(-1, c)
-        return tid, sample
+        if col not in bundle_cache:
+            rows = _meta_rows_from(mrow, col)
+            lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
+            sample_q = sample_bundle_rows(
+                scene.atlas_texels, rep(rows), rep(g.uv),
+                rep(lod[..., None])[..., 0], WRAP_REPEAT,
+            )  # [M/4, L, 4]
+            bundle_cache[col] = jnp.broadcast_to(
+                sample_q.reshape(h // 2, 1, w // 2, 1, n_layers, 4),
+                (h // 2, 2, w // 2, 2, n_layers, 4),
+            ).reshape(-1, n_layers, 4)
+        return tid, extract(bundle_cache[col])
 
     # diffuse (sRGB)
     diffuse = mrow[..., 2:6]
@@ -591,7 +646,8 @@ def shade_opaque_flat(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
     pm = evaluate_pixel_material(
-        scene, g, view_vector, ctx.tex_slots, quad_shape=quad_shape
+        scene, g, view_vector, ctx.tex_slots, mat_matrix=ctx.mat_matrix,
+        quad_shape=quad_shape,
     )
 
     result, _, cluster, counts = evaluate_lights_common(
@@ -647,7 +703,9 @@ def shade_transmission_flat(
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
-    pm = evaluate_pixel_material(scene, g, view_vector, ctx.tex_slots)
+    pm = evaluate_pixel_material(
+        scene, g, view_vector, ctx.tex_slots, mat_matrix=ctx.mat_matrix
+    )
 
     result, transmission, _, _ = evaluate_lights_common(
         ctx, pm.params, view, g.position, pm.normal, g.depth, px, py,
@@ -658,9 +716,14 @@ def shade_transmission_flat(
         fb_sampler = lambda uv, lod: sample_pyramid_lod(
             opaque_pyramid, uv, lod, level_set=pyramid_level_set
         )
-    # quad-block the LUT once per frame (cheap data movement) so each
-    # pixel's split-sum fetch is ONE gather instead of four
-    lut_quads = quad_lut_2ch(ctx.ggx_lut)
+    # quad-block the LUT once per frame (render_frame hoists this to a
+    # trace-time constant) so each pixel's split-sum fetch is ONE gather
+    # instead of four
+    lut_quads = (
+        ctx.ggx_lut_quads
+        if ctx.ggx_lut_quads is not None
+        else quad_lut_2ch(ctx.ggx_lut)
+    )
     lut_size = ctx.ggx_lut.shape[0]
     lut_sampler = lambda nov, rough: sample_lut_2ch_quad(
         lut_quads, lut_size, nov, rough

@@ -18,7 +18,7 @@ from transmission_renderer_tpu.config import (
     BUCKET_TRANSMISSION,
     BUCKET_TRANSMISSION_ALPHA_CLIP,
 )
-from transmission_renderer_tpu.scene.textures import AtlasBuilder
+from transmission_renderer_tpu.scene.textures import AtlasBuilder, texture_ref
 from transmission_renderer_tpu.scene.types import (
     Scene,
     Similarity,
@@ -126,6 +126,16 @@ class SceneBuilder:
     def add_texture(self, rgba: np.ndarray, srgb: bool) -> int:
         return self.atlas.push_image(rgba, srgb)
 
+    def add_texture_bundle(self, images: list[tuple[np.ndarray, bool]]) -> list[int]:
+        """Push same-size (rgba, srgb) images as LAYERS of one atlas
+        bundle; returns a packed texture ref per image for add_material.
+        A material whose sampled textures all come from one bundle pays
+        ONE gather for its whole texture set (scene/textures.py)."""
+        bid = self.atlas.push_bundle(
+            [im for im, _ in images], [bool(s) for _, s in images]
+        )
+        return [texture_ref(bid, k) for k in range(len(images))]
+
     # -- ray tracing ---------------------------------------------------------
 
     def build_rt_bvh(self):
@@ -166,6 +176,7 @@ class SceneBuilder:
             TEX_SLOT_NAMES,
             SceneFlags,
             build_draw_list_from_numpy,
+            compute_slot_bundles,
             static_ior_roughness_values,
         )
         from transmission_renderer_tpu.config import (
@@ -214,6 +225,12 @@ class SceneBuilder:
                     for i in trans_mids
                 )
                 else None
+            ),
+            slot_bundles=compute_slot_bundles(
+                {
+                    n: np.array([m[n] for m in mats], np.int64)
+                    for n in TEX_SLOT_NAMES
+                }
             ),
         )
         return scene, dl, flags

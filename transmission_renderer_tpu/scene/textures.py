@@ -55,6 +55,17 @@ QUAD_GROUP_SHIFT = 2
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
 
+# Texture references in material columns pack (image id | layer << SHIFT)
+# so bundle layers ride the existing int columns; -1 stays "no texture".
+LAYER_SHIFT = 16
+IMAGE_MASK = (1 << LAYER_SHIFT) - 1
+
+
+def texture_ref(image_id: int, layer: int = 0) -> int:
+    """Pack an atlas entry + bundle layer into one material texture ref."""
+    assert 0 <= image_id <= IMAGE_MASK and layer >= 0
+    return image_id | (layer << LAYER_SHIFT)
+
 
 def mip_levels_for_size(width: int, height: int) -> int:
     """floor(log2(max(w,h))) + 1 (src/main.rs:2590-2592)."""
@@ -88,26 +99,40 @@ def _pack_rgba8(img: np.ndarray) -> np.ndarray:
     return img[..., 0] | (img[..., 1] << 8) | (img[..., 2] << 16) | (img[..., 3] << 24)
 
 
+def _decode_rgba8(img: np.ndarray, srgb: bool) -> np.ndarray:
+    """[H, W, 4] uint8 -> [H, W, 4] float32 linear, exactly what sampling
+    an R8G8B8A8_SRGB/UNORM texture yields: /255, then the sRGB EOTF on
+    RGB when ``srgb`` (alpha always linear). Decoding happens ONCE here at
+    atlas-build time — per-texel decode work (u8 unpack + two pow-2.4
+    evals per RGB channel) would otherwise run per SAMPLE in the shading
+    hot loop, ~48M pow evals per 1080p frame."""
+    f = img.astype(np.float32) / np.float32(255.0)
+    if srgb:
+        f = np.concatenate([srgb_to_linear(f[..., :3]), f[..., 3:]], axis=-1)
+    return f.astype(np.float32)
+
+
 def quad_block_counts(width: int, height: int) -> tuple[int, int]:
     """(bw, bh): per-phase block-grid size for a level of (width, height)."""
     return (width + 1) // 2, (height + 1) // 2
 
 
-def _quad_blocks(packed: np.ndarray, wrap: int) -> np.ndarray:
-    """[H, W] uint32 -> [4 * bh * bw, 4] uint32 phase-shifted 2x2 blocks.
+def _quad_blocks(texels: np.ndarray, wrap: int) -> np.ndarray:
+    """[H, W, C] float32 -> [4 * bh * bw, 4 * C] phase-shifted 2x2 blocks
+    (texel-major: t00.C, t10.C, t01.C, t11.C).
 
     Block (phase=(py,px), by, bx) holds texels at (y0, x0), (y0, x0+1),
     (y0+1, x0), (y0+1, x0+1) with y0 = 2*by + py, x0 = 2*bx + px, and the
     wrap mode applied to out-of-range coordinates (REPEAT: mod, CLAMP:
     clamp-to-edge) — matching what a Vulkan sampler's per-tap wrap does.
     """
-    h, w = packed.shape
+    h, w, c = texels.shape
     bw, bh = quad_block_counts(w, h)
 
     def wrapc(v, size):
         return v % size if wrap == WRAP_REPEAT else np.minimum(v, size - 1)
 
-    out = np.empty((4, bh, bw, 4), np.uint32)
+    out = np.empty((4, bh, bw, 4, c), np.float32)
     for py in (0, 1):
         for px in (0, 1):
             xs0 = wrapc(2 * np.arange(bw) + px, w)
@@ -115,11 +140,11 @@ def _quad_blocks(packed: np.ndarray, wrap: int) -> np.ndarray:
             ys0 = wrapc(2 * np.arange(bh) + py, h)
             ys1 = wrapc(2 * np.arange(bh) + py + 1, h)
             p = 2 * py + px
-            out[p, :, :, 0] = packed[np.ix_(ys0, xs0)]
-            out[p, :, :, 1] = packed[np.ix_(ys0, xs1)]
-            out[p, :, :, 2] = packed[np.ix_(ys1, xs0)]
-            out[p, :, :, 3] = packed[np.ix_(ys1, xs1)]
-    return out.reshape(-1, 4)
+            out[p, :, :, 0] = texels[np.ix_(ys0, xs0)]
+            out[p, :, :, 1] = texels[np.ix_(ys0, xs1)]
+            out[p, :, :, 2] = texels[np.ix_(ys1, xs0)]
+            out[p, :, :, 3] = texels[np.ix_(ys1, xs1)]
+    return out.reshape(-1, 4 * c)
 
 
 class AtlasBuilder:
@@ -127,13 +152,71 @@ class AtlasBuilder:
 
     Plays the role of ``ImageManager`` (src/model_loading.rs:392-436): push
     an image, get back a stable integer id.
+
+    Texels are stored PRE-DECODED to linear float32 (see _decode_rgba8) so
+    sampling is pure gather + lerp. ``push_bundle`` stores several
+    same-size images as LAYERS of one atlas entry: all layers of a 2x2
+    block share one physical row, so a material whose textures are bundled
+    pays ONE gather for every texture tap at the same uv (the dominant
+    deferred-shading cost — a 5-texture DamagedHelmet-style material
+    would otherwise pay 5x). The atlas's layer count is the max bundle
+    size pushed (smaller entries zero-pad); the sampler derives it from
+    the row width, so single-texture scenes pay nothing.
     """
 
     def __init__(self):
-        self._chunks: list[np.ndarray] = []
+        # per entry: (per-level [H, W, 4*layers] float32 chains, wrap)
+        self._images: list[tuple[list[np.ndarray], int]] = []
         self._meta: list[np.ndarray] = []
         self._srgb: list[bool] = []
-        self._offset = 0  # in block rows
+        self._offset = 0  # in quad-block rows (layer-count independent)
+
+    def push_bundle(
+        self,
+        rgbas: list[np.ndarray],
+        srgbs: list[bool],
+        generate_mips: bool = True,
+        wrap: int = WRAP_REPEAT,
+    ) -> int:
+        """Add same-size RGBA8 images as one multi-layer atlas entry (+
+        mip chains); returns its texture id. Layer k of the entry samples
+        image k. ``wrap`` chooses the edge behaviour baked into boundary
+        blocks; it must match the wrap mode the entry will be sampled
+        with (material textures use REPEAT, the reference's sampler)."""
+        assert rgbas and len(rgbas) == len(srgbs)
+        h, w = rgbas[0].shape[:2]
+        for r in rgbas:
+            assert r.dtype == np.uint8 and r.shape == (h, w, 4), r.shape
+        image_id = len(self._meta)
+        levels = mip_levels_for_size(w, h) if generate_mips else 1
+        levels = min(levels, MAX_MIPS)
+        row = np.zeros(META_COLS, np.int32)
+        row[0] = levels
+        row[1] = int(srgbs[0])
+        row[2] = w
+        row[3] = h
+        level_imgs = list(rgbas)
+        chains = []
+        for m in range(levels):
+            row[4 + m] = self._offset
+            # mips are generated in BYTE space (matching the reference's
+            # LINEAR blit chain) and decoded per level
+            dec = np.concatenate(
+                [_decode_rgba8(im, s) for im, s in zip(level_imgs, srgbs)],
+                axis=-1,
+            )
+            chains.append(dec)
+            bw, bh = quad_block_counts(*dec.shape[1::-1])
+            self._offset += 4 * bh * bw
+            if m + 1 < levels:
+                level_imgs = [_box_downsample(im) for im in level_imgs]
+        # Unused mip slots alias the last level so out-of-range LOD clamps
+        # are just index clamps.
+        row[4 + levels :] = row[4 + levels - 1]
+        self._meta.append(row)
+        self._srgb.append(bool(srgbs[0]))
+        self._images.append((chains, wrap))
+        return image_id
 
     def push_image(
         self,
@@ -142,49 +225,45 @@ class AtlasBuilder:
         generate_mips: bool = True,
         wrap: int = WRAP_REPEAT,
     ) -> int:
-        """Add an RGBA8 image (+ its mip chain); returns its texture id.
-
-        ``wrap`` chooses the edge behaviour baked into boundary blocks; it
-        must match the wrap mode the image will be sampled with. Material
-        textures use REPEAT (the reference's material sampler).
-        """
-        assert rgba.dtype == np.uint8 and rgba.ndim == 3 and rgba.shape[2] == 4, rgba.shape
-        image_id = len(self._meta)
-        levels = mip_levels_for_size(rgba.shape[1], rgba.shape[0]) if generate_mips else 1
-        levels = min(levels, MAX_MIPS)
-        row = np.zeros(META_COLS, np.int32)
-        row[0] = levels
-        row[1] = int(srgb)
-        row[2] = rgba.shape[1]
-        row[3] = rgba.shape[0]
-        level_img = rgba
-        for m in range(levels):
-            row[4 + m] = self._offset
-            blocks = _quad_blocks(_pack_rgba8(level_img), wrap)
-            self._chunks.append(blocks)
-            self._offset += blocks.shape[0]
-            if m + 1 < levels:
-                level_img = _box_downsample(level_img)
-        # Unused mip slots alias the last level so out-of-range LOD clamps
-        # are just index clamps.
-        row[4 + levels :] = row[4 + levels - 1]
-        self._meta.append(row)
-        self._srgb.append(srgb)
-        return image_id
+        """Add one RGBA8 image (+ its mip chain); returns its texture id."""
+        return self.push_bundle([rgba], [srgb], generate_mips, wrap)
 
     @property
     def num_images(self) -> int:
         return len(self._meta)
 
+    @property
+    def layers(self) -> int:
+        """Max bundle width pushed so far (the atlas's static layer count)."""
+        return max(
+            (c[0].shape[-1] // 4 for c, _ in self._images), default=1
+        )
+
     def finish(self):
         if not self._meta:
             # 1x1 white dummy so the pools are never empty.
             self.push_image(np.full((1, 1, 4), 255, np.uint8), srgb=False)
-        quads = np.concatenate(self._chunks)
+        layers = self.layers
+        chunks = []
+        for chains, wrap in self._images:
+            for dec in chains:
+                if dec.shape[-1] < 4 * layers:
+                    dec = np.concatenate(
+                        [
+                            dec,
+                            np.zeros(
+                                dec.shape[:2] + (4 * layers - dec.shape[-1],),
+                                np.float32,
+                            ),
+                        ],
+                        axis=-1,
+                    )
+                chunks.append(_quad_blocks(dec, wrap))
+        quads = np.concatenate(chunks)
         pad = (-len(quads)) % QUAD_GROUP
         quads = np.concatenate(
-            [quads, np.zeros((pad, 4), quads.dtype)]
-        ).reshape(-1, 4 * QUAD_GROUP)
+            [quads, np.zeros((pad, quads.shape[1]), np.float32)]
+        ).reshape(-1, QUAD_GROUP * 16 * layers)
         meta = np.stack(self._meta)
         srgb = np.array(self._srgb, bool)
         return quads, meta, srgb

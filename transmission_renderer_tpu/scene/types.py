@@ -219,9 +219,12 @@ class Scene(NamedTuple):
     materials: MaterialsSoA
     # Texture atlas: flat texel pool (RGBA8, all mips of all textures) plus
     # a metadata table; see scene/textures.py. Kept as uint32-packed RGBA.
-    atlas_texels: jnp.ndarray  # [B/4, 16] u32: QUAD_GROUP quad-blocks/row
+    # [R, QUAD_GROUP*16*L] f32: QUAD_GROUP quad-blocks/row, texels
+    # pre-decoded to linear (scene/textures.py), L bundle layers
+    atlas_texels: jnp.ndarray
     atlas_meta: jnp.ndarray  # [num_images, META_COLS] int32 table
-    atlas_srgb: jnp.ndarray  # [num_images] bool — decode as sRGB on sample
+    atlas_srgb: jnp.ndarray  # [num_images] bool (informational; decode is
+    # baked into atlas_texels at build time)
 
     @property
     def num_instances(self) -> int:
