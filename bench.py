@@ -42,6 +42,7 @@ from transmission_renderer_tpu.models import (  # noqa: E402
     build_attenuation_scene,
     build_dragon_scene,
     build_opaque_scene,
+    build_stress_scene,
 )
 from transmission_renderer_tpu.pbr.lights import pack_lights, point_light  # noqa: E402
 from transmission_renderer_tpu.render import (  # noqa: E402
@@ -88,7 +89,8 @@ def default_lights():
     )
 
 
-def bench_scene(name, builder, config, round_trip, n_frames=10, report_sensitivity=False):
+def bench_scene(name, builder, config, round_trip, n_frames=10,
+                report_sensitivity=False, pass_timing=False):
     """Compile + warm up + time n_frames with per-frame camera updates."""
     scene, dl, flags = builder.finish_bundle()
     bvh = builder.build_rt_bvh() if config.ray_traced_shadows else None
@@ -140,6 +142,22 @@ def bench_scene(name, builder, config, round_trip, n_frames=10, report_sensitivi
     log(f"  {name}: {dt*1e3:.1f} ms/frame min ({fps:.2f} fps; mean "
         f"{dt_mean*1e3:.1f} ms), first-call {compile_s:.1f}s, "
         f"{dl.tri_vtx.shape[0]} tris")
+
+    if pass_timing:
+        # in-frame per-pass device timing (the Tracy-collect analogue,
+        # reference src/profiling.rs:101-131): trace ONE fused frame and
+        # aggregate XLA op time by pass_scope — unlike stage_bench's
+        # isolated-jit sums, these come from the real frame
+        try:
+            from tools.pass_timing import format_table, profile_pass_times
+
+            table = profile_pass_times(
+                lambda: float(render(scene, dl, params, lights, bvh))
+            )
+            log(f"  {name} per-pass device ms (one traced frame):")
+            log(format_table(table))
+        except Exception as e:  # profiling must never sink the bench
+            log(f"  pass timing unavailable: {type(e).__name__}: {e}")
     if report_sensitivity:
         # frame-count sensitivity: a pipelined/async dispatch path would
         # show strong n-dependence; honest sync timing should not.
@@ -166,9 +184,12 @@ def main():
         ("transmission_smooth",
          build_dragon_scene(roughness_override=0.0), config, {}),
         ("attenuation", build_attenuation_scene(), config, {}),
+        # Sponza-analogue stress: instancing + alpha-clip depth peeling +
+        # mixed buckets (VERDICT r2 #4: the clip path must be IN the bench)
+        ("stress", build_stress_scene(), config, {}),
         ("dragon_attenuation",
          build_dragon_scene(roughness_override=0.25), config,
-         {"report_sensitivity": True}),
+         {"report_sensitivity": True, "pass_timing": True}),
         # RT last and single-frame: the traversal is the one pass far
         # from real time on a TPU (docs/PERFORMANCE.md), and a failure
         # here must not poison the other measurements (the headline line

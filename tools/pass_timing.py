@@ -1,0 +1,125 @@
+"""In-frame per-pass device timing from a profiler trace.
+
+The reference wraps every pass in Tracy GPU timestamp zones and collects
+them per frame (src/profiling.rs:101-131); the TPU analogue captures ONE
+profiled frame (jax.profiler trace) and aggregates XLA op device time by
+the `pass_scope` names baked into op metadata (jax.named_scope →
+HLO op_name paths). Unlike tools/stage_bench.py (isolated-jit stages,
+whose sums overestimate the fused frame), these numbers come from the
+REAL fused frame's device trace and sum to ~the measured frame time.
+
+Usage:
+    from tools.pass_timing import profile_pass_times
+    table = profile_pass_times(lambda: run_one_frame())
+    # {'shade_opaque': 43.1, ..., '<unattributed>': 8.2, '<total>': 97.0}
+
+Ops whose metadata carries no scope (XLA-fused across scopes, or outside
+any pass_scope) land in '<unattributed>'.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+# every pass_scope name used by render/frame.py (order = frame order)
+PASS_SCOPES = (
+    "geometry",
+    "binning",
+    "payload",
+    "raster_opaque",
+    "raster_clip_peel",
+    "clustering",
+    "shadow_rays_opaque",
+    "shade_opaque",
+    "mip_pyramid",
+    "raster_transmission",
+    "shadow_rays_transmission",
+    "shade_transmission",
+    "tonemap",
+)
+
+
+def _attribute(text: str, scopes) -> str | None:
+    for s in scopes:
+        if f"/{s}" in text or text.startswith(s):
+            return s
+    return None
+
+
+def collect_pass_times(trace_dir: str, scopes=PASS_SCOPES) -> dict:
+    """Parse the newest xplane in ``trace_dir`` -> {scope: device_ms}.
+
+    Includes '<unattributed>' (device ops without a recognised scope in
+    their metadata) and '<total>' (all device op time)."""
+    from jax.profiler import ProfileData
+
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    data = ProfileData.from_file(paths[-1])
+
+    sums = {s: 0.0 for s in scopes}
+    unattributed = 0.0
+    total = 0.0
+    for plane in data.planes:
+        name = plane.name
+        # device planes only: TPU/GPU op tracks (host python lines would
+        # double-count)
+        if "TPU" not in name and "GPU" not in name and "device" not in name:
+            continue
+        for line in plane.lines:
+            lname = line.name or ""
+            # XLA op lines carry per-op spans; skip step/module envelopes
+            if "XLA Modules" in lname or "Steps" in lname:
+                continue
+            for ev in line.events:
+                dur = ev.duration_ns / 1e6
+                texts = [ev.name or ""]
+                try:
+                    for k, v in ev.stats:
+                        if isinstance(v, str):
+                            texts.append(v)
+                except Exception:
+                    pass
+                scope = None
+                for t in texts:
+                    scope = _attribute(t, scopes)
+                    if scope:
+                        break
+                total += dur
+                if scope:
+                    sums[scope] += dur
+                else:
+                    unattributed += dur
+    sums["<unattributed>"] = unattributed
+    sums["<total>"] = total
+    return sums
+
+
+def profile_pass_times(run_frame, scopes=PASS_SCOPES) -> dict:
+    """Trace one call of ``run_frame`` (should render + sync one frame)
+    and return its per-pass device-ms table."""
+    import jax
+
+    with tempfile.TemporaryDirectory(prefix="trtpu_trace_") as d:
+        jax.profiler.start_trace(d)
+        try:
+            run_frame()
+        finally:
+            jax.profiler.stop_trace()
+        return collect_pass_times(d, scopes)
+
+
+def format_table(sums: dict) -> str:
+    lines = []
+    for s in PASS_SCOPES:
+        if sums.get(s):
+            lines.append(f"  {s:<26} {sums[s]:8.2f} ms")
+    lines.append(f"  {'<unattributed>':<26} {sums.get('<unattributed>', 0.0):8.2f} ms")
+    lines.append(f"  {'<total device>':<26} {sums.get('<total>', 0.0):8.2f} ms")
+    return "\n".join(lines)

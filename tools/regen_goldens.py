@@ -12,11 +12,15 @@ diff visually before committing.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+# goldens are CPU renders by contract; JAX_PLATFORMS alone is ignored
+# under the axon sitecustomize (see utils/platform.py)
+from transmission_renderer_tpu.utils.platform import force_cpu  # noqa: E402
+
+force_cpu()
 
 import numpy as np  # noqa: E402
 

@@ -41,6 +41,19 @@ WIDE = 8  # children per internal node (one gather = 8 slab tests)
 # triangles. Plenty for the target scenes; asserted at build time.
 MAX_LEVELS = 7
 _RAY_CHUNK = 1 << 18  # rays per sequential lax.map chunk (see trace_rays)
+# Pops per while-loop iteration: the batched loop pays a fixed
+# per-iteration cost (loop bookkeeping + kernel dispatch) on top of the
+# per-lane work; unrolling amortises it. Done lanes no-op extra pops
+# (every update is masked by `done`), so with mean trip counts ~15 the
+# waste is bounded by unroll-1 pops per ray.
+_UNROLL = 4
+# While-loop trips (each _UNROLL pops) per ray before the first
+# compaction: a batched walk pays its chunk's WORST lane trip count
+# (measured dragon@480p: mean 15 pops, chunk-max ~110), so phase 1 stops
+# every lane at budget * unroll pops, sorts unfinished rays to the front,
+# and phase 2 finishes only them — all-done chunks exit their loop after
+# one condition check. Exact: phase 2 is unbounded.
+_PHASE1_TRIPS = 8
 
 
 @jax.tree_util.register_pytree_node_class
@@ -304,7 +317,10 @@ def trace_rays(
     lanes_t = jnp.arange(LEAF_TRIS, dtype=jnp.int32)
     lanes_w = jnp.arange(WIDE, dtype=jnp.int32)
 
-    def walk(o_i, inv_i, d_i, t_max_i):
+    def make_walk(budget: int | None):
+        """Build a vmappable walk resuming from a state tuple; stops when
+        done or (budget is not None) after budget * _UNROLL pops."""
+
         # STACKLESS bitstack traversal: every piece of per-ray state is a
         # scalar register — two uint32 "trail" words hold one 8-bit mask
         # of untested children per tree level (codes 0..3 in trail_lo,
@@ -316,10 +332,7 @@ def trace_rays(
         # worker crashes above ~64k rays). Masked straight-line leaf +
         # inner halves, NO lax.cond (batching a cond broadcasts its
         # unbatched closure operands across the ray batch).
-        def cond(s):
-            return ~s[-1]
-
-        def body(s):
+        def pop(o_i, inv_i, d_i, s):
             lvl, idx, tlo, thi, best_t, best_tri, bu, bv, done = s
 
             # ---- advance: pop the deepest (lowest-code) non-empty mask
@@ -396,27 +409,69 @@ def trace_rays(
             thi = jnp.where(is_inner & ~in_lo, thi | add, thi)
             return lvl, idx, tlo, thi, best_t, best_tri, bu, bv, done
 
+        def walk(o_i, inv_i, d_i, s0):
+            def body_state(s):
+                for _ in range(_UNROLL):
+                    s = pop(o_i, inv_i, d_i, s)
+                return s
+
+            if budget is None:
+                return jax.lax.while_loop(
+                    lambda s: ~s[-1], body_state, s0
+                )
+            carry0 = (jnp.int32(0), s0)
+            final = jax.lax.while_loop(
+                lambda c: (c[0] < budget) & ~c[1][-1],
+                lambda c: (c[0] + 1, body_state(c[1])),
+                carry0,
+            )
+            return final[1]
+
+        return walk
+
+    def init_state(t_max_i):
         # virtual super-root: the real root (idx 0, code D) is the sole
         # set bit of the trail at code D; the first advance descends
         # into it (anc = 0 >> 0 with lvl = D + 1).
         root_code = bvh.num_levels  # root = level num_levels-1 -> code D
         root_mask = jnp.int32(1) << ((root_code & 3) * 8)
-        init = (
-            jnp.int32(root_code + 1), jnp.int32(0),
-            root_mask if root_code < 4 else jnp.int32(0),
-            root_mask if root_code >= 4 else jnp.int32(0),
-            t_max_i, jnp.int32(-1), jnp.float32(0), jnp.float32(0), False,
+        zeros = jnp.zeros_like(t_max_i, jnp.int32)
+        return (
+            zeros + (root_code + 1), zeros,
+            zeros + (root_mask if root_code < 4 else 0),
+            zeros + (root_mask if root_code >= 4 else 0),
+            t_max_i, zeros - 1,
+            jnp.zeros_like(t_max_i), jnp.zeros_like(t_max_i),
+            jnp.zeros_like(t_max_i, bool),
         )
-        final = jax.lax.while_loop(cond, body, init)
-        _, _, _, _, best_t, best_tri, bu, bv, _ = final
-        return best_t, best_tri, bu, bv
+
+    def run_chunks(rays, state, budget):
+        """Advance every ray's walk (chunked lax.map) until done or
+        budget; rays/state are tuples of [M]-leading arrays with M a
+        multiple of `chunk` (or M <= chunk)."""
+        walk = make_walk(budget)
+        m = rays[0].shape[0]
+        if m <= chunk:
+            return jax.vmap(walk)(*rays, state)
+        reshape = lambda a: a.reshape(m // chunk, chunk, *a.shape[1:])
+        args = jax.tree.map(reshape, (rays, state))
+        out = jax.lax.map(
+            lambda x: jax.vmap(walk)(*x[0], x[1]), args
+        )
+        return jax.tree.map(lambda a: a.reshape(m, *a.shape[2:]), out)
 
     # Chunk the ray batch: a single flat multi-million-ray batched
-    # while-loop balloons live state (the [N, 64] traversal stacks) and
-    # has overflowed TPU compiler loop-bound checks. lax.map walks
-    # fixed-size chunks sequentially — each chunk is still plenty to
-    # saturate the VPU. (_RAY_CHUNK is module-level so tests can shrink
-    # it to cover this path on CPU.)
+    # while-loop balloons live state and has overflowed TPU compiler
+    # loop-bound checks; lax.map walks fixed-size chunks sequentially —
+    # each chunk is still plenty to saturate the VPU. Large batches run
+    # TWO phases: a budgeted sweep (every lane stops at
+    # _PHASE1_TRIPS * _UNROLL pops — a p90-ish trip count), then a
+    # compaction sort that packs unfinished rays to the front and an
+    # unbounded phase 2 in which all-done chunks exit immediately. The
+    # batched loop pays its chunk's WORST lane per iteration, so this
+    # bounds the worst-lane waste to the (few) packed heavy chunks.
+    # (_RAY_CHUNK is module-level so tests can shrink it to cover the
+    # phase path on CPU.)
     chunk = _RAY_CHUNK
     if n > chunk:
         pad = (-n) % chunk
@@ -426,16 +481,20 @@ def trace_rays(
         # padding rays get t_max=0: every AABB/triangle test fails against
         # an empty (t_min, 0) interval, so they walk the root and stop.
         t_p = jnp.pad(t_max_arr, (0, pad))
-        args = jax.tree.map(
-            lambda a: a.reshape((n + pad) // chunk, chunk, *a.shape[1:]),
-            (o_p, inv_p, d_p, t_p),
-        )
-        best_t, best_tri, bu, bv = jax.tree.map(
-            lambda a: a.reshape(-1)[:n],
-            jax.lax.map(lambda x: jax.vmap(walk)(*x), args),
-        )
+        rays = (o_p, inv_p, d_p)
+        state = run_chunks(rays, init_state(t_p), _PHASE1_TRIPS)
+        # compaction: unfinished rays first (stable → raster-coherent
+        # within each group), finish them, un-permute
+        perm = jnp.argsort(state[-1], stable=True)
+        rays_s = jax.tree.map(lambda a: a[perm], rays)
+        state_s = jax.tree.map(lambda a: a[perm], state)
+        final_s = run_chunks(rays_s, state_s, None)
+        inv_perm = jnp.argsort(perm)
+        final = jax.tree.map(lambda a: a[inv_perm][:n], final_s)
+        best_t, best_tri, bu, bv = final[4], final[5], final[6], final[7]
     else:
-        best_t, best_tri, bu, bv = jax.vmap(walk)(o, inv_d, d, t_max_arr)
+        final = run_chunks((o, inv_d, d), init_state(t_max_arr), None)
+        best_t, best_tri, bu, bv = final[4], final[5], final[6], final[7]
     hit = best_tri >= 0
     return (
         hit.reshape(shape),

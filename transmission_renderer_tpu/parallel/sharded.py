@@ -28,8 +28,14 @@ levels) — the halo-exchange design of SURVEY.md §5.7. Level sizes are
 sampled at the TRUE (unpadded) frame sizes, so in-halo results bit-match
 the single-chip renderer.
 
-Alpha-clip scenes fall back to the pure-JAX band raster (the Pallas
-kernel does not alpha-test; same split as render_frame).
+Alpha-clip draw classes resolve through the SAME in-kernel depth-peeling
+scheme as the single-chip path (render/frame.py::_rasterize_clip_peeled),
+band-locally: each band races its own tiles, alpha-tests the winners and
+re-races only its failing tiles — no cross-band communication (a tile's
+winner depends only on its own records). ``return_diagnostics`` yields a
+FrameDiagnostics reduced across bands (max for capacities, sum for
+unresolved pixels), so capacity overflows are visible exactly like the
+single-chip path.
 """
 
 from __future__ import annotations
@@ -64,9 +70,12 @@ from transmission_renderer_tpu.pbr.clustering import assign_lights_to_clusters
 from transmission_renderer_tpu.pbr.lights import Lights
 from transmission_renderer_tpu.render.frame import (
     DrawList,
+    FrameDiagnostics,
     FrameParams,
     SceneFlags,
+    _clip_alpha_ok_tiles,
     _make_alpha_fn,
+    _merge_gbuffers,
     _static_cluster_data,
 )
 from transmission_renderer_tpu.render.gbuffer import interpolate_gbuffer
@@ -249,10 +258,12 @@ def render_frame_sharded(
     mesh: Mesh,
     ggx_lut: jnp.ndarray | None = None,
     flags: SceneFlags | None = None,
+    return_diagnostics: bool = False,
 ):
     """Sharded equivalent of render_frame. Call under jit with the mesh's
     devices available; returns the tonemapped [H, W, 3] frame (row-sharded
-    on the first axis)."""
+    on the first axis), plus a cross-band-reduced FrameDiagnostics when
+    ``return_diagnostics`` is set."""
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
     if ggx_lut is None:
@@ -270,7 +281,7 @@ def render_frame_sharded(
     use_pallas = config.use_pallas_raster
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu" and (tw, th) == (128, 8)
-    use_kernel = use_pallas and not flags.has_alpha_clip
+    use_kernel = use_pallas
 
     # projection-static cluster data, cached per config and shared
     # (bitwise) with the single-chip renderer — see render/frame.py
@@ -341,6 +352,12 @@ def render_frame_sharded(
             )
             return out.reshape(band_h, w, 3)
 
+        # per-band capacity diagnostics (reduced across bands at the end)
+        diag = {
+            "big": jnp.int32(0), "mid": jnp.int32(0),
+            "clip_unresolved": jnp.int32(0), "bin": jnp.int32(0),
+        }
+
         # ---- band raster -> G-buffers --------------------------------------
         if use_kernel:
             from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
@@ -353,6 +370,13 @@ def render_frame_sharded(
             is_trans_tri = (dl.tri_bucket == BUCKET_TRANSMISSION) | (
                 dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
             )
+            is_clip_tri = (dl.tri_bucket == BUCKET_ALPHA_CLIP) | (
+                dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
+            )
+            tri_class = is_trans_tri.astype(jnp.int32) + 2 * is_clip_tri.astype(
+                jnp.int32
+            )
+            num_classes = 4 if flags.has_alpha_clip else 2
             mask_all = bucket_triangle_masks(
                 dl.tri_inst, dl.tri_bucket, visible, (0, 1, 2, 3)
             )
@@ -360,13 +384,16 @@ def render_frame_sharded(
             bins = bin_triangles(
                 setup, tiles_x, tiles_y_padded, config.pallas_tiles_per_tri,
                 config.max_tris_per_tile, config.pallas_max_big_tris,
-                materialize=False, class_flags=is_trans_tri,
+                materialize=False, class_flags=tri_class,
+                num_classes=num_classes,
                 mid_tile_cap=config.pallas_mid_tile_cap,
                 max_mid_tris=config.pallas_max_mid_tris,
             )
+            diag["big"] = bins.big_tri_count.astype(jnp.int32)
+            diag["mid"] = bins.mid_tri_count
             records = pack_gbuf_payload(
                 setup, dl.tri_vtx, dl.tri_material, tri_scale,
-                world_pos, world_nrm, uvs, is_trans_tri,
+                world_pos, world_nrm, uvs, tri_class,
             )
             payload = gather_gbuf_payload(records, bins)
             # big tris ride the sorted stream (ops/raster.py)
@@ -374,15 +401,20 @@ def render_frame_sharded(
             # dpos channels only feed normal mapping (union over both
             # passes' materials keeps one payload/kernel shape per band)
             pos_derivs = flags.tex_slots[2] or flags.tex_slots_transmission[2]
+            n_tiles_global = tiles_x * tiles_y_padded
 
-            def band_gbuffer(pass_class, init_tiles=None):
-                ch = rasterize_gbuffer_tiles(
-                    payload, band_tiles, bins.tile_start, big_count, w, h,
+            def band_channels(pass_class, tile_ids, init_tiles=None,
+                              max_depth_tiles=None):
+                return rasterize_gbuffer_tiles(
+                    payload, tile_ids, bins.tile_start, big_count, w, h,
                     init_depth_tiles=init_tiles, pass_class=pass_class,
+                    max_depth_tiles=max_depth_tiles,
                     interpret=config.pallas_interpret,
-                    n_tiles_global=tiles_x * tiles_y_padded,
+                    n_tiles_global=n_tiles_global,
                     pos_derivs=pos_derivs,
                 )
+
+            def band_untile(ch):
                 ch = {
                     name: untile_image(
                         a, tiles_x, rows_per_band, tw, th, tiles_x * tw,
@@ -392,7 +424,72 @@ def render_frame_sharded(
                 }
                 return gbuffer_from_channels(ch)
 
+            def band_gbuffer(pass_class, init_tiles=None):
+                return band_untile(band_channels(
+                    pass_class, band_tiles, init_tiles=init_tiles
+                ))
+
+            def band_clip_peel(g_base, pass_class):
+                """Band-local depth-peeled alpha-clip resolve — the
+                sharded twin of _rasterize_clip_peeled's dense branch
+                (render/frame.py): race the band's tiles ignoring alpha
+                (seeded with the base depth), alpha-test the winners,
+                re-race only failing tiles with max_depth excluding the
+                rejected layer. Purely band-local: a tile's winner
+                depends only on its own records."""
+                init_tiles = tile_image(g_base.depth, tw, th)
+                ch = band_channels(pass_class, band_tiles,
+                                   init_tiles=init_tiles)
+                ok = _clip_alpha_ok_tiles(scene, ch)
+                cap = max(
+                    int(np.ceil(k_tiles * config.clip_retile_cap_frac)), 1
+                )
+                local_ids = jnp.arange(k_tiles, dtype=jnp.int32)
+                for _ in range(1, max(config.alpha_clip_rounds, 1)):
+                    failed = (ch["tri"] >= 0) & ~ok
+                    ft = jnp.any(failed.reshape(k_tiles, -1), axis=1)
+                    pos = jnp.cumsum(ft.astype(jnp.int32)) - 1
+                    tgt = jnp.where(ft & (pos < cap), pos, cap)
+                    ids = (
+                        jnp.full((cap,), k_tiles, jnp.int32)
+                        .at[tgt]
+                        .set(local_ids, mode="drop")
+                    )
+                    safe = jnp.minimum(ids, k_tiles - 1)
+                    maxd = jnp.where(failed, ch["depth"], jnp.inf)
+                    new = band_channels(
+                        pass_class, t0 + safe,
+                        init_tiles=init_tiles[safe],
+                        max_depth_tiles=maxd[safe],
+                    )
+                    failed_sel = failed[safe]
+                    sub = {}
+                    for name in ch:
+                        merged = jnp.where(
+                            failed_sel, new[name], ch[name][safe]
+                        )
+                        sub[name] = merged
+                        padded = jnp.concatenate(
+                            [ch[name], jnp.zeros_like(ch[name][:1])], axis=0
+                        )
+                        ch[name] = padded.at[ids].set(
+                            merged, mode="drop"
+                        )[:k_tiles]
+                    ok_sub = _clip_alpha_ok_tiles(scene, sub)
+                    ok = (
+                        jnp.concatenate([ok, jnp.ones_like(ok[:1])], axis=0)
+                        .at[ids]
+                        .set(ok_sub, mode="drop")[:k_tiles]
+                    )
+                failed = (ch["tri"] >= 0) & ~ok
+                unresolved = jnp.sum(failed.astype(jnp.int32))
+                ch["tri"] = jnp.where(failed, -1, ch["tri"])
+                return _merge_gbuffers(g_base, band_untile(ch)), unresolved
+
             g_o = band_gbuffer(0)
+            if flags.has_alpha_clip:
+                g_o, miss = band_clip_peel(g_o, 2)
+                diag["clip_unresolved"] = diag["clip_unresolved"] + miss
         else:
             alpha_fn = (
                 _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
@@ -407,6 +504,10 @@ def render_frame_sharded(
                     setup, tiles_x, tiles_y_padded, config.max_tiles_per_tri,
                     config.max_tris_per_tile, config.max_big_tris,
                 )
+                diag["big"] = jnp.maximum(
+                    diag["big"], bins.big_tri_count.astype(jnp.int32)
+                )
+                diag["bin"] = jnp.maximum(diag["bin"], bins.max_bin_count)
                 lst = jax.lax.dynamic_slice_in_dim(
                     bins.tile_tri_ids, t0, k_tiles, 0
                 )
@@ -451,6 +552,9 @@ def render_frame_sharded(
             init_tiles = tile_image(g_o.depth, tw, th)
             if use_kernel:
                 g_t = band_gbuffer(1, init_tiles=init_tiles)
+                if flags.has_alpha_clip:
+                    g_t, miss_t = band_clip_peel(g_t, 3)
+                    diag["clip_unresolved"] = diag["clip_unresolved"] + miss_t
             else:
                 setup_t, vis_t = raster_band(
                     (BUCKET_TRANSMISSION, BUCKET_TRANSMISSION_ALPHA_CLIP),
@@ -475,14 +579,41 @@ def render_frame_sharded(
             ).reshape(band_h, w, 3)
             hdr_band = jnp.where(g_t.valid[..., None], hdr_t, hdr_band)
 
-        return lottes_tonemap(hdr_band, bake_lottes_params())
+        ldr_band = lottes_tonemap(hdr_band, bake_lottes_params())
+        # cross-band diagnostic reduction: capacities take the worst band
+        # (the binning is replicated, so pmax is also a no-op there),
+        # unresolved-pixel counts sum
+        diag_vec = jnp.stack([
+            jax.lax.pmax(diag["big"], "band"),
+            jax.lax.pmax(diag["mid"], "band"),
+            jax.lax.psum(diag["clip_unresolved"], "band"),
+            jax.lax.pmax(diag["bin"], "band"),
+        ])
+        return ldr_band, diag_vec
 
     shard = jax.shard_map(
         band_body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=P("band"),
+        out_specs=(P("band"), P()),
         check_vma=False,
     )
-    ldr_padded = shard(scene, dl, params, lights, ggx_lut)
+    ldr_padded, diag_vec = shard(scene, dl, params, lights, ggx_lut)
+    if return_diagnostics:
+        diags = FrameDiagnostics(
+            max_bin_count=diag_vec[3],
+            bin_capacity=0 if use_kernel else config.max_tris_per_tile,
+            big_tri_count=diag_vec[0],
+            big_tri_capacity=(
+                config.pallas_max_big_tris if use_kernel else config.max_big_tris
+            ),
+            opaque_blocks=jnp.int32(0),
+            opaque_block_capacity=0,
+            transmission_blocks=jnp.int32(0),
+            transmission_block_capacity=0,
+            clip_unresolved=diag_vec[2],
+            mid_tri_count=diag_vec[1],
+            mid_tri_capacity=config.pallas_max_mid_tris if use_kernel else 0,
+        )
+        return ldr_padded[:h], diags
     return ldr_padded[:h]

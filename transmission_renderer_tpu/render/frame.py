@@ -774,22 +774,26 @@ def render_frame(
         ggx_lut = jnp.asarray(default_ggx_lut(config.ggx_lut_size))
 
     # ---- 1. vertex transform (vertex_instanced, shader lib.rs:336-361) ----
-    inst_t = Similarity(
-        translation=scene.inst_transform.translation[dl.vtx_inst],
-        scale=scene.inst_transform.scale[dl.vtx_inst],
-        rotation=scene.inst_transform.rotation[dl.vtx_inst],
-    )
-    world_pos = similarity_apply(inst_t, scene.positions[dl.vtx_src])
-    world_nrm = quat_rotate(inst_t.rotation, scene.normals[dl.vtx_src])
-    uvs = scene.uvs[dl.vtx_src]
-    pos_h = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], -1)
-    clip = pos_h @ params.proj_view.T
+    with pass_scope("geometry"):
+        inst_t = Similarity(
+            translation=scene.inst_transform.translation[dl.vtx_inst],
+            scale=scene.inst_transform.scale[dl.vtx_inst],
+            rotation=scene.inst_transform.rotation[dl.vtx_inst],
+        )
+        world_pos = similarity_apply(inst_t, scene.positions[dl.vtx_src])
+        world_nrm = quat_rotate(inst_t.rotation, scene.normals[dl.vtx_src])
+        uvs = scene.uvs[dl.vtx_src]
+        pos_h = jnp.concatenate(
+            [world_pos, jnp.ones_like(world_pos[:, :1])], -1
+        )
+        clip = pos_h @ params.proj_view.T
 
-    # ---- frustum culling (shader lib.rs:412-469) --------------------------
-    visible = cull_instances(
-        scene, params.view, params.frustum_x_xz, params.frustum_y_yz, config.z_near
-    )
-    tri_scale = scene.inst_transform.scale[dl.tri_inst]
+        # ---- frustum culling (shader lib.rs:412-469) ----------------------
+        visible = cull_instances(
+            scene, params.view, params.frustum_x_xz, params.frustum_y_yz,
+            config.z_near,
+        )
+        tri_scale = scene.inst_transform.scale[dl.tri_inst]
     alpha_fn = _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
 
     # ---- ray-traced shadows setup (--ray-tracing variant) ------------------
@@ -871,28 +875,32 @@ def render_frame(
         tri_class = is_transmissive_tri.astype(jnp.int32) + 2 * is_clip_tri.astype(jnp.int32)
         num_classes = 4 if flags.has_alpha_clip else 2
         mask_all = mask_o | mask_t if flags.has_transmission else mask_o
-        setup_all = setup_triangles(clip, dl.tri_vtx, mask_all, w, h, tw, th)
-        bins_all = bin_triangles(
-            setup_all, tiles_x, tiles_y, config.pallas_tiles_per_tri,
-            config.max_tris_per_tile, config.pallas_max_big_tris,
-            materialize=False, class_flags=tri_class,
-            num_classes=num_classes,
-            mid_tile_cap=config.pallas_mid_tile_cap,
-            max_mid_tris=config.pallas_max_mid_tris,
-        )
-        # the Pallas tile lists are uncapped (they read tile_start), but
-        # the demotion tiers are static buffers
-        big_tri_demand = jnp.maximum(
-            big_tri_demand, bins_all.big_tri_count.astype(jnp.int32)
-        )
-        mid_tri_demand = jnp.maximum(
-            mid_tri_demand, bins_all.mid_tri_count
-        )
-        records = pack_gbuf_payload(
-            setup_all, dl.tri_vtx, dl.tri_material, tri_scale,
-            world_pos, world_nrm, uvs, tri_class,
-        )
-        gpayload = gather_gbuf_payload(records, bins_all)
+        with pass_scope("binning"):
+            setup_all = setup_triangles(
+                clip, dl.tri_vtx, mask_all, w, h, tw, th
+            )
+            bins_all = bin_triangles(
+                setup_all, tiles_x, tiles_y, config.pallas_tiles_per_tri,
+                config.max_tris_per_tile, config.pallas_max_big_tris,
+                materialize=False, class_flags=tri_class,
+                num_classes=num_classes,
+                mid_tile_cap=config.pallas_mid_tile_cap,
+                max_mid_tris=config.pallas_max_mid_tris,
+            )
+            # the Pallas tile lists are uncapped (they read tile_start),
+            # but the demotion tiers are static buffers
+            big_tri_demand = jnp.maximum(
+                big_tri_demand, bins_all.big_tri_count.astype(jnp.int32)
+            )
+            mid_tri_demand = jnp.maximum(
+                mid_tri_demand, bins_all.mid_tri_count
+            )
+        with pass_scope("payload"):
+            records = pack_gbuf_payload(
+                setup_all, dl.tri_vtx, dl.tri_material, tri_scale,
+                world_pos, world_nrm, uvs, tri_class,
+            )
+            gpayload = gather_gbuf_payload(records, bins_all)
         # big tris ride the sorted stream on the Pallas path (raster.py)
         big_cnt = jnp.zeros((), jnp.int32)
 
@@ -905,16 +913,18 @@ def render_frame(
         pos_derivs_t = flags.tex_slots_transmission[2]
         uv_o = any(flags.tex_slots) or flags.has_alpha_clip
         uv_t = any(flags.tex_slots_transmission) or flags.has_alpha_clip
-        g_o = rasterize_gbuffer_pallas(
-            records, bins_all, w, h, pass_class=0, payload=gpayload,
-            interpret=config.pallas_interpret, pos_derivs=pos_derivs_o,
-            uv_channels=uv_o,
-        )
-        if flags.has_alpha_clip:
-            g_o, miss, ct = _rasterize_clip_peeled(
-                scene, gpayload, bins_all, big_cnt, 2, g_o, config, w, h,
-                pos_derivs=pos_derivs_o,
+        with pass_scope("raster_opaque"):
+            g_o = rasterize_gbuffer_pallas(
+                records, bins_all, w, h, pass_class=0, payload=gpayload,
+                interpret=config.pallas_interpret, pos_derivs=pos_derivs_o,
+                uv_channels=uv_o,
             )
+        if flags.has_alpha_clip:
+            with pass_scope("raster_clip_peel"):
+                g_o, miss, ct = _rasterize_clip_peeled(
+                    scene, gpayload, bins_all, big_cnt, 2, g_o, config, w, h,
+                    pos_derivs=pos_derivs_o,
+                )
             clip_unresolved = clip_unresolved + miss
             clip_tiles = jnp.maximum(clip_tiles, ct)
     else:
@@ -930,16 +940,17 @@ def render_frame(
     # coefficients + cluster AABBs are projection-static: cached per
     # config and baked into the trace as constants (_static_cluster_data)
     coeffs, aabb_min, aabb_max = _static_cluster_data(config)
-    lp_h = jnp.concatenate(
-        [lights.position, jnp.ones_like(lights.position[:, :1])], -1
-    )
-    light_pos_view = (lp_h @ params.view.T)[:, :3]
-    spot_dir_view = lights.spot_direction @ params.view[:3, :3].T
-    counts, indices = assign_lights_to_clusters(
-        aabb_min, aabb_max, light_pos_view, lights.falloff_distance_sq,
-        lights.is_a_spotlight(), spot_dir_view, lights.spot_outer_angle,
-        config.max_lights_per_cluster,
-    )
+    with pass_scope("clustering"):
+        lp_h = jnp.concatenate(
+            [lights.position, jnp.ones_like(lights.position[:, :1])], -1
+        )
+        light_pos_view = (lp_h @ params.view.T)[:, :3]
+        spot_dir_view = lights.spot_direction @ params.view[:3, :3].T
+        counts, indices = assign_lights_to_clusters(
+            aabb_min, aabb_max, light_pos_view, lights.falloff_distance_sq,
+            lights.is_a_spotlight(), spot_dir_view, lights.spot_outer_angle,
+            config.max_lights_per_cluster,
+        )
 
     # scene-static shade precomputations, shared by both shade passes (and
     # constant-folded at trace time when their inputs are concrete)
@@ -1071,12 +1082,13 @@ def render_frame(
                 )
                 transmission_tiles = t_count
                 safe_t = jnp.minimum(ids_t, n_tiles - 1)
-                sub_t = rasterize_gbuffer_tiles(
-                    gpayload, safe_t, bins_all.tile_start, big_cnt, w, h,
-                    init_depth_tiles=init_tiles[safe_t], pass_class=1,
-                    interpret=config.pallas_interpret,
-                    pos_derivs=pos_derivs_t, uv_channels=uv_t,
-                )
+                with pass_scope("raster_transmission"):
+                    sub_t = rasterize_gbuffer_tiles(
+                        gpayload, safe_t, bins_all.tile_start, big_cnt, w, h,
+                        init_depth_tiles=init_tiles[safe_t], pass_class=1,
+                        interpret=config.pallas_interpret,
+                        pos_derivs=pos_derivs_t, uv_channels=uv_t,
+                    )
                 g_tf = _jax.tree_util.tree_map(
                     lambda a: a.reshape(
                         (cap_rt * TILE_H * TILE_W,) + a.shape[3:]
@@ -1101,11 +1113,12 @@ def render_frame(
                 # class-1 records run the kernel (transmissive coverage
                 # is a small screen fraction — see config)
                 init_tiles = tile_image(g_o.depth, TILE_W, TILE_H)
-                ch_t, transmission_tiles, _ = _rasterize_class_sparse(
-                    gpayload, bins_all.tile_start, big_cnt, 1, cap_rt,
-                    init_tiles, config, w, h, pos_derivs=pos_derivs_t,
-                    uv_channels=uv_t,
-                )
+                with pass_scope("raster_transmission"):
+                    ch_t, transmission_tiles, _ = _rasterize_class_sparse(
+                        gpayload, bins_all.tile_start, big_cnt, 1, cap_rt,
+                        init_tiles, config, w, h, pos_derivs=pos_derivs_t,
+                        uv_channels=uv_t,
+                    )
                 g_t = gbuffer_from_channels({
                     name: untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H,
                                        w, h)
