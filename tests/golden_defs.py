@@ -39,9 +39,14 @@ CFG = RenderConfig(
     width=128, height=72, tile_w=32, tile_h=8,
     max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
 )
-# Pallas-kernel variant: the G-buffer kernel's native tile is 8x128
+# Pallas-kernel variant: the G-buffer kernel's native tile is 8x128.
+# Extra peel rounds + full re-race cap: at 128x72 the stress scene's
+# leaf-card alpha holes span whole 128-px tiles, so the depth peel needs
+# more rounds to converge to the exact image (at convergence the peeled
+# result equals the in-raster alpha test of the JAX path).
 CFG_PAL = dataclasses.replace(
     CFG, tile_w=128, tile_h=8, use_pallas_raster=True, pallas_interpret=True,
+    alpha_clip_rounds=8, clip_retile_cap_frac=1.0,
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")

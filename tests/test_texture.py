@@ -144,3 +144,53 @@ def test_quad_lut_matches_reference_sampler():
     a = np.asarray(sample_lut_2ch(lut, u, v))
     b = np.asarray(sample_lut_2ch_quad(quad_lut_2ch(lut), 32, u, v))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_trilinear_matches_two_gather():
+    """The single-gather fused trilinear path (in-block 3x3 parent patch)
+    must reproduce the classic 2-gather two-level blend bitwise on POT
+    textures, REPEAT and CLAMP, across uv (incl. out-of-range) and lod
+    (incl. beyond the mip chain)."""
+    from transmission_renderer_tpu.ops.texture import sample_bundle_rows
+
+    rng = np.random.default_rng(11)
+    for size in ((16, 16), (64, 32), (8, 1), (4, 4)):
+        img = rng.integers(0, 256, (size[1], size[0], 4)).astype(np.uint8)
+        for wrap in (WRAP_REPEAT, WRAP_CLAMP):
+            ab = AtlasBuilder()
+            ab.push_image(img, srgb=True, wrap=wrap)
+            texels, meta, _ = ab.finish()
+            rows = jnp.asarray(np.broadcast_to(meta[0], (512, meta.shape[1])))
+            uv = jnp.asarray(
+                rng.uniform(-1.5, 2.5, (512, 2)).astype(np.float32)
+            )
+            lod = jnp.asarray(
+                rng.uniform(-1.0, 14.0, (512,)).astype(np.float32)
+            )
+            plain = sample_bundle_rows(
+                jnp.asarray(texels), rows, uv, lod, wrap, fused=False
+            )
+            fused = sample_bundle_rows(
+                jnp.asarray(texels), rows, uv, lod, wrap, fused=True
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused), np.asarray(plain),
+                err_msg=f"size={size} wrap={wrap}",
+            )
+
+
+def test_fused_trilinear_matches_bundled():
+    """Fused path with multi-layer bundles."""
+    from transmission_renderer_tpu.ops.texture import sample_bundle_rows
+
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, (32, 32, 4)).astype(np.uint8) for _ in range(3)]
+    ab = AtlasBuilder()
+    ab.push_bundle(imgs, [True, False, True])
+    texels, meta, _ = ab.finish()
+    rows = jnp.asarray(np.broadcast_to(meta[0], (256, meta.shape[1])))
+    uv = jnp.asarray(rng.uniform(-1, 2, (256, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(0, 8.0, (256,)).astype(np.float32))
+    plain = sample_bundle_rows(jnp.asarray(texels), rows, uv, lod, fused=False)
+    fused = sample_bundle_rows(jnp.asarray(texels), rows, uv, lod, fused=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(plain))

@@ -424,7 +424,11 @@ def _raster_tile(
         b2 = e2 / esum
 
         if alpha_ref is not None:
-            inside &= alpha_ref(safe_tri, b1, b2)
+            # the callback also receives the NDC pixel coords and this
+            # triangle's adjugate so it can derive analytic uv
+            # derivatives (implicit-LOD alpha test, matching the
+            # reference's `.sample` and the Pallas peel path)
+            inside &= alpha_ref(safe_tri, b1, b2, nx, ny, adj)
 
         # GREATER depth test (reversed-Z), first-wins on ties (draw order).
         win = enabled & inside & (depth > best_depth)
@@ -544,8 +548,8 @@ def rasterize(
 ) -> VisibilityBuffer:
     """Rasterise all tiles (vmapped) into a visibility buffer.
 
-    ``alpha_coverage_fn(tri_id, b1, b2) -> bool`` implements alpha-clip
-    kill during rasterisation (depth_pre_pass_alpha_clip,
+    ``alpha_coverage_fn(tri_id, b1, b2, nx, ny, adj) -> bool`` implements
+    alpha-clip kill during rasterisation (depth_pre_pass_alpha_clip,
     shader/src/lib.rs:270-295); None for fully opaque batches.
     ``init_depth`` ([H, W]) seeds the depth race with an existing surface.
     """

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from transmission_renderer_tpu.scene.textures import (  # noqa: F401
+    BLOCK_TEXELS,
     IMAGE_MASK,
     LAYER_SHIFT,
     MAX_MIPS,
@@ -33,28 +34,8 @@ WRAP_REPEAT = 0
 WRAP_CLAMP = 1
 
 
-def _bilinear_level_quad(
-    quads: jnp.ndarray,  # [R, QUAD_GROUP * 16 * L] f32 atlas pool
-    qoff: jnp.ndarray,  # [...] int32 level block offset
-    width: jnp.ndarray,  # [...] int32 level size in texels
-    height: jnp.ndarray,  # [...] int32
-    uv: jnp.ndarray,  # [..., 2]
-    wrap_mode: int,
-) -> jnp.ndarray:
-    """One bilinear tap (ALL layers) at a single mip level -> [..., 4*L].
-    ONE gather; texels are pre-decoded linear float (scene/textures.py),
-    so the tap is gather + sub-block select + lerp — no u8 unpack and no
-    per-sample sRGB pow chain.
-
-    The footprint {x0, x0+1} x {y0, y0+1} lives entirely in the block of
-    phase (y0 & 1, x0 & 1) at (y0 >> 1, x0 >> 1); edge wrap behaviour is
-    baked into boundary blocks at build time (scene/textures.py), so the
-    only in-sampler wrap work is folding x0/y0 into range.
-    """
-    wf = width.astype(jnp.float32)
-    hf = height.astype(jnp.float32)
-    x = uv[..., 0] * wf - 0.5
-    y = uv[..., 1] * hf - 0.5
+def _wrap_bilinear_coords(x, y, width, height, wrap_mode):
+    """Shared footprint-corner math: -> (x0, y0 int32 wrapped, fx, fy)."""
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
@@ -72,34 +53,69 @@ def _bilinear_level_quad(
         fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
         x0 = jnp.clip(x0, 0, width - 1)
         y0 = jnp.clip(y0, 0, height - 1)
+    return x0, y0, fx, fy
+
+
+def _fetch_block(quads, qoff, width, height, uv, wrap_mode):
+    """ONE row gather + sub-block select -> the whole fused quad-block
+    [..., BLOCK_TEXELS * 4L] containing the bilinear footprint, plus the
+    wrapped footprint corner (x0, y0) and blend weights (fx, fy).
+
+    The footprint {x0, x0+1} x {y0, y0+1} lives entirely in the block of
+    phase (y0 & 1, x0 & 1) at (y0 >> 1, x0 >> 1); edge wrap behaviour is
+    baked into boundary blocks at build time (scene/textures.py), so the
+    only in-sampler wrap work is folding x0/y0 into range. TPU gather
+    cost scales with table ROW COUNT, near-independent of row width
+    (measured on v5e), hence QUAD_GROUP blocks per physical row with a
+    register sub-block select.
+    """
+    wf = width.astype(jnp.float32)
+    hf = height.astype(jnp.float32)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    x0, y0, fx, fy = _wrap_bilinear_coords(x, y, width, height, wrap_mode)
     bw = (width + 1) >> 1
     bh = (height + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    # TPU gather cost scales with table ROW COUNT, near-independent of
-    # row width (measured v5e @2M idx, 16.8 MB table: 350k-row [12]f32
-    # ~10 ms vs 87.5k-row [48]f32 ~1 ms). The atlas therefore stores
-    # QUAD_GROUP consecutive quad-blocks per row; the sub-block select
-    # is register work.
-    row = quads[qidx >> QUAD_GROUP_SHIFT]  # [..., QUAD_GROUP * 16 * L] f32
+    row = quads[qidx >> QUAD_GROUP_SHIFT]
     # materialise the WIDE row gather before the sub-block select: fused,
     # XLA re-splits it into QUAD_GROUP strided gathers and the row
     # grouping regresses 2-10x (docs/PERFORMANCE.md negative-result note)
     row = jax.lax.optimization_barrier(row)
-    blkw = row.shape[-1] // QUAD_GROUP  # 16 * L
+    blkw = row.shape[-1] // QUAD_GROUP  # BLOCK_TEXELS * 4L
     grp = row.reshape(row.shape[:-1] + (QUAD_GROUP, blkw))
     sub = qidx & (QUAD_GROUP - 1)
     blk = grp[..., 0, :]
     for k in range(1, QUAD_GROUP):
         blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
-    q = blk.reshape(blk.shape[:-1] + (4, blkw // 4))  # [..., texel, 4L]
-    c00 = q[..., 0, :]
-    c10 = q[..., 1, :]
-    c01 = q[..., 2, :]
-    c11 = q[..., 3, :]
+    return blk, x0, y0, fx, fy
+
+
+def _lerp4(c00, c10, c01, c11, fx, fy):
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy
+
+
+def _bilinear_level_quad(
+    quads: jnp.ndarray,  # [R, QUAD_GROUP * BLOCK_TEXELS * 4L] f32 pool
+    qoff: jnp.ndarray,  # [...] int32 level block offset
+    width: jnp.ndarray,  # [...] int32 level size in texels
+    height: jnp.ndarray,  # [...] int32
+    uv: jnp.ndarray,  # [..., 2]
+    wrap_mode: int,
+) -> jnp.ndarray:
+    """One bilinear tap (ALL layers) at a single mip level -> [..., 4*L].
+    ONE gather; texels are pre-decoded linear float (scene/textures.py),
+    so the tap is gather + sub-block select + lerp — no u8 unpack and no
+    per-sample sRGB pow chain."""
+    blk, _, _, fx, fy = _fetch_block(quads, qoff, width, height, uv, wrap_mode)
+    c = blk.shape[-1] // BLOCK_TEXELS  # 4L
+    q = blk[..., : 4 * c].reshape(blk.shape[:-1] + (4, c))
+    return _lerp4(
+        q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :], fx, fy
+    )
 
 
 def _level_meta_from_rows(rows: jnp.ndarray, level: jnp.ndarray):
@@ -151,7 +167,7 @@ def sample_texture(
 
 def atlas_layers(quads: jnp.ndarray) -> int:
     """Static layer count L of an atlas pool (from its row width)."""
-    return quads.shape[-1] // (16 * QUAD_GROUP)
+    return quads.shape[-1] // (4 * BLOCK_TEXELS * QUAD_GROUP)
 
 
 def sample_bundle_rows(
@@ -161,13 +177,63 @@ def sample_bundle_rows(
     lod: jnp.ndarray,
     wrap_mode: int = WRAP_REPEAT,
     trilinear: bool = True,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Explicit-LOD sample of ALL bundle layers -> [..., L, 4]. The whole
-    bundle costs the same gathers as one texture (2 trilinear / 1
-    bilinear): every layer of a 2x2 block shares the physical row."""
-    lod = jnp.maximum(lod, 0.0)
-    l0 = jnp.floor(lod).astype(jnp.int32)
+    bundle costs the same gathers as one texture; every layer of a 2x2
+    block shares the physical row.
 
+    ``fused=True`` (valid only when every atlas image has power-of-two
+    dimensions — callers gate on the scene-static flag) makes a
+    TRILINEAR tap cost ONE gather: the level-l block's 3x3 level-(l+1)
+    patch (scene/textures.py::BLOCK_TEXELS) supplies the coarse bilinear
+    footprint, located in registers. With ``fused=False`` trilinear is
+    the classic 2-gather two-level blend (exact for any image size)."""
+    lod = jnp.maximum(lod, 0.0)
+    if fused and trilinear:
+        # clamp to the real mip range so the last level's self-patch
+        # (whose coordinates don't correspond) always has weight 0
+        lod = jnp.minimum(lod, (rows[..., 0] - 1).astype(jnp.float32))
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        o0, w0, h0 = _level_meta_from_rows(rows, l0)
+        blk, x0, y0, fx, fy = _fetch_block(quads, o0, w0, h0, uv, wrap_mode)
+        c = blk.shape[-1] // BLOCK_TEXELS  # 4L
+        q = blk[..., : 4 * c].reshape(blk.shape[:-1] + (4, c))
+        c0 = _lerp4(
+            q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :], fx, fy
+        )
+        # ---- coarse footprint from the in-block 3x3 parent patch ----
+        w1 = jnp.maximum(rows[..., 2] >> (l0 + 1), 1)
+        h1 = jnp.maximum(rows[..., 3] >> (l0 + 1), 1)
+        x1 = uv[..., 0] * w1.astype(jnp.float32) - 0.5
+        y1 = uv[..., 1] * h1.astype(jnp.float32) - 0.5
+        x0p, y0p, fx1, fy1 = _wrap_bilinear_coords(
+            x1, y1, w1, h1, wrap_mode
+        )
+        # the parent corner lies in {k-1, k} around k = x0 >> 1 (see
+        # scene/textures.py::_quad_blocks); map it to the patch-local
+        # window start ix/iy in {0, 1}
+        if wrap_mode == WRAP_REPEAT:
+            ix = jnp.mod(x0p - (x0 >> 1) + 1, w1)
+            iy = jnp.mod(y0p - (y0 >> 1) + 1, h1)
+        else:
+            ix = x0p - (x0 >> 1) + 1
+            iy = y0p - (y0 >> 1) + 1
+        ix = jnp.clip(ix, 0, 1)[..., None]
+        iy = jnp.clip(iy, 0, 1)[..., None]
+        patch = blk[..., 4 * c :].reshape(blk.shape[:-1] + (3, 3, c))
+        r0 = jnp.where(iy[..., None] == 0, patch[..., 0, :, :], patch[..., 1, :, :])
+        r1 = jnp.where(iy[..., None] == 0, patch[..., 1, :, :], patch[..., 2, :, :])
+        p00 = jnp.where(ix == 0, r0[..., 0, :], r0[..., 1, :])
+        p10 = jnp.where(ix == 0, r0[..., 1, :], r0[..., 2, :])
+        p01 = jnp.where(ix == 0, r1[..., 0, :], r1[..., 1, :])
+        p11 = jnp.where(ix == 0, r1[..., 1, :], r1[..., 2, :])
+        c1 = _lerp4(p00, p10, p01, p11, fx1, fy1)
+        frac = (lod - l0.astype(jnp.float32))[..., None]
+        c0 = c0 + (c1 - c0) * frac
+        return c0.reshape(c0.shape[:-1] + (atlas_layers(quads), 4))
+
+    l0 = jnp.floor(lod).astype(jnp.int32)
     o0, w0, h0 = _level_meta_from_rows(rows, l0)
     c0 = _bilinear_level_quad(quads, o0, w0, h0, uv, wrap_mode)
     if trilinear:

@@ -311,6 +311,16 @@ def render_frame_sharded(
         )
         tri_scale = scene.inst_transform.scale[dl.tri_inst]
 
+        from transmission_renderer_tpu.ops.texture import quad_lut_2ch
+        from transmission_renderer_tpu.render.shading import (
+            build_material_matrix,
+        )
+
+        mat_matrix_o = build_material_matrix(
+            scene, flags.tex_slots, flags.slot_bundles
+        )
+        lut_quads = quad_lut_2ch(ggx_lut)
+
         aabb_min, aabb_max = cl_aabb_min, cl_aabb_max
         lp_h = jnp.concatenate(
             [lights.position, jnp.ones_like(lights.position[:, :1])], -1
@@ -337,6 +347,9 @@ def render_frame_sharded(
             ggx_lut=ggx_lut,
             debug_clusters=config.debug_clusters,
             tex_slots=flags.tex_slots,
+            mat_matrix=mat_matrix_o,
+            ggx_lut_quads=lut_quads,
+            fused_trilinear=flags.atlas_pot,
         )
 
         t0 = band * rows_per_band * tiles_x
@@ -492,7 +505,9 @@ def render_frame_sharded(
                 diag["clip_unresolved"] = diag["clip_unresolved"] + miss
         else:
             alpha_fn = (
-                _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
+                _make_alpha_fn(scene, dl, uvs, w, h)
+                if flags.has_alpha_clip
+                else None
             )
 
             def raster_band(bucket_set, init_depth_tiles=None):
@@ -562,7 +577,12 @@ def render_frame_sharded(
                 )
                 g_t = gbuffer_for(vis_t, setup_t)
 
-            ctx_t = ctx._replace(tex_slots=flags.tex_slots_transmission)
+            ctx_t = ctx._replace(
+                tex_slots=flags.tex_slots_transmission,
+                mat_matrix=build_material_matrix(
+                    scene, flags.tex_slots_transmission, flags.slot_bundles
+                ),
+            )
             # Transmission shading stays DENSE per band (unlike the
             # single-chip block-sparse cap, render/frame.py): a band-local
             # cap cannot be bounded by frame-global coverage — one band

@@ -190,6 +190,11 @@ class SceneFlags(NamedTuple):
     # share one meta block + ONE bundle gather per tap in the material
     # matrix (render/shading.py). Computed by compute_slot_bundles.
     slot_bundles: tuple = ()
+    # Every atlas image has power-of-two dimensions -> material taps use
+    # the FUSED single-gather trilinear path (the in-block 3x3 parent
+    # patch, ops/texture.py); non-POT scenes fall back to the 2-gather
+    # two-level blend (exact for any size).
+    atlas_pot: bool = False
 
 
 TEX_SLOT_NAMES = (
@@ -197,6 +202,15 @@ TEX_SLOT_NAMES = (
     "tex_emissive", "tex_occlusion", "tex_transmission", "tex_thickness",
     "tex_specular", "tex_specular_colour",
 )
+
+
+def atlas_all_pot(atlas_meta) -> bool:
+    """True when every atlas image is power-of-two sized (gates the fused
+    single-gather trilinear path, ops/texture.py)."""
+    m = np.asarray(atlas_meta)
+    w = m[:, 2].astype(np.int64)
+    h = m[:, 3].astype(np.int64)
+    return bool(np.all((w & (w - 1)) == 0) and np.all((h & (h - 1)) == 0))
 
 
 def compute_slot_bundles(tex_columns: dict) -> tuple:
@@ -293,6 +307,7 @@ def scene_flags(scene: Scene) -> SceneFlags:
             scene, trans_mids
         ),
         slot_bundles=compute_slot_bundles(cols),
+        atlas_pot=atlas_all_pot(scene.atlas_meta),
     )
 
 
@@ -705,37 +720,65 @@ def _rasterize_clip_peeled(
     return _merge_gbuffers(base, g_clip), unresolved, clip_tiles
 
 
-def _make_alpha_fn(scene: Scene, dl: DrawList, uvs_expanded: jnp.ndarray):
+def _make_alpha_fn(
+    scene: Scene, dl: DrawList, uvs_expanded: jnp.ndarray,
+    width: int, height: int,
+):
     """Alpha-clip coverage during rasterisation
     (depth_pre_pass_alpha_clip, shader/src/lib.rs:270-295): sample diffuse
-    alpha at the interpolated uv (LOD 0) and kill below the cutoff."""
+    alpha at the interpolated uv with IMPLICIT LOD (the reference's
+    ``texture_sampler.sample``) and kill below the cutoff. The uv
+    derivatives come from the triangle's adjugate in the same closed
+    forms the G-buffer kernel uses, so this path and the Pallas depth-peel
+    path (render/frame.py::_clip_alpha_ok_tiles) test identical
+    semantics."""
+    from transmission_renderer_tpu.render.shading import _mip_lod
+
     m = scene.materials
     tri_mat = dl.tri_material
     is_clip_bucket = (dl.tri_bucket == BUCKET_ALPHA_CLIP) | (
         dl.tri_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
     )
 
-    def alpha_fn(tri, b1, b2):
+    def alpha_fn(tri, b1, b2, nx, ny, adj):
         needs = is_clip_bucket[tri]
         mid = tri_mat[tri]
         tid = m.tex_diffuse[mid]
+        packed = jnp.maximum(tid, 0)
         vidx = dl.tri_vtx[tri]  # [3]
         uv0 = uvs_expanded[vidx[0]]
         uv1 = uvs_expanded[vidx[1]]
         uv2 = uvs_expanded[vidx[2]]
-        b0 = 1.0 - b1 - b2
-        uv = (
-            uv0 * b0[..., None] + uv1 * b1[..., None] + uv2 * b2[..., None]
+        del b1, b2  # uv comes from the kernel-identical edge forms below
+        # analytic uv derivatives: e_i = adj_i . (nx, ny, 1), D = sum e_i,
+        # dA/dx = (sum(a_i A_i) D - sum(e_i A_i) sum(a_i)) / D^2 * 2/w
+        e0 = adj[0, 0] * nx + adj[0, 1] * ny + adj[0, 2]
+        e1 = adj[1, 0] * nx + adj[1, 1] * ny + adj[1, 2]
+        e2 = adj[2, 0] * nx + adj[2, 1] * ny + adj[2, 2]
+        d_sum = e0 + e1 + e2
+        inv_d = 1.0 / d_sum
+        a_sum = adj[0, 0] + adj[1, 0] + adj[2, 0]
+        b_sum = adj[0, 1] + adj[1, 1] + adj[2, 1]
+        inv_d2x = inv_d * inv_d * (2.0 / width)
+        inv_d2y = inv_d * inv_d * (2.0 / height)
+        n_uv = (
+            e0[..., None] * uv0 + e1[..., None] * uv1 + e2[..., None] * uv2
         )
+        uv = n_uv * inv_d[..., None]  # same op order as the G-buffer kernel
+        na = adj[0, 0] * uv0 + adj[1, 0] * uv1 + adj[2, 0] * uv2
+        nb = adj[0, 1] * uv0 + adj[1, 1] * uv1 + adj[2, 1] * uv2
+        duv_dx = (na * d_sum[..., None] - n_uv * a_sum) * inv_d2x[..., None]
+        duv_dy = (nb * d_sum[..., None] - n_uv * b_sum) * inv_d2y[..., None]
+        rows = scene.atlas_meta[packed & 0xFFFF]
+        lod = _mip_lod(duv_dx, duv_dy, rows[..., 2], rows[..., 3])
         sample = sample_texture(
             scene.atlas_texels,
             scene.atlas_meta,
             scene.atlas_srgb,
-            jnp.maximum(tid, 0),
+            packed,
             uv,
-            jnp.zeros_like(b1),
+            lod,
             WRAP_REPEAT,
-            trilinear=False,
         )
         alpha = m.diffuse_factor[mid, 3] * jnp.where(
             tid >= 0, sample[..., 3], 1.0
@@ -794,7 +837,9 @@ def render_frame(
             config.z_near,
         )
         tri_scale = scene.inst_transform.scale[dl.tri_inst]
-    alpha_fn = _make_alpha_fn(scene, dl, uvs) if flags.has_alpha_clip else None
+    alpha_fn = (
+        _make_alpha_fn(scene, dl, uvs, w, h) if flags.has_alpha_clip else None
+    )
 
     # ---- ray-traced shadows setup (--ray-tracing variant) ------------------
     use_rt = config.ray_traced_shadows and bvh is not None
@@ -981,6 +1026,7 @@ def render_frame(
         quad_taps=config.quad_material_taps,
         mat_matrix=mat_matrix_o,
         ggx_lut_quads=lut_quads,
+        fused_trilinear=flags.atlas_pot,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------

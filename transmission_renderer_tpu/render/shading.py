@@ -89,6 +89,9 @@ class ShadeContext(NamedTuple):
     # GGX LUT (render_frame hoists both; None -> built on demand)
     mat_matrix: "MaterialMatrix | None" = None
     ggx_lut_quads: jnp.ndarray | None = None
+    # single-gather fused trilinear material taps (POT atlases only —
+    # SceneFlags.atlas_pot; see ops/texture.py::sample_bundle_rows)
+    fused_trilinear: bool = False
 
 
 def onehot_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -245,6 +248,7 @@ def evaluate_pixel_material(
     tex_slots: tuple = (True,) * 9,
     mat_matrix: MaterialMatrix | None = None,
     quad_shape: tuple | None = None,
+    fused_trilinear: bool = False,
 ):
     """Per-pixel material evaluation on a FLAT [M] G-buffer: diffuse/
     emission/metallic-roughness/specular/transmission texture fetches +
@@ -292,7 +296,8 @@ def evaluate_pixel_material(
                     g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3]
                 )
                 bundle_cache[col] = sample_bundle_rows(
-                    scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT
+                    scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
+                    fused=fused_trilinear,
                 )
             return tid, extract(bundle_cache[col])
         # Quality flag (RenderConfig.quad_material_taps): ONE tap per 2x2
@@ -324,6 +329,7 @@ def evaluate_pixel_material(
             sample_q = sample_bundle_rows(
                 scene.atlas_texels, rep(rows), rep(g.uv),
                 rep(lod[..., None])[..., 0], WRAP_REPEAT,
+                fused=fused_trilinear,
             )  # [M/4, L, 4]
             bundle_cache[col] = jnp.broadcast_to(
                 sample_q.reshape(h // 2, 1, w // 2, 1, n_layers, 4),
@@ -647,7 +653,7 @@ def shade_opaque_flat(
     )
     pm = evaluate_pixel_material(
         scene, g, view_vector, ctx.tex_slots, mat_matrix=ctx.mat_matrix,
-        quad_shape=quad_shape,
+        quad_shape=quad_shape, fused_trilinear=ctx.fused_trilinear,
     )
 
     result, _, cluster, counts = evaluate_lights_common(
@@ -704,7 +710,8 @@ def shade_transmission_flat(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
     pm = evaluate_pixel_material(
-        scene, g, view_vector, ctx.tex_slots, mat_matrix=ctx.mat_matrix
+        scene, g, view_vector, ctx.tex_slots, mat_matrix=ctx.mat_matrix,
+        fused_trilinear=ctx.fused_trilinear,
     )
 
     result, transmission, _, _ = evaluate_lights_common(

@@ -175,6 +175,7 @@ class SceneBuilder:
         from transmission_renderer_tpu.render.frame import (
             TEX_SLOT_NAMES,
             SceneFlags,
+            atlas_all_pot,
             build_draw_list_from_numpy,
             compute_slot_bundles,
             static_ior_roughness_values,
@@ -232,6 +233,9 @@ class SceneBuilder:
                     for n in TEX_SLOT_NAMES
                 }
             ),
+            # host-side meta copy: finish_bundle must not read back
+            # device arrays (slow over remote-TPU transports)
+            atlas_pot=atlas_all_pot(np.stack(self.atlas._meta)),
         )
         return scene, dl, flags
 

@@ -117,22 +117,48 @@ def quad_block_counts(width: int, height: int) -> tuple[int, int]:
     return (width + 1) // 2, (height + 1) // 2
 
 
-def _quad_blocks(texels: np.ndarray, wrap: int) -> np.ndarray:
-    """[H, W, C] float32 -> [4 * bh * bw, 4 * C] phase-shifted 2x2 blocks
-    (texel-major: t00.C, t10.C, t01.C, t11.C).
+# Texels per trilinear-fused quad-block: 4 level-l texels + the 3x3
+# level-(l+1) patch that contains every bilinear footprint the SAME uv
+# can produce one level coarser (see _quad_blocks) -> a trilinear tap is
+# ONE row gather.
+BLOCK_TEXELS = 13
+
+
+def _quad_blocks(
+    texels: np.ndarray, wrap: int, parent: np.ndarray | None = None
+) -> np.ndarray:
+    """[H, W, C] float32 -> [4 * bh * bw, BLOCK_TEXELS * C] phase-shifted
+    fused blocks: 4 level-l texels (t00 t10 t01 t11, texel-major) followed
+    by the 3x3 level-(l+1) patch (row-major), each with C channels.
 
     Block (phase=(py,px), by, bx) holds texels at (y0, x0), (y0, x0+1),
     (y0+1, x0), (y0+1, x0+1) with y0 = 2*by + py, x0 = 2*bx + px, and the
     wrap mode applied to out-of-range coordinates (REPEAT: mod, CLAMP:
     clamp-to-edge) — matching what a Vulkan sampler's per-tap wrap does.
+
+    The parent patch covers parent texels (y0>>1) - 1 .. (y0>>1) + 1 x
+    (x0>>1) - 1 .. (x0>>1) + 1 of ``parent`` (the next-coarser mip level;
+    pass the level itself at the chain's end). For any uv whose level-l
+    bilinear footprint is this block, the level-(l+1) footprint's corner
+    x0' lies in {x0>>1 - 1, x0>>1} (exact for even level sizes, and for
+    the odd sizes of non-POT chains too: x' = (x+0.5)*w1/w0 - 0.5 with
+    w1/w0 <= 1/2 keeps floor(x') within that pair, see
+    ops/texture.py::sample_bundle_rows fused path), so the 3x3 patch
+    contains the whole 2x2 parent footprint. REPEAT addressing of the
+    patch is only coherent for power-of-two chains (odd sizes break the
+    halving relation under modular wrap) — the fused sampler is gated on
+    POT scenes; the plain 2-gather path ignores the patch entirely.
     """
     h, w, c = texels.shape
     bw, bh = quad_block_counts(w, h)
+    if parent is None:
+        parent = texels
+    ph, pw = parent.shape[:2]
 
     def wrapc(v, size):
-        return v % size if wrap == WRAP_REPEAT else np.minimum(v, size - 1)
+        return v % size if wrap == WRAP_REPEAT else np.clip(v, 0, size - 1)
 
-    out = np.empty((4, bh, bw, 4, c), np.float32)
+    out = np.empty((4, bh, bw, BLOCK_TEXELS, c), np.float32)
     for py in (0, 1):
         for px in (0, 1):
             xs0 = wrapc(2 * np.arange(bw) + px, w)
@@ -144,7 +170,17 @@ def _quad_blocks(texels: np.ndarray, wrap: int) -> np.ndarray:
             out[p, :, :, 1] = texels[np.ix_(ys0, xs1)]
             out[p, :, :, 2] = texels[np.ix_(ys1, xs0)]
             out[p, :, :, 3] = texels[np.ix_(ys1, xs1)]
-    return out.reshape(-1, 4 * c)
+            # 3x3 parent patch around (x0 >> 1, y0 >> 1)
+            kx = xs0 >> 1
+            ky = ys0 >> 1
+            for dy in (-1, 0, 1):
+                pys = wrapc(ky + dy, ph)
+                for dx in (-1, 0, 1):
+                    pxs = wrapc(kx + dx, pw)
+                    out[p, :, :, 4 + 3 * (dy + 1) + (dx + 1)] = parent[
+                        np.ix_(pys, pxs)
+                    ]
+    return out.reshape(-1, BLOCK_TEXELS * c)
 
 
 class AtlasBuilder:
@@ -246,7 +282,8 @@ class AtlasBuilder:
         layers = self.layers
         chunks = []
         for chains, wrap in self._images:
-            for dec in chains:
+
+            def padded(dec):
                 if dec.shape[-1] < 4 * layers:
                     dec = np.concatenate(
                         [
@@ -258,12 +295,21 @@ class AtlasBuilder:
                         ],
                         axis=-1,
                     )
-                chunks.append(_quad_blocks(dec, wrap))
+                return dec
+
+            chain = [padded(dec) for dec in chains]
+            for m, dec in enumerate(chain):
+                # level m's blocks carry the 3x3 level-(m+1) patch for the
+                # fused single-gather trilinear tap; the chain's last
+                # level stores itself (its patch is weight-0 at sample
+                # time — the fused path clamps lod to the mip count)
+                parent = chain[m + 1] if m + 1 < len(chain) else dec
+                chunks.append(_quad_blocks(dec, wrap, parent))
         quads = np.concatenate(chunks)
         pad = (-len(quads)) % QUAD_GROUP
         quads = np.concatenate(
             [quads, np.zeros((pad, quads.shape[1]), np.float32)]
-        ).reshape(-1, QUAD_GROUP * 16 * layers)
+        ).reshape(-1, QUAD_GROUP * BLOCK_TEXELS * 4 * layers)
         meta = np.stack(self._meta)
         srgb = np.array(self._srgb, bool)
         return quads, meta, srgb
