@@ -1,0 +1,85 @@
+"""End-to-end ray-traced shadow frames (the --ray-tracing variant):
+contact shadows darken occluded pixels; the opt-in half-res mode stays
+close to the exact per-pixel rays."""
+
+import numpy as np
+import jax
+import pytest
+from functools import partial
+
+from transmission_renderer_tpu.config import RenderConfig
+from transmission_renderer_tpu.models import build_test_scene
+from transmission_renderer_tpu.pbr.lights import pack_lights, point_light
+from transmission_renderer_tpu.render import make_frame_params, render_frame
+from transmission_renderer_tpu.scene.camera import CameraRig
+
+
+@pytest.fixture(scope="module")
+def rt_frames():
+    builder = build_test_scene()
+    scene, dl, flags = builder.finish_bundle()
+    bvh = builder.build_rt_bvh()
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.0, 2.0], np.float32)
+    rig.camera.pitch = -0.4
+    rig.sun_yaw = 0.5
+
+    def render(**cfg_kw):
+        cfg = RenderConfig(
+            width=128, height=72, tile_w=32, tile_h=8,
+            max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
+            ray_traced_shadows=True, **cfg_kw,
+        )
+        params = make_frame_params(
+            cfg, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+        )
+        lights = pack_lights([point_light([0.0, 0.8, 0.0], [1, 0, 0], 5.0)])
+        return np.asarray(
+            jax.jit(partial(render_frame, config=cfg, flags=flags, bvh=bvh))(
+                scene, dl, params, lights
+            )
+        )
+
+    return render(), render(half_res_shadow_rays=True)
+
+
+def test_rt_shadows_darken(rt_frames):
+    full, _ = rt_frames
+    assert np.isfinite(full).all()
+    # compare against the no-RT render: shadows only ever REMOVE light
+    builder = build_test_scene()
+    scene, dl, flags = builder.finish_bundle()
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.0, 2.0], np.float32)
+    rig.camera.pitch = -0.4
+    rig.sun_yaw = 0.5
+    cfg = RenderConfig(
+        width=128, height=72, tile_w=32, tile_h=8,
+        max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
+    )
+    params = make_frame_params(
+        cfg, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+    )
+    lights = pack_lights([point_light([0.0, 0.8, 0.0], [1, 0, 0], 5.0)])
+    lit = np.asarray(
+        jax.jit(partial(render_frame, config=cfg, flags=flags))(
+            scene, dl, params, lights
+        )
+    )
+    # some pixels are measurably darkened (contact shadows exist); slight
+    # per-channel brightening is possible (shadowing one coloured light
+    # shifts the tonemapper's max-channel ratio) but stays tiny
+    darker = (lit - full) > 0.05
+    assert darker.any(), "no shadowed pixels found"
+    assert float((full - lit).max()) < 0.01
+
+
+def test_half_res_shadows_close(rt_frames):
+    full, half = rt_frames
+    assert np.isfinite(half).all()
+    rmse = float(np.sqrt(np.mean((full - half) ** 2)))
+    # half-res factors differ only at shadow boundaries (1-px edges)
+    assert rmse < 0.03, rmse
+    # the vast majority of pixels are identical
+    same = np.abs(full - half).max(-1) < 1e-3
+    assert same.mean() > 0.95, same.mean()

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Share one material-texture tap per 2x2 pixel "
                    "quad in the opaque pass (quarters its gather cost; "
                    "sub-texel error away from material silhouettes)")
+    p.add_argument("--half-res-shadows", action="store_true",
+                   help="Trace --ray-tracing shadow rays on a half-res "
+                   "grid and upsample the visibility factors (4x fewer "
+                   "rays; 1-px soft shadow edges)")
     p.add_argument("--check-nan", action="store_true",
                    help="Validate each frame: NaN/Inf scan + capacity-"
                    "overflow diagnostics (bins, big-triangle list, block "
@@ -152,6 +156,7 @@ def main(argv=None) -> int:
         debug_clusters=args.debug_clusters,
         half_res_refraction=args.half_res_refraction,
         quad_material_taps=args.quad_taps,
+        half_res_shadow_rays=args.half_res_shadows,
         # checkify cannot see inside a Mosaic kernel; the XLA raster is
         # bit-matched to the Pallas one by tests/test_raster_pallas.py, so
         # instrumenting it validates the same frame logic.

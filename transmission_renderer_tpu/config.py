@@ -93,6 +93,13 @@ class RenderConfig:
     # OFF by default for exact per-pixel sampling; error is sub-texel
     # except at quad-straddling material silhouettes.
     quad_material_taps: bool = False
+    # Trace ray-traced shadow rays (--ray-tracing variant) on a half-res
+    # pixel grid and bilinearly upsample the visibility factors: 4x fewer
+    # rays through the batched BVH walk, the pass's dominant cost. OFF by
+    # default for exact per-pixel rays; expect 1-px soft edges at shadow
+    # boundaries and thin-occluder detail loss. Dense opaque pass only
+    # (the sparse transmission worklist stays full-res).
+    half_res_shadow_rays: bool = False
 
     # --- block-sparse shading (render/sparse.py) ----------------------------
     # The reference shades only covered fragments (raster hardware +

@@ -1032,9 +1032,27 @@ def render_frame(
     # ---- 4. opaque shade ---------------------------------------------------
     if use_rt:
         with pass_scope("shadow_rays_opaque"):
-            sun_f, light_f = shadow_factors(
-                bvh, dl.tri_vtx, world_pos, g_o, params.sun_dir, lights
-            )
+            if config.half_res_shadow_rays and h % 2 == 0 and w % 2 == 0:
+                # opt-in quality flag (RenderConfig.half_res_shadow_rays):
+                # trace on the half-res grid, bilinearly upsample the
+                # visibility factors
+                import jax as _jax
+
+                g_half = _jax.tree_util.tree_map(
+                    lambda a: a[::2, ::2], g_o
+                )
+                sun_h, light_h = shadow_factors(
+                    bvh, dl.tri_vtx, world_pos, g_half, params.sun_dir,
+                    lights,
+                )
+                sun_f = _jax.image.resize(sun_h, (h, w), "linear")
+                light_f = _jax.image.resize(
+                    light_h, (h, w, light_h.shape[-1]), "linear"
+                )
+            else:
+                sun_f, light_f = shadow_factors(
+                    bvh, dl.tri_vtx, world_pos, g_o, params.sun_dir, lights
+                )
         ctx = ctx._replace(sun_shadow_factor=sun_f, light_shadow_factors=light_f)
 
     nb = num_blocks(h, w)
