@@ -234,9 +234,13 @@ def build_opaque_scene(
     b = SceneBuilder()
     checker = b.add_texture(checkerboard_texture(512, 16), srgb=True)
     d, mr, nm, em, oc = _helmet_texture_set(texture_size)
+    # the four SAMPLED textures bundle (one gather per material tap);
+    # occlusion is loaded but never sampled (reference parity), so it
+    # stays standalone rather than widening every bundle row
     refs = b.add_texture_bundle(
-        [(d, True), (mr, False), (nm, False), (em, True), (oc, False)]
+        [(d, True), (mr, False), (nm, False), (em, True)]
     )
+    occ_ref = b.add_texture(oc, srgb=False)
     floor_mat = b.add_material(tex_diffuse=checker, roughness_factor=0.9)
     helmet_mat = b.add_material(
         diffuse_factor=(1.0, 1.0, 1.0, 1.0),
@@ -244,7 +248,7 @@ def build_opaque_scene(
         tex_metallic_roughness=refs[1],
         tex_normal_map=refs[2],
         tex_emissive=refs[3],
-        tex_occlusion=refs[4],
+        tex_occlusion=occ_ref,
         emissive_factor=(2.0, 2.0, 2.0),
         roughness_factor=1.0,
         metallic_factor=1.0,

@@ -78,16 +78,18 @@ def _fetch_block(quads, qoff, width, height, uv, wrap_mode):
     bh = (height + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    row = quads[qidx >> QUAD_GROUP_SHIFT]
+    # group size is the atlas's static middle axis ([R, G, blkw] — see
+    # scene/textures.py::quad_group_for_layers)
+    group = quads.shape[1]
+    shift = group.bit_length() - 1
+    grp = quads[qidx >> shift]  # [..., G, blkw]
     # materialise the WIDE row gather before the sub-block select: fused,
-    # XLA re-splits it into QUAD_GROUP strided gathers and the row
-    # grouping regresses 2-10x (docs/PERFORMANCE.md negative-result note)
-    row = jax.lax.optimization_barrier(row)
-    blkw = row.shape[-1] // QUAD_GROUP  # BLOCK_TEXELS * 4L
-    grp = row.reshape(row.shape[:-1] + (QUAD_GROUP, blkw))
-    sub = qidx & (QUAD_GROUP - 1)
+    # XLA re-splits it into G strided gathers and the row grouping
+    # regresses 2-10x (docs/PERFORMANCE.md negative-result note)
+    grp = jax.lax.optimization_barrier(grp)
+    sub = qidx & (group - 1)
     blk = grp[..., 0, :]
-    for k in range(1, QUAD_GROUP):
+    for k in range(1, group):
         blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
     return blk, x0, y0, fx, fy
 
@@ -166,8 +168,8 @@ def sample_texture(
 
 
 def atlas_layers(quads: jnp.ndarray) -> int:
-    """Static layer count L of an atlas pool (from its row width)."""
-    return quads.shape[-1] // (4 * BLOCK_TEXELS * QUAD_GROUP)
+    """Static layer count L of an atlas pool ([R, G, BLOCK_TEXELS*4L])."""
+    return quads.shape[-1] // (4 * BLOCK_TEXELS)
 
 
 def sample_bundle_rows(

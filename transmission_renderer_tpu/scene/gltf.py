@@ -335,25 +335,74 @@ def load_gltf(
 
     # --- materials (src/model_loading.rs:166-334) ---------------------------
     image_cache: dict[tuple[int, bool], int] = {}
+    bundle_cache: dict[tuple, list[int]] = {}
+    raw_cache: dict[int, np.ndarray] = {}
 
-    def load_texture(tex_info, srgb_requirement) -> int:
-        """srgb_requirement: True / False / None (= DontCare,
-        src/model_loading.rs:179-194)."""
+    def raw_image(image_index: int) -> np.ndarray:
+        if image_index not in raw_cache:
+            raw_cache[image_index] = g.read_image(image_index)
+        return raw_cache[image_index]
+
+    def resolve(tex_info, srgb_requirement):
+        """tex_info -> (image_index, srgb) or None; srgb_requirement:
+        True / False / None (= DontCare, src/model_loading.rs:179-194)."""
         if tex_info is None:
-            return -1
+            return None
         tex = doc["textures"][tex_info["index"]]
         image_index = tex.get("source", 0)
         if srgb_requirement is None:
             if (image_index, True) in image_cache:
-                return image_cache[(image_index, True)]
+                return (image_index, True)
             srgb = False
         else:
             srgb = srgb_requirement
-        key = (image_index, srgb)
+        return (image_index, srgb)
+
+    def load_texture(tex_info, srgb_requirement) -> int:
+        key = resolve(tex_info, srgb_requirement)
+        if key is None:
+            return -1
         if key not in image_cache:
-            rgba = g.read_image(image_index)
-            image_cache[key] = builder.add_texture(rgba, srgb=srgb)
+            image_cache[key] = builder.add_texture(
+                raw_image(key[0]), srgb=key[1]
+            )
         return image_cache[key]
+
+    def load_material_set(slot_infos: list) -> list[int]:
+        """Resolve a material's SAMPLED texture slots, auto-bundling
+        same-size images into one atlas entry so the deferred material
+        tap pays one gather for the whole set (scene/textures.py). Slots
+        whose image size differs from the material's majority fall back
+        to standalone textures (still correct — per-slot taps)."""
+        keys = [resolve(info, srgb) for info, srgb in slot_infos]
+        sizes = {}
+        for k in keys:
+            if k is not None:
+                sizes.setdefault(raw_image(k[0]).shape[:2], []).append(k)
+        # bundle the largest same-size group when it has >= 2 members
+        bundle_keys: list = []
+        if sizes:
+            best = max(sizes.values(), key=len)
+            if len(best) >= 2:
+                bundle_keys = list(dict.fromkeys(best))  # dedup, ordered
+        refs = []
+        if bundle_keys:
+            bk = tuple(bundle_keys)
+            if bk not in bundle_cache:
+                bundle_cache[bk] = builder.add_texture_bundle(
+                    [(raw_image(i), s) for i, s in bundle_keys]
+                )
+            layer_of = dict(zip(bundle_keys, bundle_cache[bk]))
+        else:
+            layer_of = {}
+        for k, (info, srgb) in zip(keys, slot_infos):
+            if k is None:
+                refs.append(-1)
+            elif k in layer_of:
+                refs.append(layer_of[k])
+            else:
+                refs.append(load_texture(info, srgb))
+        return refs
 
     for mat in materials:
         pbr = mat.get("pbrMetallicRoughness", {})
@@ -363,22 +412,32 @@ def load_gltf(
         specular = ext.get("KHR_materials_specular")
         ior = ext.get("KHR_materials_ior", {}).get("ior", 1.5)
 
+        # sampled slots auto-bundle per material (occlusion is loaded but
+        # never sampled — matching the reference — so it stays standalone
+        # rather than widening every bundle row)
+        (
+            ref_diffuse, ref_mr, ref_normal, ref_emissive,
+            ref_transmission, ref_thickness, ref_spec_col, ref_spec,
+        ) = load_material_set([
+            (pbr.get("baseColorTexture"), True),
+            (pbr.get("metallicRoughnessTexture"), False),
+            (mat.get("normalTexture"), False),
+            (mat.get("emissiveTexture"), True),
+            ((transmission or {}).get("transmissionTexture"), False),
+            ((volume or {}).get("thicknessTexture"), False),
+            ((specular or {}).get("specularColorTexture"), True),
+            ((specular or {}).get("specularTexture"), None),
+        ])
         builder.add_material(
-            tex_diffuse=load_texture(pbr.get("baseColorTexture"), True),
-            tex_metallic_roughness=load_texture(
-                pbr.get("metallicRoughnessTexture"), False
-            ),
-            tex_normal_map=load_texture(mat.get("normalTexture"), False),
-            tex_emissive=load_texture(mat.get("emissiveTexture"), True),
+            tex_diffuse=ref_diffuse,
+            tex_metallic_roughness=ref_mr,
+            tex_normal_map=ref_normal,
+            tex_emissive=ref_emissive,
             tex_occlusion=load_texture(mat.get("occlusionTexture"), False),
-            tex_transmission=load_texture(
-                (transmission or {}).get("transmissionTexture"), False
-            ),
-            tex_thickness=load_texture((volume or {}).get("thicknessTexture"), False),
-            tex_specular_colour=load_texture(
-                (specular or {}).get("specularColorTexture"), True
-            ),
-            tex_specular=load_texture((specular or {}).get("specularTexture"), None),
+            tex_transmission=ref_transmission,
+            tex_thickness=ref_thickness,
+            tex_specular_colour=ref_spec_col,
+            tex_specular=ref_spec,
             metallic_factor=pbr.get("metallicFactor", 1.0),
             roughness_factor=(
                 roughness_override

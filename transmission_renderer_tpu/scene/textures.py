@@ -45,12 +45,27 @@ META_COLS = 4 + MAX_MIPS
 
 # Quad-blocks packed per physical atlas row: TPU gather cost scales with
 # table ROW COUNT, nearly independent of row width (measured on v5e —
-# see ops/texture.py), so grouping 4 consecutive blocks per row cuts the
-# dominant material-tap gather ~4x for free. Logical quad indices are
-# unchanged; samplers fetch row qidx >> SHIFT and select sub-block
-# qidx & (GROUP - 1) in registers.
-QUAD_GROUP = 4
+# see ops/texture.py), so grouping consecutive blocks per row cuts the
+# dominant material-tap gather cost. Logical quad indices are unchanged;
+# samplers fetch row qidx >> shift and select the sub-block
+# qidx & (G - 1) in registers. The GATHERED rows materialise in HBM (the
+# optimization_barrier that keeps XLA from re-splitting the wide gather),
+# so the group must SHRINK as blocks widen: the atlas array is
+# [R, G, BLOCK_TEXELS*4L] with G chosen per layer count by
+# quad_group_for_layers (a 5-layer trirow bundle at G=4 would
+# materialise 8+ GB per 2M-pixel tap — observed HBM OOM on v5e).
+QUAD_GROUP = 4  # single-layer default (and the LUT pools' fixed group)
 QUAD_GROUP_SHIFT = 2
+
+
+def quad_group_for_layers(layers: int) -> int:
+    """Blocks per physical atlas row, bounded so a 2M-px tap's
+    materialised row array stays well under ~2 GB."""
+    if layers <= 1:
+        return 4
+    if layers == 2:
+        return 2
+    return 1
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -306,10 +321,11 @@ class AtlasBuilder:
                 parent = chain[m + 1] if m + 1 < len(chain) else dec
                 chunks.append(_quad_blocks(dec, wrap, parent))
         quads = np.concatenate(chunks)
-        pad = (-len(quads)) % QUAD_GROUP
+        group = quad_group_for_layers(layers)
+        pad = (-len(quads)) % group
         quads = np.concatenate(
             [quads, np.zeros((pad, quads.shape[1]), np.float32)]
-        ).reshape(-1, QUAD_GROUP * BLOCK_TEXELS * 4 * layers)
+        ).reshape(-1, group, BLOCK_TEXELS * 4 * layers)
         meta = np.stack(self._meta)
         srgb = np.array(self._srgb, bool)
         return quads, meta, srgb
