@@ -37,7 +37,9 @@ def _atlas_with(img, srgb=False):
 
 
 def test_nearest_texel_exact():
-    """Sampling at texel centres returns exact texel values (linear tex)."""
+    """Sampling at texel centres returns the texel values (linear tex) up
+    to the atlas's f16 storage quantisation (<= 2^-11 relative — an order
+    of magnitude below the u8 source's own step, scene/textures.py)."""
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (8, 16, 4)).astype(np.uint8)
     tid, texels, meta, srgb_t = _atlas_with(img)
@@ -50,7 +52,7 @@ def test_nearest_texel_exact():
         trilinear=False,
     )
     np.testing.assert_allclose(
-        np.asarray(out), img.astype(np.float32) / 255.0, atol=1e-6
+        np.asarray(out), img.astype(np.float32) / 255.0, atol=5e-4
     )
 
 
@@ -77,9 +79,9 @@ def test_srgb_decode_on_sample():
         jnp.array([0.5, 0.5], jnp.float32), jnp.float32(0.0),
     )
     expected_rgb = srgb_to_linear(128 / 255.0)
-    np.testing.assert_allclose(np.asarray(out[:3]), [expected_rgb] * 3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[:3]), [expected_rgb] * 3, atol=5e-4)
     # alpha stays linear
-    np.testing.assert_allclose(float(out[3]), 128 / 255.0, atol=1e-5)
+    np.testing.assert_allclose(float(out[3]), 128 / 255.0, atol=5e-4)
 
 
 def test_wrap_repeat():

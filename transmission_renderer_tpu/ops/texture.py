@@ -91,7 +91,9 @@ def _fetch_block(quads, qoff, width, height, uv, wrap_mode):
     blk = grp[..., 0, :]
     for k in range(1, group):
         blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
-    return blk, x0, y0, fx, fy
+    # texels store as f16 (scene/textures.py::ATLAS_DTYPE) — convert
+    # AFTER the narrow sub-block select, lerp in f32
+    return blk.astype(jnp.float32), x0, y0, fx, fy
 
 
 def _lerp4(c00, c10, c01, c11, fx, fy):

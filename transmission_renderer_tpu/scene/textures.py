@@ -58,14 +58,23 @@ QUAD_GROUP = 4  # single-layer default (and the LUT pools' fixed group)
 QUAD_GROUP_SHIFT = 2
 
 
-def quad_group_for_layers(layers: int) -> int:
-    """Blocks per physical atlas row, bounded so a 2M-px tap's
-    materialised row array stays well under ~2 GB."""
-    if layers <= 1:
-        return 4
-    if layers == 2:
-        return 2
-    return 1
+# Atlas texel storage dtype. float16 halves every gathered byte — and
+# the BYTES of the barrier-materialised row array dominate tap cost on
+# v5e (measured in-frame: G4/G2/G1 fused trirow = 155/133/109 ms dragon
+# frames — monotone in row bytes, not row count). Precision: decoded u8
+# sRGB values round to f16 with relative error <= 2^-11 ~= 5e-4, an
+# order of magnitude below the SOURCE texels' own 8-bit quantisation
+# step (1/255) and the 1e-3 fidelity budget (docs/FIDELITY.md).
+ATLAS_DTYPE = np.float16
+
+
+def quad_group_for_layers(layers: int, itemsize: int = 2) -> int:
+    """Blocks per physical atlas row: target ~416 B rows (the measured
+    sweet spot between per-index gather overhead, which falls with fewer
+    rows, and materialised row bytes, which rise), capped at 4."""
+    block_bytes = BLOCK_TEXELS * 4 * layers * itemsize
+    g = 416 // block_bytes
+    return max(1, min(4, 1 << max(g.bit_length() - 1, 0)))
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -320,11 +329,11 @@ class AtlasBuilder:
                 # time — the fused path clamps lod to the mip count)
                 parent = chain[m + 1] if m + 1 < len(chain) else dec
                 chunks.append(_quad_blocks(dec, wrap, parent))
-        quads = np.concatenate(chunks)
-        group = quad_group_for_layers(layers)
+        quads = np.concatenate(chunks).astype(ATLAS_DTYPE)
+        group = quad_group_for_layers(layers, quads.dtype.itemsize)
         pad = (-len(quads)) % group
         quads = np.concatenate(
-            [quads, np.zeros((pad, quads.shape[1]), np.float32)]
+            [quads, np.zeros((pad, quads.shape[1]), ATLAS_DTYPE)]
         ).reshape(-1, group, BLOCK_TEXELS * 4 * layers)
         meta = np.stack(self._meta)
         srgb = np.array(self._srgb, bool)
