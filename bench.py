@@ -151,8 +151,14 @@ def bench_scene(name, builder, config, round_trip, n_frames=10,
         try:
             from tools.pass_timing import format_table, profile_pass_times
 
+            hlo = (
+                render.lower(scene, dl, params, lights, bvh)
+                .compile()
+                .as_text()
+            )
             table = profile_pass_times(
-                lambda: float(render(scene, dl, params, lights, bvh))
+                lambda: float(render(scene, dl, params, lights, bvh)),
+                hlo_text=hlo,
             )
             log(f"  {name} per-pass device ms (one traced frame):")
             log(format_table(table))

@@ -48,11 +48,33 @@ def _attribute(text: str, scopes) -> str | None:
     return None
 
 
-def collect_pass_times(trace_dir: str, scopes=PASS_SCOPES) -> dict:
+def build_scope_map(hlo_text: str, scopes=PASS_SCOPES) -> dict:
+    """Compiled-HLO text -> {instruction name: scope}.
+
+    TPU trace events are named after HLO instructions (fusion.123 etc.)
+    whose metadata op_name carries the jax.named_scope path — the only
+    place the pass structure survives compilation."""
+    import re
+
+    out = {}
+    pat = re.compile(r"%?([\w.\-]+) = .*metadata=\{[^}]*op_name=\"([^\"]+)\"")
+    for m in pat.finditer(hlo_text):
+        name, op_name = m.group(1), m.group(2)
+        scope = _attribute(op_name, scopes)
+        if scope:
+            out[name] = scope
+    return out
+
+
+def collect_pass_times(
+    trace_dir: str, scopes=PASS_SCOPES, scope_map: dict | None = None,
+) -> dict:
     """Parse the newest xplane in ``trace_dir`` -> {scope: device_ms}.
 
-    Includes '<unattributed>' (device ops without a recognised scope in
-    their metadata) and '<total>' (all device op time)."""
+    ``scope_map`` (from build_scope_map) resolves HLO instruction names;
+    string stats / event names are also scanned. Includes
+    '<unattributed>' (device ops without a recognised scope) and
+    '<total>' (all device op time)."""
     from jax.profiler import ProfileData
 
     paths = sorted(
@@ -62,33 +84,39 @@ def collect_pass_times(trace_dir: str, scopes=PASS_SCOPES) -> dict:
     if not paths:
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
     data = ProfileData.from_file(paths[-1])
+    scope_map = scope_map or {}
 
     sums = {s: 0.0 for s in scopes}
     unattributed = 0.0
     total = 0.0
     for plane in data.planes:
         name = plane.name
-        # device planes only: TPU/GPU op tracks (host python lines would
-        # double-count)
-        if "TPU" not in name and "GPU" not in name and "device" not in name:
-            continue
+        # device planes: TPU/GPU op tracks; on CPU the XLA client line
+        # lives under /host:CPU (tf_XLAPjRt...). Host python lines would
+        # double-count and are excluded either way.
+        is_device = (
+            "TPU" in name or "GPU" in name or "device" in name
+        )
         for line in plane.lines:
             lname = line.name or ""
+            if not is_device and not lname.startswith("tf_"):
+                continue
             # XLA op lines carry per-op spans; skip step/module envelopes
             if "XLA Modules" in lname or "Steps" in lname:
                 continue
             for ev in line.events:
                 dur = ev.duration_ns / 1e6
-                texts = [ev.name or ""]
+                ev_name = (ev.name or "").lstrip("%")
+                texts = [ev_name]
                 try:
                     for k, v in ev.stats:
                         if isinstance(v, str):
-                            texts.append(v)
+                            texts.append(v.lstrip("%"))
                 except Exception:
                     pass
                 scope = None
                 for t in texts:
-                    scope = _attribute(t, scopes)
+                    scope = scope_map.get(t) or _attribute(t, scopes)
                     if scope:
                         break
                 total += dur
@@ -101,18 +129,23 @@ def collect_pass_times(trace_dir: str, scopes=PASS_SCOPES) -> dict:
     return sums
 
 
-def profile_pass_times(run_frame, scopes=PASS_SCOPES) -> dict:
+def profile_pass_times(
+    run_frame, scopes=PASS_SCOPES, hlo_text: str | None = None,
+) -> dict:
     """Trace one call of ``run_frame`` (should render + sync one frame)
-    and return its per-pass device-ms table."""
+    and return its per-pass device-ms table. ``hlo_text`` (the compiled
+    module's as_text) resolves fusion names to scopes — without it, only
+    ops whose trace metadata carries the scope string attribute."""
     import jax
 
+    scope_map = build_scope_map(hlo_text, scopes) if hlo_text else None
     with tempfile.TemporaryDirectory(prefix="trtpu_trace_") as d:
         jax.profiler.start_trace(d)
         try:
             run_frame()
         finally:
             jax.profiler.stop_trace()
-        return collect_pass_times(d, scopes)
+        return collect_pass_times(d, scopes, scope_map)
 
 
 def format_table(sums: dict) -> str:
