@@ -205,6 +205,16 @@ def main():
          {"n_frames": 1}),
     ]
 
+    # optional argv filter (focused measurement sessions / perf A-Bs):
+    # `python bench.py dragon_attenuation` runs just that scene. The
+    # driver invokes bench.py with no args and gets the full list.
+    if len(sys.argv) > 1:
+        wanted = set(sys.argv[1:])
+        unknown = wanted - {s[0] for s in scenes}
+        if unknown:
+            log(f"unknown scene filter(s): {sorted(unknown)}")
+        scenes = [s for s in scenes if s[0] in wanted]
+
     results = {}
     for name, builder, cfg, kw in scenes:
         try:
@@ -223,7 +233,9 @@ def main():
         ))
 
     # the driver's contract: exactly ONE JSON line on stdout
-    flagship = results["dragon_attenuation"]
+    flagship = results.get(
+        "dragon_attenuation", next(iter(results.values()), 0.0)
+    )
     print(
         json.dumps(
             {

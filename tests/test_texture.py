@@ -38,8 +38,9 @@ def _atlas_with(img, srgb=False):
 
 def test_nearest_texel_exact():
     """Sampling at texel centres returns the texel values (linear tex) up
-    to the atlas's f16 storage quantisation (<= 2^-11 relative — an order
-    of magnitude below the u8 source's own step, scene/textures.py)."""
+    to the atlas's bf16 storage quantisation (<= 2^-9 relative, i.e.
+    <= ~2e-3 absolute for values in [0,1] — below the u8 source's own
+    1/255 step, scene/textures.py)."""
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (8, 16, 4)).astype(np.uint8)
     tid, texels, meta, srgb_t = _atlas_with(img)
@@ -52,7 +53,7 @@ def test_nearest_texel_exact():
         trilinear=False,
     )
     np.testing.assert_allclose(
-        np.asarray(out), img.astype(np.float32) / 255.0, atol=5e-4
+        np.asarray(out), img.astype(np.float32) / 255.0, atol=2.1e-3
     )
 
 
@@ -79,9 +80,10 @@ def test_srgb_decode_on_sample():
         jnp.array([0.5, 0.5], jnp.float32), jnp.float32(0.0),
     )
     expected_rgb = srgb_to_linear(128 / 255.0)
-    np.testing.assert_allclose(np.asarray(out[:3]), [expected_rgb] * 3, atol=5e-4)
+    # atol covers the bf16 atlas quantisation (<= 2^-9 relative)
+    np.testing.assert_allclose(np.asarray(out[:3]), [expected_rgb] * 3, atol=2.1e-3)
     # alpha stays linear
-    np.testing.assert_allclose(float(out[3]), 128 / 255.0, atol=5e-4)
+    np.testing.assert_allclose(float(out[3]), 128 / 255.0, atol=2.1e-3)
 
 
 def test_wrap_repeat():

@@ -91,8 +91,8 @@ def _fetch_block(quads, qoff, width, height, uv, wrap_mode):
     blk = grp[..., 0, :]
     for k in range(1, group):
         blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
-    # texels store as f16 (scene/textures.py::ATLAS_DTYPE) — convert
-    # AFTER the narrow sub-block select, lerp in f32
+    # texels store half-width (scene/textures.py::ATLAS_DTYPE, bf16) —
+    # convert AFTER the narrow sub-block select, lerp in f32
     return blk.astype(jnp.float32), x0, y0, fx, fy
 
 

@@ -58,22 +58,32 @@ QUAD_GROUP = 4  # single-layer default (and the LUT pools' fixed group)
 QUAD_GROUP_SHIFT = 2
 
 
-# Atlas texel storage dtype. float16 halves every gathered byte — and
-# the BYTES of the barrier-materialised row array dominate tap cost on
-# v5e (measured in-frame: G4/G2/G1 fused trirow = 155/133/109 ms dragon
-# frames — monotone in row bytes, not row count). Precision: decoded u8
-# sRGB values round to f16 with relative error <= 2^-11 ~= 5e-4, an
-# order of magnitude below the SOURCE texels' own 8-bit quantisation
-# step (1/255) and the 1e-3 fidelity budget (docs/FIDELITY.md).
-ATLAS_DTYPE = np.float16
+# Atlas texel storage dtype. Half-width texels halve every gathered
+# byte — and the BYTES of the barrier-materialised row array dominate
+# tap cost on v5e (measured in-frame: 416 B rows cost 127-138 ms dragon
+# frames across dtypes/groups; 208 B rows cost 108-113 ms). bfloat16,
+# NOT float16: a controlled dtype x group A/B on the real dragon frame
+# (repeated, uncontended) measured bf16-G2 107.9 ms vs f16-G4 127.2 /
+# bf16-G4 130.9 / f32-G2 138.0 / f32-G1 112.8 — f16 gathers carry a
+# conversion penalty on this TPU that bf16 (a truncated f32) does not.
+# Precision: decoded u8 sRGB values round to bf16 with relative error
+# <= 2^-8 ~= 4e-3 of value, below the SOURCE texels' own 8-bit
+# quantisation step (1/255 absolute) and inside the 1e-3 frame-RMSE
+# budget (docs/FIDELITY.md; goldens re-verified on this dtype).
+ATLAS_DTYPE = np.dtype("bfloat16") if hasattr(np, "bfloat16") else None
+if ATLAS_DTYPE is None:  # numpy bfloat16 rides ml_dtypes
+    import ml_dtypes
+
+    ATLAS_DTYPE = np.dtype(ml_dtypes.bfloat16)
 
 
 def quad_group_for_layers(layers: int, itemsize: int = 2) -> int:
-    """Blocks per physical atlas row: target ~416 B rows (the measured
-    sweet spot between per-index gather overhead, which falls with fewer
-    rows, and materialised row bytes, which rise), capped at 4."""
+    """Blocks per physical atlas row: target ~208 B rows (the measured
+    optimum on v5e — see the dtype x group A/B above; 416 B rows are
+    15-25% slower, and at equal bytes fewer/wider rows win slightly),
+    capped at 4."""
     block_bytes = BLOCK_TEXELS * 4 * layers * itemsize
-    g = 416 // block_bytes
+    g = 208 // block_bytes
     return max(1, min(4, 1 << max(g.bit_length() - 1, 0)))
 
 WRAP_REPEAT = 0
