@@ -83,3 +83,46 @@ def test_half_res_shadows_close(rt_frames):
     # the vast majority of pixels are identical
     same = np.abs(full - half).max(-1) < 1e-3
     assert same.mean() > 0.95, same.mean()
+
+
+def test_cluster_gated_rays_bit_identical(rt_frames, monkeypatch):
+    """Cluster-gating the light shadow rays (render/frame.py::_light_mask)
+    must be invisible: lights outside a pixel's cluster list never have
+    their factor read, so tracing vs not tracing them is bit-identical."""
+    import transmission_renderer_tpu.render.frame as frame_mod
+    import jax.numpy as jnp
+
+    gated, _ = rt_frames
+    real_mask = frame_mod.cluster_light_mask
+    monkeypatch.setattr(
+        frame_mod, "cluster_light_mask",
+        lambda c, depth, px, py: jnp.ones(
+            (*depth.shape, c.lights.num), dtype=bool
+        ),
+    )
+    builder = build_test_scene()
+    scene, dl, flags = builder.finish_bundle()
+    bvh = builder.build_rt_bvh()
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.0, 2.0], np.float32)
+    rig.camera.pitch = -0.4
+    rig.sun_yaw = 0.5
+    cfg = RenderConfig(
+        width=128, height=72, tile_w=32, tile_h=8,
+        max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
+        ray_traced_shadows=True,
+    )
+    params = make_frame_params(
+        cfg, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+    )
+    lights = pack_lights([point_light([0.0, 0.8, 0.0], [1, 0, 0], 5.0)])
+    ungated = np.asarray(
+        jax.jit(partial(render_frame, config=cfg, flags=flags, bvh=bvh))(
+            scene, dl, params, lights
+        )
+    )
+    # sanity: the real mask actually kills some rays in this scene
+    # (otherwise this test proves nothing)
+    from transmission_renderer_tpu.render.shading import cluster_light_mask
+    assert real_mask is cluster_light_mask
+    np.testing.assert_array_equal(gated, ungated)

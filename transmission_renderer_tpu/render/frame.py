@@ -56,6 +56,7 @@ from transmission_renderer_tpu.pbr.lights import Lights
 from transmission_renderer_tpu.render.gbuffer import interpolate_gbuffer
 from transmission_renderer_tpu.render.shading import (
     ShadeContext,
+    cluster_light_mask,
     shade_opaque,
     shade_opaque_flat,
     shade_transmission,
@@ -1031,6 +1032,16 @@ def render_frame(
 
     # ---- 4. opaque shade ---------------------------------------------------
     if use_rt:
+        # Cluster-gate the light shadow rays: (pixel, light) pairs
+        # outside the pixel's cluster list never have their factor read
+        # by the shading loop, so their rays die at t_max = 0 (and the
+        # traversal's compaction packs them into all-done chunks). Image
+        # bit-identical; ray count drops to sun + cluster-active pairs.
+        def _light_mask(c, g, px, py):
+            if lights.num == 0:
+                return None
+            return cluster_light_mask(c, g.depth, px, py)
+
         with pass_scope("shadow_rays_opaque"):
             if config.half_res_shadow_rays and h % 2 == 0 and w % 2 == 0:
                 # opt-in quality flag (RenderConfig.half_res_shadow_rays):
@@ -1041,17 +1052,34 @@ def render_frame(
                 g_half = _jax.tree_util.tree_map(
                     lambda a: a[::2, ::2], g_o
                 )
+                # the half grid's samples sit at full-res pixels (2i, 2j)
+                px_h = jnp.broadcast_to(
+                    jnp.arange(0, w, 2, dtype=jnp.int32)[None, :],
+                    g_half.valid.shape,
+                )
+                py_h = jnp.broadcast_to(
+                    jnp.arange(0, h, 2, dtype=jnp.int32)[:, None],
+                    g_half.valid.shape,
+                )
                 sun_h, light_h = shadow_factors(
                     bvh, dl.tri_vtx, world_pos, g_half, params.sun_dir,
                     lights,
+                    light_active=_light_mask(ctx, g_half, px_h, py_h),
                 )
                 sun_f = _jax.image.resize(sun_h, (h, w), "linear")
                 light_f = _jax.image.resize(
                     light_h, (h, w, light_h.shape[-1]), "linear"
                 )
             else:
+                px_d = jnp.broadcast_to(
+                    jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)
+                )
+                py_d = jnp.broadcast_to(
+                    jnp.arange(h, dtype=jnp.int32)[:, None], (h, w)
+                )
                 sun_f, light_f = shadow_factors(
-                    bvh, dl.tri_vtx, world_pos, g_o, params.sun_dir, lights
+                    bvh, dl.tri_vtx, world_pos, g_o, params.sun_dir, lights,
+                    light_active=_light_mask(ctx, g_o, px_d, py_d),
                 )
         ctx = ctx._replace(sun_shadow_factor=sun_f, light_shadow_factors=light_f)
 
@@ -1235,17 +1263,18 @@ def render_frame(
                 transmission_blocks = wk_t.count
                 cap_t = wk_t.cap_b
                 ctx_tf = ctx_t
+                px_t, py_t = pixel_coords(wk_t)
                 if use_rt:
                     with pass_scope("shadow_rays_transmission"):
                         sun_f_t, light_f_t = shadow_factors(
                             bvh, dl.tri_vtx, world_pos, g_tf,
                             params.sun_dir, lights,
+                            light_active=_light_mask(ctx_t, g_tf, px_t, py_t),
                         )
                     ctx_tf = ctx_tf._replace(
                         sun_shadow_factor=sun_f_t,
                         light_shadow_factors=light_f_t,
                     )
-                px_t, py_t = pixel_coords(wk_t)
                 hdr_t_flat = shade_transmission_flat(
                     scene, g_tf, ctx_tf, pyramid, px_t, py_t,
                     pyramid_level_set=level_set,
@@ -1259,6 +1288,7 @@ def render_frame(
                 transmission_blocks = wk_t.count
                 g_tf = _gather_gbuffer(wk_t, g_t)
                 ctx_tf = ctx_t
+                px_t, py_t = pixel_coords(wk_t)
                 if use_rt:
                     # trace shadow rays for the WORKLIST pixels only
                     # (the flat g-buffer; its valid mask zeroes t_max on
@@ -1269,12 +1299,12 @@ def render_frame(
                         sun_f_t, light_f_t = shadow_factors(
                             bvh, dl.tri_vtx, world_pos, g_tf,
                             params.sun_dir, lights,
+                            light_active=_light_mask(ctx_t, g_tf, px_t, py_t),
                         )
                     ctx_tf = ctx_tf._replace(
                         sun_shadow_factor=sun_f_t,
                         light_shadow_factors=light_f_t,
                     )
-                px_t, py_t = pixel_coords(wk_t)
                 hdr_t_flat = shade_transmission_flat(
                     scene, g_tf, ctx_tf, pyramid, px_t, py_t,
                     pyramid_level_set=level_set,
@@ -1287,10 +1317,17 @@ def render_frame(
                 hdr = block_scatter(wk_t, merged, hdr)
             else:
                 if use_rt:
+                    px_td = jnp.broadcast_to(
+                        jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)
+                    )
+                    py_td = jnp.broadcast_to(
+                        jnp.arange(h, dtype=jnp.int32)[:, None], (h, w)
+                    )
                     with pass_scope("shadow_rays_transmission"):
                         sun_f_t, light_f_t = shadow_factors(
                             bvh, dl.tri_vtx, world_pos, g_t,
                             params.sun_dir, lights,
+                            light_active=_light_mask(ctx_t, g_t, px_td, py_td),
                         )
                     ctx_t = ctx_t._replace(
                         sun_shadow_factor=sun_f_t,

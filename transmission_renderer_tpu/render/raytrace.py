@@ -27,6 +27,7 @@ def shadow_factors(
     g: GBuffer,
     sun_dir: jnp.ndarray,  # [3]
     lights: Lights,
+    light_active: jnp.ndarray | None = None,  # [*g.valid.shape, L] bool
 ):
     """(sun_factor [H, W], light_factors [H, W, L]) — 1.0 lit, 0.0 shadowed.
 
@@ -34,6 +35,12 @@ def shadow_factors(
     sun t_max = 10_000 (shader/src/lighting.rs:26-32), per-light t_max =
     light distance (:64-71); every candidate is confirmed, so alpha-clip
     is ignored for shadows exactly like the reference.
+
+    ``light_active`` (shading.cluster_light_mask) kills rays for
+    (pixel, light) pairs outside the pixel's cluster list by zeroing
+    their t_max: the shading loop never reads those factors (they are
+    multiplied by ``active`` = 0), so the image is bit-identical while
+    the batched walk only pays for cluster-active pairs.
     """
     # ONE batched walk for sun + all lights: each traversal instance is
     # its own chunked while-loop program (ops/bvh.py), so folding the
@@ -53,7 +60,10 @@ def shadow_factors(
         # any-hit with t_max = light distance, exactly the reference's
         # per-light shadow ray (shader/src/lighting.rs:64-71) — the walk
         # early-outs on the first occluder instead of finding the closest.
-        tmaxs.append(jnp.where(valid, dist, 0.0))
+        live = valid
+        if light_active is not None:
+            live = live & light_active[..., li].reshape(-1)
+        tmaxs.append(jnp.where(live, dist, 0.0))
     hit, *_ = trace_rays(
         bvh, tri_vertices, world_positions,
         jnp.broadcast_to(origins, (1 + lights.num, n, 3)),

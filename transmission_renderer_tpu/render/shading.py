@@ -457,6 +457,40 @@ def _cluster_index(ctx: ShadeContext, depth, px, py):
     return (cluster_z * (cx * cy) + cluster_y * cx + cluster_x).astype(jnp.int32)
 
 
+def cluster_light_mask(ctx: ShadeContext, depth, px, py) -> jnp.ndarray:
+    """[..., L] bool: light l is in the pixel's cluster light list.
+
+    Ray-gating companion to evaluate_lights_common: a light outside the
+    pixel's cluster list is multiplied by ``active = slot < count`` = 0
+    there, so its shadow factor is never read — its shadow ray needn't
+    be traced. render_frame uses this to zero t_max on (pixel, light)
+    pairs before the batched BVH walk; the traversal's phase-1
+    compaction then packs the dead lanes into all-done chunks that exit
+    immediately (ops/bvh.py), cutting the pass's effective ray count to
+    sun + cluster-active pairs with a bit-identical image.
+    """
+    cluster = _cluster_index(ctx, depth, px, py)
+    num_lights = ctx.lights.num
+    max_slots = min(num_lights, ctx.cluster_light_indices.shape[1])
+    cluster_table = jnp.concatenate(
+        [
+            ctx.cluster_light_counts[:, None].astype(jnp.int32),
+            ctx.cluster_light_indices[:, :max_slots].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    rows = cluster_table[cluster]  # [..., 1 + S]
+    counts = rows[..., 0]
+    lids = jnp.arange(num_lights, dtype=jnp.int32)
+    mask = jnp.zeros((*counts.shape, num_lights), dtype=bool)
+    # Python loop over the (small, static) slot count: each step is one
+    # [..., L] compare — avoids materialising a [..., S, L] one-hot.
+    for s in range(max_slots):
+        in_slot = rows[..., 1 + s : 2 + s] == lids
+        mask = mask | (in_slot & (s < counts)[..., None])
+    return mask
+
+
 def _light_matrix(lights: Lights) -> jnp.ndarray:
     """Fuse the per-light columns the clustered loop reads into one
     [L, 12] table: position(3) colour_emission(3) spot_direction(3)
