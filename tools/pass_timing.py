@@ -75,6 +75,8 @@ def collect_pass_times(
     string stats / event names are also scanned. Includes
     '<unattributed>' (device ops without a recognised scope) and
     '<total>' (all device op time)."""
+    import re
+
     from jax.profiler import ProfileData
 
     paths = sorted(
@@ -86,28 +88,40 @@ def collect_pass_times(
     data = ProfileData.from_file(paths[-1])
     scope_map = scope_map or {}
 
+    # TPU 'XLA Ops' event names are the FULL instruction text
+    # ('%fusion.3 = f32[...] fusion(...), calls=...') — the instruction
+    # NAME must be parsed out to key into scope_map (the metadata
+    # op_name does not survive into the event text).
+    instr_pat = re.compile(r"^%?([\w.\-]+)\s*=")
+
     sums = {s: 0.0 for s in scopes}
     unattributed = 0.0
     total = 0.0
+    unattr_top = {}
     for plane in data.planes:
         name = plane.name
-        # device planes: TPU/GPU op tracks; on CPU the XLA client line
-        # lives under /host:CPU (tf_XLAPjRt...). Host python lines would
-        # double-count and are excluded either way.
         is_device = (
             "TPU" in name or "GPU" in name or "device" in name
         )
         for line in plane.lines:
             lname = line.name or ""
-            if not is_device and not lname.startswith("tf_"):
-                continue
-            # XLA op lines carry per-op spans; skip step/module envelopes
-            if "XLA Modules" in lname or "Steps" in lname:
+            if is_device:
+                # ONLY the 'XLA Ops' per-op track: 'XLA Modules', 'Steps',
+                # 'Async XLA Ops' (DMAs already inside op spans) and
+                # 'TC Overlay' overlap it and would double-count.
+                if lname != "XLA Ops":
+                    continue
+            elif not lname.startswith("tf_"):
+                # on CPU the XLA client line lives under /host:CPU as
+                # tf_XLAPjRt...; host python lines are excluded
                 continue
             for ev in line.events:
                 dur = ev.duration_ns / 1e6
-                ev_name = (ev.name or "").lstrip("%")
-                texts = [ev_name]
+                ev_name = ev.name or ""
+                texts = [ev_name.lstrip("%")]
+                m = instr_pat.match(ev_name)
+                if m:
+                    texts.insert(0, m.group(1))
                 try:
                     for k, v in ev.stats:
                         if isinstance(v, str):
@@ -124,8 +138,13 @@ def collect_pass_times(
                     sums[scope] += dur
                 else:
                     unattributed += dur
+                    key = texts[0][:60]
+                    unattr_top[key] = unattr_top.get(key, 0.0) + dur
     sums["<unattributed>"] = unattributed
     sums["<total>"] = total
+    sums["<unattributed_top>"] = dict(
+        sorted(unattr_top.items(), key=lambda kv: -kv[1])[:8]
+    )
     return sums
 
 
@@ -155,4 +174,8 @@ def format_table(sums: dict) -> str:
             lines.append(f"  {s:<26} {sums[s]:8.2f} ms")
     lines.append(f"  {'<unattributed>':<26} {sums.get('<unattributed>', 0.0):8.2f} ms")
     lines.append(f"  {'<total device>':<26} {sums.get('<total>', 0.0):8.2f} ms")
+    top = sums.get("<unattributed_top>") or {}
+    for k, v in top.items():
+        if v >= 1.0:  # only name the unattributed ops that matter (>=1 ms)
+            lines.append(f"    ? {k:<55} {v:7.2f} ms")
     return "\n".join(lines)
