@@ -143,3 +143,30 @@ def test_tiny_scene_single_leaf_row():
     hit = np.asarray(hit)
     assert hit[0] and hit[1] and not hit[2]
     assert int(tri_id[0]) == 0 and int(tri_id[1]) == 1
+
+
+def test_chunked_trace_liveness_presort(monkeypatch):
+    """Dead rays (t_max = 0 — cluster/N·L-gated lanes) are pre-sorted
+    into all-done chunks before phase 1; results must stay in original
+    ray order and match the flat walk exactly."""
+    from transmission_renderer_tpu.ops import bvh as B
+
+    pos, _, _, tri = make_sphere_mesh(6, 12)
+    bvh = build_bvh(tri, pos)
+    rng = np.random.default_rng(7)
+    n = 333
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # kill a scattered ~half of the rays
+    t_max = np.where(rng.random(n) < 0.5, 0.0, 1e4).astype(np.float32)
+    args = (bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos),
+            jnp.asarray(o), jnp.asarray(d))
+    flat = trace_rays(*args, t_max=jnp.asarray(t_max))
+    monkeypatch.setattr(B, "_RAY_CHUNK", 64)
+    chunked = trace_rays(*args, t_max=jnp.asarray(t_max))
+    for a, b, name in zip(flat, chunked, ["hit", "t", "tri", "u", "v"]):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+    assert not np.asarray(flat[0])[t_max == 0.0].any()

@@ -126,3 +126,43 @@ def test_cluster_gated_rays_bit_identical(rt_frames, monkeypatch):
     from transmission_renderer_tpu.render.shading import cluster_light_mask
     assert real_mask is cluster_light_mask
     np.testing.assert_array_equal(gated, ungated)
+
+
+def test_nol_gate_error_bound(rt_frames, monkeypatch):
+    """N·L ray gating (shadow_factors nol_gate) changes radiance only
+    through the reference's ε-clamped dot (≈1.19e-7 × intensity): the
+    frame with gating disabled must match to ~f32 noise, far inside the
+    1e-3 RMSE budget."""
+    import transmission_renderer_tpu.render.raytrace as rt_mod
+
+    gated, _ = rt_frames
+    real = rt_mod.shadow_factors
+
+    def no_gate(*a, **k):
+        k["nol_gate"] = False
+        return real(*a, **k)
+
+    monkeypatch.setattr(rt_mod, "shadow_factors", no_gate)
+    builder = build_test_scene()
+    scene, dl, flags = builder.finish_bundle()
+    assert not flags.tex_slots[2], "test scene must be normal-map-free"
+    bvh = builder.build_rt_bvh()
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.0, 2.0], np.float32)
+    rig.camera.pitch = -0.4
+    rig.sun_yaw = 0.5
+    cfg = RenderConfig(
+        width=128, height=72, tile_w=32, tile_h=8,
+        max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
+        ray_traced_shadows=True,
+    )
+    params = make_frame_params(
+        cfg, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+    )
+    lights = pack_lights([point_light([0.0, 0.8, 0.0], [1, 0, 0], 5.0)])
+    ungated = np.asarray(
+        jax.jit(partial(render_frame, config=cfg, flags=flags, bvh=bvh))(
+            scene, dl, params, lights
+        )
+    )
+    assert float(np.abs(gated - ungated).max()) < 1e-5

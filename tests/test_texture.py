@@ -150,12 +150,23 @@ def test_quad_lut_matches_reference_sampler():
     np.testing.assert_array_equal(a, b)
 
 
-def test_fused_trilinear_matches_two_gather():
+def _force_fused_layout(monkeypatch):
+    """Build + sample with the FUSED atlas layout regardless of the
+    process default (scene/textures.py::ATLAS_FUSED env switch)."""
+    import transmission_renderer_tpu.scene.textures as tx
+
+    monkeypatch.setattr(tx, "ATLAS_FUSED", True)
+    monkeypatch.setattr(tx, "BLOCK_TEXELS", 13)
+
+
+def test_fused_trilinear_matches_two_gather(monkeypatch):
     """The single-gather fused trilinear path (in-block 3x3 parent patch)
     must reproduce the classic 2-gather two-level blend bitwise on POT
     textures, REPEAT and CLAMP, across uv (incl. out-of-range) and lod
     (incl. beyond the mip chain)."""
     from transmission_renderer_tpu.ops.texture import sample_bundle_rows
+
+    _force_fused_layout(monkeypatch)
 
     rng = np.random.default_rng(11)
     for size in ((16, 16), (64, 32), (8, 1), (4, 4)):
@@ -164,7 +175,11 @@ def test_fused_trilinear_matches_two_gather():
             ab = AtlasBuilder()
             ab.push_image(img, srgb=True, wrap=wrap)
             texels, meta, _ = ab.finish()
-            rows = jnp.asarray(np.broadcast_to(meta[0], (512, meta.shape[1])))
+            from transmission_renderer_tpu.ops.texture import atlas_group
+            group = atlas_group(meta)
+            rows = jnp.asarray(np.broadcast_to(
+                meta[0, : meta.shape[1] - group], (512, meta.shape[1] - group)
+            ))
             uv = jnp.asarray(
                 rng.uniform(-1.5, 2.5, (512, 2)).astype(np.float32)
             )
@@ -172,10 +187,12 @@ def test_fused_trilinear_matches_two_gather():
                 rng.uniform(-1.0, 14.0, (512,)).astype(np.float32)
             )
             plain = sample_bundle_rows(
-                jnp.asarray(texels), rows, uv, lod, wrap, fused=False
+                jnp.asarray(texels), rows, uv, lod, wrap, fused=False,
+                group=group,
             )
             fused = sample_bundle_rows(
-                jnp.asarray(texels), rows, uv, lod, wrap, fused=True
+                jnp.asarray(texels), rows, uv, lod, wrap, fused=True,
+                group=group,
             )
             np.testing.assert_array_equal(
                 np.asarray(fused), np.asarray(plain),
@@ -183,18 +200,28 @@ def test_fused_trilinear_matches_two_gather():
             )
 
 
-def test_fused_trilinear_matches_bundled():
+def test_fused_trilinear_matches_bundled(monkeypatch):
     """Fused path with multi-layer bundles."""
     from transmission_renderer_tpu.ops.texture import sample_bundle_rows
+
+    _force_fused_layout(monkeypatch)
 
     rng = np.random.default_rng(13)
     imgs = [rng.integers(0, 256, (32, 32, 4)).astype(np.uint8) for _ in range(3)]
     ab = AtlasBuilder()
     ab.push_bundle(imgs, [True, False, True])
     texels, meta, _ = ab.finish()
-    rows = jnp.asarray(np.broadcast_to(meta[0], (256, meta.shape[1])))
+    from transmission_renderer_tpu.ops.texture import atlas_group
+    group = atlas_group(meta)
+    rows = jnp.asarray(np.broadcast_to(
+        meta[0, : meta.shape[1] - group], (256, meta.shape[1] - group)
+    ))
     uv = jnp.asarray(rng.uniform(-1, 2, (256, 2)).astype(np.float32))
     lod = jnp.asarray(rng.uniform(0, 8.0, (256,)).astype(np.float32))
-    plain = sample_bundle_rows(jnp.asarray(texels), rows, uv, lod, fused=False)
-    fused = sample_bundle_rows(jnp.asarray(texels), rows, uv, lod, fused=True)
+    plain = sample_bundle_rows(
+        jnp.asarray(texels), rows, uv, lod, fused=False, group=group
+    )
+    fused = sample_bundle_rows(
+        jnp.asarray(texels), rows, uv, lod, fused=True, group=group
+    )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(plain))

@@ -481,15 +481,25 @@ def trace_rays(
         # padding rays get t_max=0: every AABB/triangle test fails against
         # an empty (t_min, 0) interval, so they walk the root and stop.
         t_p = jnp.pad(t_max_arr, (0, pad))
-        rays = (o_p, inv_p, d_p)
-        state = run_chunks(rays, init_state(t_p), _PHASE1_TRIPS)
+        # LIVENESS pre-compaction: rays killed before the walk
+        # (t_max <= 0: invalid pixels, cluster-gated lights, padding)
+        # idle in 1-2 pops — but a chunk pays its WORST lane, so dead
+        # lanes scattered through live chunks save nothing. A stable
+        # pre-sort (live first; raster-coherent within each group)
+        # packs them into all-done chunks that exit phase 1
+        # immediately; the cost is one bool argsort over the batch.
+        live_perm = jnp.argsort(t_p <= 0.0, stable=True)
+        rays = jax.tree.map(
+            lambda a: a[live_perm], (o_p, inv_p, d_p)
+        )
+        state = run_chunks(rays, init_state(t_p[live_perm]), _PHASE1_TRIPS)
         # compaction: unfinished rays first (stable → raster-coherent
         # within each group), finish them, un-permute
         perm = jnp.argsort(state[-1], stable=True)
         rays_s = jax.tree.map(lambda a: a[perm], rays)
         state_s = jax.tree.map(lambda a: a[perm], state)
         final_s = run_chunks(rays_s, state_s, None)
-        inv_perm = jnp.argsort(perm)
+        inv_perm = jnp.argsort(live_perm[perm])
         final = jax.tree.map(lambda a: a[inv_perm][:n], final_s)
         best_t, best_tri, bu, bv = final[4], final[5], final[6], final[7]
     else:

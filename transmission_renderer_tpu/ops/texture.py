@@ -20,8 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from transmission_renderer_tpu.scene import textures as _layout
 from transmission_renderer_tpu.scene.textures import (  # noqa: F401
-    BLOCK_TEXELS,
     IMAGE_MASK,
     LAYER_SHIFT,
     MAX_MIPS,
@@ -29,6 +29,12 @@ from transmission_renderer_tpu.scene.textures import (  # noqa: F401
     QUAD_GROUP,
     QUAD_GROUP_SHIFT,
 )
+
+
+def _block_texels() -> int:
+    # read through the module so tests can monkeypatch the atlas layout
+    # (scene/textures.py::ATLAS_FUSED / BLOCK_TEXELS) per-case
+    return _layout.BLOCK_TEXELS
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -56,7 +62,7 @@ def _wrap_bilinear_coords(x, y, width, height, wrap_mode):
     return x0, y0, fx, fy
 
 
-def _fetch_block(quads, qoff, width, height, uv, wrap_mode):
+def _fetch_block(quads, qoff, width, height, uv, wrap_mode, group=None):
     """ONE row gather + sub-block select -> the whole fused quad-block
     [..., BLOCK_TEXELS * 4L] containing the bilinear footprint, plus the
     wrapped footprint corner (x0, y0) and blend weights (fx, fy).
@@ -78,19 +84,35 @@ def _fetch_block(quads, qoff, width, height, uv, wrap_mode):
     bh = (height + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    # group size is the atlas's static middle axis ([R, G, blkw] — see
-    # scene/textures.py::quad_group_for_layers)
-    group = quads.shape[1]
+    if quads.ndim == 3:
+        # legacy [R, G, blkw] pool (LUT pools keep this shape)
+        group = quads.shape[1]
+        shift = group.bit_length() - 1
+        grp = quads[qidx >> shift]  # [..., G, blkw]
+        # materialise the WIDE row gather before the sub-block select:
+        # fused, XLA re-splits it into G strided gathers and the row
+        # grouping regresses 2-10x (docs/PERFORMANCE.md)
+        grp = jax.lax.optimization_barrier(grp)
+        sub = qidx & (group - 1)
+        blk = grp[..., 0, :]
+        for k in range(1, group):
+            blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
+        return blk.astype(jnp.float32), x0, y0, fx, fy
+    # FLAT [R, G * blkw] pool: the minor axis fills whole 128-element
+    # device tiles (scene/textures.py::ATLAS_ROW_ELEMS) — a 3D pool with
+    # a thin last axis pads up to 8x on device. ``group`` comes from the
+    # atlas meta width (static through jit).
+    assert group is not None and group >= 1, "flat atlas needs its group"
     shift = group.bit_length() - 1
-    grp = quads[qidx >> shift]  # [..., G, blkw]
-    # materialise the WIDE row gather before the sub-block select: fused,
-    # XLA re-splits it into G strided gathers and the row grouping
-    # regresses 2-10x (docs/PERFORMANCE.md negative-result note)
+    blkw = quads.shape[-1] >> shift
+    grp = quads[qidx >> shift]  # [..., G * blkw]
     grp = jax.lax.optimization_barrier(grp)
     sub = qidx & (group - 1)
-    blk = grp[..., 0, :]
+    blk = grp[..., :blkw]
     for k in range(1, group):
-        blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
+        blk = jnp.where(
+            (sub == k)[..., None], grp[..., k * blkw : (k + 1) * blkw], blk
+        )
     # texels store half-width (scene/textures.py::ATLAS_DTYPE, bf16) —
     # convert AFTER the narrow sub-block select, lerp in f32
     return blk.astype(jnp.float32), x0, y0, fx, fy
@@ -109,13 +131,16 @@ def _bilinear_level_quad(
     height: jnp.ndarray,  # [...] int32
     uv: jnp.ndarray,  # [..., 2]
     wrap_mode: int,
+    group: int | None = None,
 ) -> jnp.ndarray:
     """One bilinear tap (ALL layers) at a single mip level -> [..., 4*L].
     ONE gather; texels are pre-decoded linear float (scene/textures.py),
     so the tap is gather + sub-block select + lerp — no u8 unpack and no
     per-sample sRGB pow chain."""
-    blk, _, _, fx, fy = _fetch_block(quads, qoff, width, height, uv, wrap_mode)
-    c = blk.shape[-1] // BLOCK_TEXELS  # 4L
+    blk, _, _, fx, fy = _fetch_block(
+        quads, qoff, width, height, uv, wrap_mode, group=group
+    )
+    c = blk.shape[-1] // _block_texels()  # 4L
     q = blk[..., : 4 * c].reshape(blk.shape[:-1] + (4, c))
     return _lerp4(
         q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :], fx, fy
@@ -162,16 +187,31 @@ def sample_texture(
     layer = texture_id >> LAYER_SHIFT
     # ONE meta-row gather per sample (sRGB decode is pre-baked into the
     # float atlas; srgb_table is accepted for API compatibility only).
-    rows = meta[img]  # [..., META_COLS]
+    g = atlas_group(meta) if quads.ndim == 2 else 1
+    rows = meta[img][..., :META_COLS]
     return sample_texture_rows(
         quads, rows, uv, lod, wrap_mode, trilinear,
-        layer=layer if atlas_layers(quads) > 1 else None,
+        layer=layer if atlas_layers(quads, g) > 1 else None,
+        group=g if quads.ndim == 2 else None,
     )
 
 
-def atlas_layers(quads: jnp.ndarray) -> int:
-    """Static layer count L of an atlas pool ([R, G, BLOCK_TEXELS*4L])."""
-    return quads.shape[-1] // (4 * BLOCK_TEXELS)
+def atlas_group(meta: jnp.ndarray) -> int:
+    """Static atlas group encoded in the FULL meta width
+    (scene/textures.py::AtlasBuilder.finish: META_COLS + group). Pass
+    scene.atlas_meta, not row slices (the material matrix stores
+    META_COLS-wide blocks without the tag)."""
+    g = meta.shape[-1] - META_COLS
+    assert g >= 1, "atlas meta missing its group tag"
+    return g
+
+
+def atlas_layers(quads: jnp.ndarray, group: int = 1) -> int:
+    """Static layer count L of an atlas pool (flat [R, G*BLOCK_TEXELS*4L],
+    or legacy 3D [R, G, BLOCK_TEXELS*4L] with group=1 semantics)."""
+    if quads.ndim == 3:
+        return quads.shape[-1] // (4 * _block_texels())
+    return quads.shape[-1] // (4 * _block_texels() * group)
 
 
 def sample_bundle_rows(
@@ -182,6 +222,7 @@ def sample_bundle_rows(
     wrap_mode: int = WRAP_REPEAT,
     trilinear: bool = True,
     fused: bool = False,
+    group: int | None = None,
 ) -> jnp.ndarray:
     """Explicit-LOD sample of ALL bundle layers -> [..., L, 4]. The whole
     bundle costs the same gathers as one texture; every layer of a 2x2
@@ -194,14 +235,18 @@ def sample_bundle_rows(
     footprint, located in registers. With ``fused=False`` trilinear is
     the classic 2-gather two-level blend (exact for any image size)."""
     lod = jnp.maximum(lod, 0.0)
+    assert (group is not None) == (quads.ndim == 2), \
+        "flat atlas pools need their static group (ops.texture.atlas_group)"
     if fused and trilinear:
         # clamp to the real mip range so the last level's self-patch
         # (whose coordinates don't correspond) always has weight 0
         lod = jnp.minimum(lod, (rows[..., 0] - 1).astype(jnp.float32))
         l0 = jnp.floor(lod).astype(jnp.int32)
         o0, w0, h0 = _level_meta_from_rows(rows, l0)
-        blk, x0, y0, fx, fy = _fetch_block(quads, o0, w0, h0, uv, wrap_mode)
-        c = blk.shape[-1] // BLOCK_TEXELS  # 4L
+        blk, x0, y0, fx, fy = _fetch_block(
+            quads, o0, w0, h0, uv, wrap_mode, group=group
+        )
+        c = blk.shape[-1] // _block_texels()  # 4L
         q = blk[..., : 4 * c].reshape(blk.shape[:-1] + (4, c))
         c0 = _lerp4(
             q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :], fx, fy
@@ -235,17 +280,17 @@ def sample_bundle_rows(
         c1 = _lerp4(p00, p10, p01, p11, fx1, fy1)
         frac = (lod - l0.astype(jnp.float32))[..., None]
         c0 = c0 + (c1 - c0) * frac
-        return c0.reshape(c0.shape[:-1] + (atlas_layers(quads), 4))
+        return c0.reshape(c0.shape[:-1] + (atlas_layers(quads, group or 1), 4))
 
     l0 = jnp.floor(lod).astype(jnp.int32)
     o0, w0, h0 = _level_meta_from_rows(rows, l0)
-    c0 = _bilinear_level_quad(quads, o0, w0, h0, uv, wrap_mode)
+    c0 = _bilinear_level_quad(quads, o0, w0, h0, uv, wrap_mode, group=group)
     if trilinear:
         o1, w1, h1 = _level_meta_from_rows(rows, l0 + 1)
-        c1 = _bilinear_level_quad(quads, o1, w1, h1, uv, wrap_mode)
+        c1 = _bilinear_level_quad(quads, o1, w1, h1, uv, wrap_mode, group=group)
         frac = (lod - l0.astype(jnp.float32))[..., None]
         c0 = c0 + (c1 - c0) * frac
-    return c0.reshape(c0.shape[:-1] + (atlas_layers(quads), 4))
+    return c0.reshape(c0.shape[:-1] + (atlas_layers(quads, group or 1), 4))
 
 
 def select_layer(samples: jnp.ndarray, layer: jnp.ndarray) -> jnp.ndarray:
@@ -266,13 +311,16 @@ def sample_texture_rows(
     wrap_mode: int = WRAP_REPEAT,
     trilinear: bool = True,
     layer: jnp.ndarray | None = None,
+    group: int | None = None,
 ) -> jnp.ndarray:
     """Like sample_texture but with the per-pixel meta rows already
     fetched — callers that also need level-0 sizes (for LOD computation)
     can share the fetch (e.g. via the one-hot material matrix,
     render/shading.py). ``layer`` selects a bundle layer per pixel
     (default: layer 0, exact for single-texture entries)."""
-    s = sample_bundle_rows(quads, rows, uv, lod, wrap_mode, trilinear)
+    s = sample_bundle_rows(
+        quads, rows, uv, lod, wrap_mode, trilinear, group=group
+    )
     if layer is None:
         return s[..., 0, :]
     return select_layer(s, layer)

@@ -43,6 +43,7 @@ from transmission_renderer_tpu.ops.raster import (
     setup_triangles,
 )
 from transmission_renderer_tpu.ops.texture import WRAP_REPEAT, sample_texture
+from transmission_renderer_tpu.scene.textures import ATLAS_FUSED, MAX_MIPS
 from transmission_renderer_tpu.pbr import (
     bake_lottes_params,
     cluster_coefficients,
@@ -468,6 +469,7 @@ def _clip_alpha_ok_tiles(scene: Scene, ch: dict) -> jnp.ndarray:
     derivatives (the reference's ``texture_sampler.sample``). True where
     the winner passes (or there is no winner)."""
     from transmission_renderer_tpu.ops.texture import (
+        atlas_group,
         atlas_layers,
         sample_texture_rows,
     )
@@ -482,7 +484,7 @@ def _clip_alpha_ok_tiles(scene: Scene, ch: dict) -> jnp.ndarray:
     safe = jnp.maximum(ch["material"], 0)
     tid = m.tex_diffuse[safe]
     packed = jnp.maximum(tid, 0)
-    rows = scene.atlas_meta[packed & IMAGE_MASK]
+    rows = scene.atlas_meta[packed & IMAGE_MASK][..., : 4 + MAX_MIPS]
     uv = jnp.stack([ch["uv_u"], ch["uv_v"]], -1)
     duvdx = jnp.stack([ch["duvdx_u"], ch["duvdx_v"]], -1)
     duvdy = jnp.stack([ch["duvdy_u"], ch["duvdy_v"]], -1)
@@ -491,9 +493,11 @@ def _clip_alpha_ok_tiles(scene: Scene, ch: dict) -> jnp.ndarray:
         scene.atlas_texels, rows, uv, lod, WRAP_REPEAT,
         layer=(
             packed >> LAYER_SHIFT
-            if atlas_layers(scene.atlas_texels) > 1
+            if atlas_layers(scene.atlas_texels, atlas_group(scene.atlas_meta))
+            > 1
             else None
         ),
+        group=atlas_group(scene.atlas_meta),
     )
     alpha = m.diffuse_factor[safe, 3] * jnp.where(tid >= 0, s[..., 3], 1.0)
     return (~valid) | (alpha >= m.alpha_clipping_cutoff[safe])
@@ -1027,7 +1031,7 @@ def render_frame(
         quad_taps=config.quad_material_taps,
         mat_matrix=mat_matrix_o,
         ggx_lut_quads=lut_quads,
-        fused_trilinear=flags.atlas_pot,
+        fused_trilinear=flags.atlas_pot and ATLAS_FUSED,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------
@@ -1065,6 +1069,7 @@ def render_frame(
                     bvh, dl.tri_vtx, world_pos, g_half, params.sun_dir,
                     lights,
                     light_active=_light_mask(ctx, g_half, px_h, py_h),
+                    nol_gate=not flags.tex_slots[2],
                 )
                 sun_f = _jax.image.resize(sun_h, (h, w), "linear")
                 light_f = _jax.image.resize(
@@ -1080,6 +1085,9 @@ def render_frame(
                 sun_f, light_f = shadow_factors(
                     bvh, dl.tri_vtx, world_pos, g_o, params.sun_dir, lights,
                     light_active=_light_mask(ctx, g_o, px_d, py_d),
+                    # N·L ray gating is only valid without normal maps
+                    # (slot 2): the shade's N·L uses the perturbed normal
+                    nol_gate=not flags.tex_slots[2],
                 )
         ctx = ctx._replace(sun_shadow_factor=sun_f, light_shadow_factors=light_f)
 

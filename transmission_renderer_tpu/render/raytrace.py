@@ -28,6 +28,7 @@ def shadow_factors(
     sun_dir: jnp.ndarray,  # [3]
     lights: Lights,
     light_active: jnp.ndarray | None = None,  # [*g.valid.shape, L] bool
+    nol_gate: bool = False,
 ):
     """(sun_factor [H, W], light_factors [H, W, L]) — 1.0 lit, 0.0 shadowed.
 
@@ -41,6 +42,16 @@ def shadow_factors(
     their t_max: the shading loop never reads those factors (they are
     multiplied by ``active`` = 0), so the image is bit-identical while
     the batched walk only pays for cluster-active pairs.
+
+    ``nol_gate`` additionally kills rays where the G-buffer normal faces
+    away from the light (N·L <= 0). There the reference's ε-clamped dot
+    (pbr/brdf.py::_dot, glam-pbr's f32::EPSILON floor) pins the radiance
+    to intensity × 1.19e-7, so the untraced factor changes the result by
+    at most ~1e-7 × intensity — far below f32 accumulation noise. Valid
+    ONLY for the opaque pass of scenes without normal maps (the shading
+    N·L uses the normal-mapped normal, and the transmission BRDF mirrors
+    the light direction, so backfacing lights still contribute there);
+    render_frame enables it from SceneFlags.
     """
     # ONE batched walk for sun + all lights: each traversal instance is
     # its own chunked while-loop program (ops/bvh.py), so folding the
@@ -51,18 +62,25 @@ def shadow_factors(
     origins = g.position.reshape(-1, 3)
     n = origins.shape[0]
     valid = g.valid.reshape(-1)
+    nrm = g.normal.reshape(-1, 3) if nol_gate else None
+    sun_live = valid
+    if nol_gate:
+        sun_live = sun_live & (jnp.sum(nrm * sun_dir, axis=-1) > 0.0)
     dirs = [jnp.broadcast_to(sun_dir, (n, 3))]
-    tmaxs = [jnp.where(valid, 10_000.0, 0.0)]
+    tmaxs = [jnp.where(sun_live, 10_000.0, 0.0)]
     for li in range(lights.num):
         to_light = lights.position[li] - origins
         dist = jnp.linalg.norm(to_light, axis=-1)
-        dirs.append(to_light / jnp.maximum(dist[..., None], 1e-12))
+        ldir = to_light / jnp.maximum(dist[..., None], 1e-12)
+        dirs.append(ldir)
         # any-hit with t_max = light distance, exactly the reference's
         # per-light shadow ray (shader/src/lighting.rs:64-71) — the walk
         # early-outs on the first occluder instead of finding the closest.
         live = valid
         if light_active is not None:
             live = live & light_active[..., li].reshape(-1)
+        if nol_gate:
+            live = live & (jnp.sum(nrm * ldir, axis=-1) > 0.0)
         tmaxs.append(jnp.where(live, dist, 0.0))
     hit, *_ = trace_rays(
         bvh, tri_vertices, world_positions,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from transmission_renderer_tpu.ops.mipchain import MipPyramid, sample_pyramid_lod
 from transmission_renderer_tpu.ops.texture import (
     WRAP_REPEAT,
+    atlas_group,
     atlas_layers,
     quad_lut_2ch,
     sample_bundle_rows,
@@ -135,6 +136,8 @@ _MAT_SLOTS = (
 # tex_slots tuple positions for each _MAT_SLOTS entry
 _SLOT_FLAG_POS = (0, 1, 2, 3, 5, 6, 7, 8)
 _META_BLOCK = 4 + 2 * MAX_MIPS  # num_mips, srgb, w0, h0, off_hi*13, off_lo*13
+_META_W = 4 + MAX_MIPS  # true meta columns (the atlas meta's trailing
+# columns are the flat-row group tag, ops/texture.py::atlas_group)
 
 
 class MaterialMatrix(NamedTuple):
@@ -208,7 +211,7 @@ def build_material_matrix(
         for other in group:
             tid = jnp.maximum(tid, getattr(m, other))
         img = jnp.maximum(tid, 0) & IMAGE_MASK
-        rows = scene.atlas_meta[img].astype(jnp.int32)  # [n_mat, 4+13]
+        rows = scene.atlas_meta[img][:, :_META_W].astype(jnp.int32)  # [n_mat, 4+13]
         head = rows[:, :4].astype(jnp.float32)
         offs = rows[:, 4:]
         off_hi = (offs >> 12).astype(jnp.float32)
@@ -275,7 +278,8 @@ def evaluate_pixel_material(
     # per material, see build_material_matrix) sample once per COLUMN —
     # one gather pair serves every slot in the group; per-slot extraction
     # is a register layer select.
-    n_layers = atlas_layers(scene.atlas_texels)
+    a_group = atlas_group(scene.atlas_meta)
+    n_layers = atlas_layers(scene.atlas_texels, a_group)
     bundle_cache: dict = {}
 
     def tex4(slot_idx):
@@ -297,7 +301,7 @@ def evaluate_pixel_material(
                 )
                 bundle_cache[col] = sample_bundle_rows(
                     scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
-                    fused=fused_trilinear,
+                    fused=fused_trilinear, group=a_group,
                 )
             return tid, extract(bundle_cache[col])
         # Quality flag (RenderConfig.quad_material_taps): ONE tap per 2x2
@@ -329,7 +333,7 @@ def evaluate_pixel_material(
             sample_q = sample_bundle_rows(
                 scene.atlas_texels, rep(rows), rep(g.uv),
                 rep(lod[..., None])[..., 0], WRAP_REPEAT,
-                fused=fused_trilinear,
+                fused=fused_trilinear, group=a_group,
             )  # [M/4, L, 4]
             bundle_cache[col] = jnp.broadcast_to(
                 sample_q.reshape(h // 2, 1, w // 2, 1, n_layers, 4),

@@ -34,6 +34,8 @@ decode matches Vulkan's R8G8B8A8_SRGB (src/model_loading.rs:348-352).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 # Metadata layout per image row:
@@ -77,14 +79,23 @@ if ATLAS_DTYPE is None:  # numpy bfloat16 rides ml_dtypes
     ATLAS_DTYPE = np.dtype(ml_dtypes.bfloat16)
 
 
+# Target flat-row width in ELEMENTS. TPU tiles the minor axis to 128
+# elements (bf16 T(8,128)(2,1), f32 T(8,128)): a [R, G, W] atlas with
+# W < 128 is PADDED on device — measured via compiled parameter layouts:
+# bf16 [R, 4, 16] materialises 8x its logical bytes (every gathered row
+# pays 1 KB for 128 B of texels), which is exactly the compact-G4
+# regression BENCH'd at 163 ms vs 108. Flat [R, 128] rows pad ZERO.
+ATLAS_ROW_ELEMS = int(os.environ.get("TRTPU_ATLAS_ROW_ELEMS", "128"))
+
+
 def quad_group_for_layers(layers: int, itemsize: int = 2) -> int:
-    """Blocks per physical atlas row: target ~208 B rows (the measured
-    optimum on v5e — see the dtype x group A/B above; 416 B rows are
-    15-25% slower, and at equal bytes fewer/wider rows win slightly),
-    capped at 4."""
-    block_bytes = BLOCK_TEXELS * 4 * layers * itemsize
-    g = 208 // block_bytes
-    return max(1, min(4, 1 << max(g.bit_length() - 1, 0)))
+    """Blocks per physical (flat) atlas row: fill ATLAS_ROW_ELEMS
+    (one 128-element device tile by default — zero layout padding),
+    power-of-two so the sampler's qidx>>shift / & (G-1) addressing
+    holds. Wide blocks (many layers / fused) get G=1."""
+    block_elems = BLOCK_TEXELS * 4 * layers
+    g = max(1, ATLAS_ROW_ELEMS // block_elems)
+    return 1 << max(g.bit_length() - 1, 0)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -151,11 +162,20 @@ def quad_block_counts(width: int, height: int) -> tuple[int, int]:
     return (width + 1) // 2, (height + 1) // 2
 
 
-# Texels per trilinear-fused quad-block: 4 level-l texels + the 3x3
-# level-(l+1) patch that contains every bilinear footprint the SAME uv
-# can produce one level coarser (see _quad_blocks) -> a trilinear tap is
-# ONE row gather.
-BLOCK_TEXELS = 13
+# Texels per quad-block. Two layouts, chosen once per process:
+#   fused (13): 4 level-l texels + the 3x3 level-(l+1) patch that
+#     contains every bilinear footprint the SAME uv can produce one
+#     level coarser (see _quad_blocks) -> a trilinear tap is ONE gather.
+#   compact (4): just the bilinear footprint -> trilinear is the classic
+#     2-gather two-level blend, but rows are 3.25x narrower AND (at the
+#     208 B row target) the table has half the rows.
+# Measured in-frame on v5e (dragon 1080p, bf16): compact-G4 128 B rows /
+# 87k rows beats fused-G2 208 B / 175k rows — the fused layout's G4->G2
+# regrouping doubles the row count, which costs more than the saved
+# second gather (gathers cost by ROW COUNT; docs/PERFORMANCE.md).
+# TRTPU_ATLAS_FUSED=1 re-enables the fused layout for A/Bs.
+ATLAS_FUSED = os.environ.get("TRTPU_ATLAS_FUSED", "0") == "1"
+BLOCK_TEXELS = 13 if ATLAS_FUSED else 4
 
 
 def _quad_blocks(
@@ -204,6 +224,8 @@ def _quad_blocks(
             out[p, :, :, 1] = texels[np.ix_(ys0, xs1)]
             out[p, :, :, 2] = texels[np.ix_(ys1, xs0)]
             out[p, :, :, 3] = texels[np.ix_(ys1, xs1)]
+            if not ATLAS_FUSED:
+                continue
             # 3x3 parent patch around (x0 >> 1, y0 >> 1)
             kx = xs0 >> 1
             ky = ys0 >> 1
@@ -342,10 +364,17 @@ class AtlasBuilder:
         quads = np.concatenate(chunks).astype(ATLAS_DTYPE)
         group = quad_group_for_layers(layers, quads.dtype.itemsize)
         pad = (-len(quads)) % group
+        # FLAT [R, G * blk] rows: a 3D [R, G, blk] array tiles its minor
+        # axis to 128 elements on device (see ATLAS_ROW_ELEMS), so thin
+        # blocks would pad up to 8x; one flat row per group is tight.
         quads = np.concatenate(
             [quads, np.zeros((pad, quads.shape[1]), ATLAS_DTYPE)]
-        ).reshape(-1, group, BLOCK_TEXELS * 4 * layers)
+        ).reshape(-1, group * BLOCK_TEXELS * 4 * layers)
         meta = np.stack(self._meta)
+        # the sampler needs the STATIC group to address flat rows; encode
+        # it in the meta width (meta.shape[-1] - META_COLS = group) so it
+        # travels with the scene through jit without a pytree aux field
+        meta = np.pad(meta, ((0, 0), (0, group)))
         srgb = np.array(self._srgb, bool)
         return quads, meta, srgb
 
