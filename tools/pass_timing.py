@@ -25,6 +25,10 @@ import tempfile
 
 # every pass_scope name used by render/frame.py (order = frame order)
 PASS_SCOPES = (
+    # sub-scopes FIRST: attribution picks the first match, and these
+    # appear nested under shade_* in the op_name path
+    "material_taps",
+    "light_loop",
     "geometry",
     "binning",
     "payload",

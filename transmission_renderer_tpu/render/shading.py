@@ -51,6 +51,7 @@ from transmission_renderer_tpu.pbr.lights import Lights
 from transmission_renderer_tpu.render.gbuffer import GBuffer
 from transmission_renderer_tpu.scene.textures import MAX_MIPS
 from transmission_renderer_tpu.scene.types import Scene
+from transmission_renderer_tpu.utils.profiling import pass_scope
 
 
 class ShadeContext(NamedTuple):
@@ -244,7 +245,14 @@ class PixelMaterial(NamedTuple):
     normal: jnp.ndarray  # shading normal after normal mapping
 
 
-def evaluate_pixel_material(
+def evaluate_pixel_material(*args, **kw):
+    """pass_scope'd wrapper — per-pass material-tap time shows up as
+    'material_taps' in the in-frame table (tools/pass_timing.py)."""
+    with pass_scope("material_taps"):
+        return _evaluate_pixel_material(*args, **kw)
+
+
+def _evaluate_pixel_material(
     scene: Scene,
     g: GBuffer,
     view_vector: jnp.ndarray,
@@ -517,7 +525,14 @@ def _light_matrix(lights: Lights) -> jnp.ndarray:
 _UNROLL_MAX_SLOTS = 8
 
 
-def evaluate_lights_common(
+def evaluate_lights_common(*args, **kw):
+    """pass_scope'd wrapper — per-pass light-loop time shows up as
+    'light_loop' in the in-frame table (tools/pass_timing.py)."""
+    with pass_scope("light_loop"):
+        return _evaluate_lights_common(*args, **kw)
+
+
+def _evaluate_lights_common(
     ctx: ShadeContext,
     material: MaterialParams,
     view: jnp.ndarray,
