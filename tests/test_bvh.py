@@ -170,3 +170,41 @@ def test_chunked_trace_liveness_presort(monkeypatch):
             np.asarray(a), np.asarray(b), err_msg=name
         )
     assert not np.asarray(flat[0])[t_max == 0.0].any()
+
+
+def test_bfs_matches_walk_anyhit(monkeypatch):
+    """The level-synchronous frontier traversal (trace_shadow_bfs) must
+    report exactly the walk's any-hit occlusion for mixed-t_max rays,
+    across the chunked and single-chunk paths."""
+    from transmission_renderer_tpu.ops import bvh as B
+    from transmission_renderer_tpu.ops.bvh import trace_shadow_bfs
+
+    pos, _, _, tri = make_sphere_mesh(9, 18)
+    bvh = build_bvh(tri, pos)
+    rng = np.random.default_rng(21)
+    n = 1777
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_max = np.where(
+        rng.random(n) < 0.2, 0.0,
+        np.where(rng.random(n) < 0.5, 1e4, rng.uniform(0.1, 3.0, n)),
+    ).astype(np.float32)
+    args = (bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos),
+            jnp.asarray(o), jnp.asarray(d))
+    walk_hit = np.asarray(
+        trace_rays(*args, t_max=jnp.asarray(t_max), any_hit=True)[0]
+    )
+    bfs_hit, overflow = trace_shadow_bfs(*args, t_max=jnp.asarray(t_max))
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(bfs_hit), walk_hit)
+    # chunked path (several lax.map chunks + padding)
+    monkeypatch.setattr(B, "_BFS_CHUNK", 256)
+    bfs_hit2, overflow2 = trace_shadow_bfs(*args, t_max=jnp.asarray(t_max))
+    assert int(overflow2) == 0
+    np.testing.assert_array_equal(np.asarray(bfs_hit2), walk_hit)
+    # overflow is REPORTED when capacity is too small, not silent
+    bfs_hit3, overflow3 = trace_shadow_bfs(
+        *args, t_max=jnp.asarray(t_max), chunk=256, cap_factor=1
+    )
+    assert int(overflow3) > 0

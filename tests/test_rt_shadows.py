@@ -128,21 +128,14 @@ def test_cluster_gated_rays_bit_identical(rt_frames, monkeypatch):
     np.testing.assert_array_equal(gated, ungated)
 
 
-def test_nol_gate_error_bound(rt_frames, monkeypatch):
-    """N·L ray gating (shadow_factors nol_gate) changes radiance only
-    through the reference's ε-clamped dot (≈1.19e-7 × intensity): the
-    frame with gating disabled must match to ~f32 noise, far inside the
-    1e-3 RMSE budget."""
-    import transmission_renderer_tpu.render.raytrace as rt_mod
-
-    gated, _ = rt_frames
-    real = rt_mod.shadow_factors
-
-    def no_gate(*a, **k):
-        k["nol_gate"] = False
-        return real(*a, **k)
-
-    monkeypatch.setattr(rt_mod, "shadow_factors", no_gate)
+def test_nol_gate_error_bound(rt_frames):
+    """The opt-in N·L shadow-ray gate (RenderConfig.nol_shadow_gate) is
+    NOT exact: with the reference's ε-clamped dots, the height-correlated
+    Smith visibility behaves as ~1/NoL, leaving a finite specular term at
+    backfacing-light grazing-view pixels. Pin the measured error bound
+    (max pixel delta ~9.6e-4 here) so the flag's documented budget claim
+    stays true — and so nobody re-promotes it to an exact default."""
+    exact, _ = rt_frames
     builder = build_test_scene()
     scene, dl, flags = builder.finish_bundle()
     assert not flags.tex_slots[2], "test scene must be normal-map-free"
@@ -154,15 +147,17 @@ def test_nol_gate_error_bound(rt_frames, monkeypatch):
     cfg = RenderConfig(
         width=128, height=72, tile_w=32, tile_h=8,
         max_tris_per_tile=1024, max_tiles_per_tri=16, max_big_tris=32,
-        ray_traced_shadows=True,
+        ray_traced_shadows=True, nol_shadow_gate=True,
     )
     params = make_frame_params(
         cfg, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
     )
     lights = pack_lights([point_light([0.0, 0.8, 0.0], [1, 0, 0], 5.0)])
-    ungated = np.asarray(
+    gated = np.asarray(
         jax.jit(partial(render_frame, config=cfg, flags=flags, bvh=bvh))(
             scene, dl, params, lights
         )
     )
-    assert float(np.abs(gated - ungated).max()) < 1e-5
+    diff = np.abs(gated - exact)
+    assert float(diff.max()) < 2e-3, float(diff.max())
+    assert float(np.sqrt((diff ** 2).mean())) < 1e-4

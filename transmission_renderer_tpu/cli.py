@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Share one material-texture tap per 2x2 pixel "
                    "quad in the opaque pass (quarters its gather cost; "
                    "sub-texel error away from material silhouettes)")
+    p.add_argument("--nol-shadow-gate", action="store_true",
+                   help="skip shadow rays where N.L <= 0 (near-lossless, "
+                        "max delta ~1e-3; normal-map-free scenes only)")
     p.add_argument("--half-res-shadows", action="store_true",
                    help="Trace --ray-tracing shadow rays on a half-res "
                    "grid and upsample the visibility factors (4x fewer "
@@ -157,6 +160,7 @@ def main(argv=None) -> int:
         half_res_refraction=args.half_res_refraction,
         quad_material_taps=args.quad_taps,
         half_res_shadow_rays=args.half_res_shadows,
+        nol_shadow_gate=args.nol_shadow_gate,
         # checkify cannot see inside a Mosaic kernel; the XLA raster is
         # bit-matched to the Pallas one by tests/test_raster_pallas.py, so
         # instrumenting it validates the same frame logic.

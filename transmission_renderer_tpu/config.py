@@ -100,6 +100,16 @@ class RenderConfig:
     # boundaries and thin-occluder detail loss. Dense opaque pass only
     # (the sparse transmission worklist stays full-res).
     half_res_shadow_rays: bool = False
+    # Skip shadow rays for (pixel, light) pairs whose G-buffer N·L <= 0.
+    # NOT exact: the reference's ε-clamped dots + height-correlated Smith
+    # visibility (V ~ 1/NoL as NoL -> ε) leave a finite specular term at
+    # backfacing-light grazing-view pixels — measured max pixel delta
+    # 9.6e-4, frame RMSE ~1e-5 on the test scene (tests/test_rt_shadows
+    # ::test_nol_gate_error_bound), inside the 1e-3 budget but visible to
+    # bit-level goldens, so OFF by default. Applied only to the opaque
+    # pass of normal-map-free scenes (the shade's N·L uses the perturbed
+    # normal; the transmission BTDF mirrors the light direction).
+    nol_shadow_gate: bool = False
 
     # --- block-sparse shading (render/sparse.py) ----------------------------
     # The reference shades only covered fragments (raster hardware +

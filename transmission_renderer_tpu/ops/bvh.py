@@ -33,14 +33,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_TRIS = 4  # triangles per leaf row (one gather = 4 Moller-Trumbore)
+# Triangles per leaf row (one gather = LEAF_TRIS Moller-Trumbore tests).
+# 16, not 4: in-loop gather cost on v5e is ~3.3 ns/idx for tables up to
+# ~5k rows but ~12 ns/idx at 33k rows (measured) — fat leaves put the
+# dragon's leaf tables (134k tris -> 8.4k rows) at the small-table floor
+# AND drop one tree level (fewer pops). The extra per-pop triangle tests
+# are VPU work, which measures ~50x cheaper than the gathers they ride.
+LEAF_TRIS = 16
 WIDE = 8  # children per internal node (one gather = 8 slab tests)
 # The stackless bitstack traversal keeps one 8-bit child mask per level in
 # two packed uint32 registers -> at most 8 level codes, of which one is
-# the root -> 7 internal levels -> LEAF_TRIS * WIDE^7 = 4 * 8^7 ≈ 8.4M
+# the root -> 7 internal levels -> LEAF_TRIS * WIDE^7 = 16 * 8^7 ≈ 33.5M
 # triangles. Plenty for the target scenes; asserted at build time.
 MAX_LEVELS = 7
 _RAY_CHUNK = 1 << 18  # rays per sequential lax.map chunk (see trace_rays)
+_BFS_CHUNK = 1 << 17  # rays per frontier chunk (see trace_shadow_bfs)
 # Pops per while-loop iteration: the batched loop pays a fixed
 # per-iteration cost (loop bookkeeping + kernel dispatch) on top of the
 # per-lane work; unrolling amortises it. Done lanes no-op extra pops
@@ -280,6 +287,7 @@ def trace_rays(
     t_max: float | jnp.ndarray = 10_000.0,
     any_hit: bool = False,
     alpha_test_fn=None,
+    return_trips: bool = False,
 ):
     """Batched wide-BVH walk.
 
@@ -293,6 +301,8 @@ def trace_rays(
     shader/src/lib.rs:777-784); None confirms everything. The callback
     receives [LEAF_TRIS]-shaped candidate batches (one leaf row per
     call), so its body must broadcast-index, never scalar-index.
+    ``return_trips=True`` appends each ray's pop count to the returned
+    tuple (traversal-economics telemetry, tools/rt_bench.py).
     """
     shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
@@ -311,7 +321,21 @@ def trace_rays(
     leaf_xyz = tri_xyz[bvh.leaf_tri.reshape(-1)].reshape(
         bvh.num_leaves, LEAF_TRIS * 9
     )
-    leaf_ids = bvh.leaf_tri  # [L, 4]
+    # Occlusion-only mode (any-hit, no alpha test — the shadow rays):
+    # nothing reads tri ids or uv, so the per-pop leaf-id gather and the
+    # id/uv bookkeeping are dropped; hit lanes report tri_id 0. When ids
+    # ARE needed they ride the SAME leaf row as f32 (exact for ids <
+    # 2^24, asserted) — one leaf gather instead of two, and in-loop
+    # gathers are the walk's dominant cost (~3-12 ns/lane/gather
+    # measured on v5e; see docs/PERFORMANCE.md).
+    occlusion_only = any_hit and alpha_test_fn is None
+    if not occlusion_only:
+        assert bvh.num_tris < (1 << 24), "tri ids exceed exact-f32 range"
+        leaf_rows = jnp.concatenate(
+            [leaf_xyz, bvh.leaf_tri.astype(jnp.float32)], axis=1
+        )  # [L, LEAF_TRIS * 10]
+    else:
+        leaf_rows = leaf_xyz
     num_rows = bvh.node_boxes.shape[0]
     assert bvh.num_levels <= MAX_LEVELS, "scene exceeds bitstack depth"
     lanes_t = jnp.arange(LEAF_TRIS, dtype=jnp.int32)
@@ -333,7 +357,10 @@ def trace_rays(
         # inner halves, NO lax.cond (batching a cond broadcasts its
         # unbatched closure operands across the ray batch).
         def pop(o_i, inv_i, d_i, s):
-            lvl, idx, tlo, thi, best_t, best_tri, bu, bv, done = s
+            lvl, idx, tlo, thi, best_t, best_tri, bu, bv, trips, done = s
+            # per-lane pop counter (traversal-economics telemetry;
+            # tools/rt_bench.py) — costs one masked add per pop
+            trips = trips + jnp.where(done, 0, 1)
 
             # ---- advance: pop the deepest (lowest-code) non-empty mask
             empty = (tlo == 0) & (thi == 0)
@@ -369,22 +396,28 @@ def trace_rays(
 
             # ---- leaf half (masked by is_leaf) ----
             li = jnp.clip(idx, 0, bvh.num_leaves - 1)
-            tv = leaf_xyz[li].reshape(LEAF_TRIS, 3, 3)
-            ids = leaf_ids[li]
+            row = leaf_rows[li]
+            tv = row[: LEAF_TRIS * 9].reshape(LEAF_TRIS, 3, 3)
             hit4, t4, u4, v4 = _ray_tri(
                 o_i, d_i, t_min, best_t, tv[:, 0], tv[:, 1], tv[:, 2]
             )
             hit4 = hit4 & is_leaf & (lanes_t < bvh.num_tris - li * LEAF_TRIS)
-            if alpha_test_fn is not None:
-                hit4 = hit4 & alpha_test_fn(ids, u4, v4)
-            t4m = jnp.where(hit4, t4, jnp.inf)
-            jt = jnp.argmin(t4m)
-            take = hit4[jt]
-            best_t = jnp.where(take, t4m[jt], best_t)
-            best_tri = jnp.where(take, ids[jt], best_tri)
-            bu = jnp.where(take, u4[jt], bu)
-            bv = jnp.where(take, v4[jt], bv)
-            done = done | (take if any_hit else False)
+            if occlusion_only:
+                take = jnp.any(hit4)
+                best_tri = jnp.where(take, 0, best_tri)
+                done = done | take
+            else:
+                ids = row[LEAF_TRIS * 9 :].astype(jnp.int32)
+                if alpha_test_fn is not None:
+                    hit4 = hit4 & alpha_test_fn(ids, u4, v4)
+                t4m = jnp.where(hit4, t4, jnp.inf)
+                jt = jnp.argmin(t4m)
+                take = hit4[jt]
+                best_t = jnp.where(take, t4m[jt], best_t)
+                best_tri = jnp.where(take, ids[jt], best_tri)
+                bu = jnp.where(take, u4[jt], bu)
+                bv = jnp.where(take, v4[jt], bv)
+                done = done | (take if any_hit else False)
 
             # ---- inner half (masked by is_inner) ----
             clvl = jnp.maximum(lvl - 1, 0)
@@ -407,7 +440,7 @@ def trace_rays(
             in_lo = clvl < 4
             tlo = jnp.where(is_inner & in_lo, tlo | add, tlo)
             thi = jnp.where(is_inner & ~in_lo, thi | add, thi)
-            return lvl, idx, tlo, thi, best_t, best_tri, bu, bv, done
+            return lvl, idx, tlo, thi, best_t, best_tri, bu, bv, trips, done
 
         def walk(o_i, inv_i, d_i, s0):
             def body_state(s):
@@ -442,6 +475,7 @@ def trace_rays(
             zeros + (root_mask if root_code >= 4 else 0),
             t_max_i, zeros - 1,
             jnp.zeros_like(t_max_i), jnp.zeros_like(t_max_i),
+            zeros,  # per-lane pop counter
             jnp.zeros_like(t_max_i, bool),
         )
 
@@ -502,14 +536,161 @@ def trace_rays(
         inv_perm = jnp.argsort(live_perm[perm])
         final = jax.tree.map(lambda a: a[inv_perm][:n], final_s)
         best_t, best_tri, bu, bv = final[4], final[5], final[6], final[7]
+        trips = final[8]
     else:
         final = run_chunks((o, inv_d, d), init_state(t_max_arr), None)
         best_t, best_tri, bu, bv = final[4], final[5], final[6], final[7]
+        trips = final[8]
     hit = best_tri >= 0
-    return (
+    out = (
         hit.reshape(shape),
         best_t.reshape(shape),
         best_tri.reshape(shape),
         bu.reshape(shape),
         bv.reshape(shape),
+    )
+    if return_trips:
+        out = out + (trips.reshape(shape),)
+    return out
+
+
+def trace_shadow_bfs(
+    bvh: BVH,
+    tri_vertices: jnp.ndarray,  # [T, 3] int32 (into world positions)
+    positions: jnp.ndarray,  # [V, 3] world-space
+    origins: jnp.ndarray,  # [..., 3]
+    directions: jnp.ndarray,  # [..., 3]
+    t_min: float = 0.001,
+    t_max: float | jnp.ndarray = 10_000.0,
+    chunk: int | None = None,
+    cap_factor: int = 8,
+):
+    """Any-hit occlusion via LEVEL-SYNCHRONOUS frontier traversal
+    -> (hit [...] bool, overflowed [] int32).
+
+    The TPU-shaped alternative to the per-ray bitstack walk
+    (trace_rays): instead of a batched while loop that executes ~2k
+    small masked iterations (measured 47 ns/lane/pop on v5e — ~1000x
+    off VPU peak, the loop body's gathers and bookkeeping dominate),
+    the frontier design runs ONE flat vectorized round per tree level:
+    every live (ray, node) pair tests its 8 children in a single big
+    gather + slab test, survivors are compacted with a cumsum +
+    unique-index scatter (no sorts — a 1M-element argsort costs ~180 ms
+    on this chip), and the next round processes them all at once. Tree
+    depth (~5 rounds for 134k tris) replaces per-ray trip counts (~17
+    mean, ~170 chunk-worst) as the iteration count.
+
+    Semantics match trace_rays(any_hit=True) exactly: hit iff ANY
+    triangle intersects in (t_min, t_max[ray]) — same slab test, same
+    Moller-Trumbore, same ragged-tail guards; no alpha test (shadow
+    rays confirm every candidate, shader/src/lighting.rs:115-118).
+    Any-hit's early-out is traded for level synchrony: occluded rays
+    do full traversal here, which the flat-round efficiency repays
+    ~10x over.
+
+    ``cap_factor``: frontier capacity per ray-chunk. If a round would
+    exceed it, the overflow count is returned (> 0 means some items
+    were DROPPED and shadows may be missed — callers surface it via
+    FrameDiagnostics; tests pin capacity with margin).
+    """
+    shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = directions.reshape(-1, 3)
+    n = o.shape[0]
+    t_max_arr = jnp.broadcast_to(
+        jnp.asarray(t_max, jnp.float32), shape
+    ).reshape(-1)
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
+
+    tri_xyz = positions[tri_vertices]  # [T, 3, 3]
+    leaf_xyz = tri_xyz[bvh.leaf_tri.reshape(-1)].reshape(
+        bvh.num_leaves, LEAF_TRIS * 9
+    )
+    lanes_t = jnp.arange(LEAF_TRIS, dtype=jnp.int32)
+    lanes_w = jnp.arange(WIDE, dtype=jnp.int32)
+    D = bvh.num_levels
+
+    chunk = int(chunk or _BFS_CHUNK)
+    chunk = min(chunk, max(n, 1))
+    cap = cap_factor * chunk
+
+    def run_chunk(o_c, inv_c, d_c, t_c):
+        R = o_c.shape[0]
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        # frontier: compacted (ray, node) pairs; entries >= count dead
+        ray_f = jnp.where(iota < R, iota, 0)
+        node_f = jnp.zeros((cap,), jnp.int32)
+        count = jnp.int32(R)
+        overflow = jnp.int32(0)
+
+        for lvl in range(D, 0, -1):
+            region_rows = bvh.level_counts[lvl - 1]
+            n_below = bvh.children_below(lvl - 1)
+            valid = iota < count
+            safe_node = jnp.clip(node_f, 0, region_rows - 1)
+            rows = bvh.node_boxes[
+                jnp.int32(bvh.level_offsets[lvl - 1]) + safe_node
+            ]  # [cap, WIDE * 6]
+            boxes = rows.reshape(cap, WIDE, 6)
+            o_i = o_c[ray_f][:, None, :]
+            inv_i = inv_c[ray_f][:, None, :]
+            t_i = t_c[ray_f][:, None]
+            hit8 = _ray_aabb(o_i, inv_i, t_i, boxes[..., :3], boxes[..., 3:])
+            child = node_f[:, None] * WIDE + lanes_w[None, :]
+            m = hit8 & (child < n_below) & valid[:, None]
+            flat_m = m.reshape(-1)
+            flat_child = child.reshape(-1)
+            flat_ray = jnp.broadcast_to(
+                ray_f[:, None], (cap, WIDE)
+            ).reshape(-1)
+            pos = jnp.cumsum(flat_m.astype(jnp.int32))
+            new_count = pos[-1]
+            dst = jnp.where(flat_m, pos - 1, cap)
+            # dst is strictly increasing over kept items (unique) and
+            # `cap` (out of bounds -> dropped) elsewhere
+            node_f = jnp.zeros((cap,), jnp.int32).at[dst].set(
+                flat_child, mode="drop", unique_indices=True
+            )
+            ray_f = jnp.zeros((cap,), jnp.int32).at[dst].set(
+                flat_ray, mode="drop", unique_indices=True
+            )
+            overflow = jnp.maximum(overflow, new_count - cap)
+            count = jnp.minimum(new_count, cap)
+
+        # ---- leaf round: 4-triangle rows ----
+        valid = iota < count
+        safe_leaf = jnp.clip(node_f, 0, bvh.num_leaves - 1)
+        tv = leaf_xyz[safe_leaf].reshape(cap, LEAF_TRIS, 3, 3)
+        o_i = o_c[ray_f][:, None, :]
+        d_i = d_c[ray_f][:, None, :]
+        t_i = t_c[ray_f][:, None]
+        hit4, _, _, _ = _ray_tri(
+            o_i, d_i, t_min, t_i, tv[:, :, 0], tv[:, :, 1], tv[:, :, 2]
+        )
+        hit4 = hit4 & (
+            lanes_t[None, :] < bvh.num_tris - safe_leaf[:, None] * LEAF_TRIS
+        ) & valid[:, None]
+        item_hit = jnp.any(hit4, axis=-1)
+        ray_hit = jnp.zeros((R,), jnp.int32).at[ray_f].max(
+            item_hit.astype(jnp.int32), mode="drop"
+        )
+        return ray_hit.astype(bool), overflow
+
+    if n <= chunk:
+        hit, overflow = run_chunk(o, inv_d, d, t_max_arr)
+        return hit[:n].reshape(shape), overflow
+
+    pad = (-n) % chunk
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    inv_p = jnp.pad(inv_d, ((0, pad), (0, 0)), constant_values=1e20)
+    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    t_p = jnp.pad(t_max_arr, (0, pad))  # padding rays: t_max = 0 -> dead
+    reshape = lambda a: a.reshape(-1, chunk, *a.shape[1:])
+    hits, overflows = jax.lax.map(
+        lambda x: run_chunk(*x),
+        (reshape(o_p), reshape(inv_p), reshape(d_p), reshape(t_p)),
+    )
+    return (
+        hits.reshape(-1)[:n].reshape(shape),
+        jnp.max(overflows),
     )

@@ -1069,7 +1069,7 @@ def render_frame(
                     bvh, dl.tri_vtx, world_pos, g_half, params.sun_dir,
                     lights,
                     light_active=_light_mask(ctx, g_half, px_h, py_h),
-                    nol_gate=not flags.tex_slots[2],
+                    nol_gate=config.nol_shadow_gate and not flags.tex_slots[2],
                 )
                 sun_f = _jax.image.resize(sun_h, (h, w), "linear")
                 light_f = _jax.image.resize(
@@ -1087,7 +1087,8 @@ def render_frame(
                     light_active=_light_mask(ctx, g_o, px_d, py_d),
                     # N·L ray gating is only valid without normal maps
                     # (slot 2): the shade's N·L uses the perturbed normal
-                    nol_gate=not flags.tex_slots[2],
+                    nol_gate=config.nol_shadow_gate
+                    and not flags.tex_slots[2],
                 )
         ctx = ctx._replace(sun_shadow_factor=sun_f, light_shadow_factors=light_f)
 
