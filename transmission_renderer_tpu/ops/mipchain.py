@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -53,7 +55,13 @@ class MipPyramid(NamedTuple):
         return len(self.offsets)
 
 
-GROUP = 4  # quad-blocks per physical row (see table comment above)
+# Quad-blocks per physical row. 12 f32/block -> the device tiles rows
+# to 128-element multiples either way (G4: 48->128 pad 2.67x; G8:
+# 96->128 pad 1.33x at HALF the rows and the same physical 512 B row) —
+# sweepable on hardware via TRTPU_PYRAMID_GROUP (pow2).
+GROUP = int(os.environ.get("TRTPU_PYRAMID_GROUP", "4"))
+assert GROUP & (GROUP - 1) == 0 and GROUP >= 1
+_GSHIFT = GROUP.bit_length() - 1
 
 
 def pyramid_shapes(width: int, height: int) -> list[tuple[int, int]]:
@@ -109,7 +117,7 @@ def _grouped_rows(n_quads: int) -> int:
 def _fetch_quad(table: jnp.ndarray, grouped_off, qidx: jnp.ndarray):
     """Gather LEVEL-LOCAL quad-block ``qidx`` from a GROUP-packed table
     whose level starts at grouped row ``grouped_off`` -> [..., 4, 3]."""
-    row = table[grouped_off + (qidx >> 2)]  # GROUP == 4
+    row = table[grouped_off + (qidx >> _GSHIFT)]
     # see ops/texture.py: barrier keeps the wide row gather intact
     row = jax.lax.optimization_barrier(row)
     grp = row.reshape(row.shape[:-1] + (GROUP, 12))
