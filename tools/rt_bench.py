@@ -206,15 +206,28 @@ def main():
 
     rows = []
 
+    trace_t = jax.jit(
+        lambda o, d, t: trace_rays(
+            bvh_r, dl.tri_vtx, world_pos, o, d, t_max=t, any_hit=True,
+            return_trips=True,
+        )
+    )
+
     def run(name, o, d, t, n_eff=None):
         sec = timed(trace, o, d, t, reps=reps)
         total = o.shape[0] * o.shape[1]
         n_eff = total if n_eff is None else n_eff
         rows.append((name, total, n_eff, sec))
+        # traversal-economics telemetry: per-lane pop counts
+        tr = np.asarray(trace_t(o, d, t)[-1]).reshape(-1)
+        live = np.asarray(t).reshape(-1) > 0
+        tl = tr[live] if live.any() else tr
         print(f"{name:>14}: {sec*1e3:8.1f} ms  {total/1e6:5.2f}M rays "
               f"({n_eff/1e6:5.2f}M live)  "
               f"{sec/total*1e6:6.2f} µs/ray  "
-              f"{sec/max(n_eff,1)*1e6:6.2f} µs/live-ray",
+              f"{sec/max(n_eff,1)*1e6:6.2f} µs/live-ray  "
+              f"pops mean={tl.mean():.1f} p99={np.percentile(tl, 99):.0f} "
+              f"max={tl.max()}",
               file=sys.stderr, flush=True)
 
     # 1. the frame's real ray mix, ungated
