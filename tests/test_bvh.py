@@ -208,3 +208,32 @@ def test_bfs_matches_walk_anyhit(monkeypatch):
         *args, t_max=jnp.asarray(t_max), chunk=256, cap_factor=1
     )
     assert int(overflow3) > 0
+
+
+def test_occlusion_mode_matches_closest(monkeypatch):
+    """any_hit=True without alpha test runs the occlusion-only walk (no
+    id/uv bookkeeping): its hit mask must equal the closest-hit walk's
+    (existence of an intersection is mode-independent), flat and
+    chunked."""
+    from transmission_renderer_tpu.ops import bvh as B
+
+    pos, _, _, tri = make_sphere_mesh(8, 16)
+    bvh = build_bvh(tri, pos)
+    rng = np.random.default_rng(31)
+    n = 999
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_max = np.where(rng.random(n) < 0.3, 0.6, 1e4).astype(np.float32)
+    args = (bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos),
+            jnp.asarray(o), jnp.asarray(d))
+    closest = np.asarray(trace_rays(*args, t_max=jnp.asarray(t_max))[0])
+    occl = np.asarray(
+        trace_rays(*args, t_max=jnp.asarray(t_max), any_hit=True)[0]
+    )
+    np.testing.assert_array_equal(occl, closest)
+    monkeypatch.setattr(B, "_RAY_CHUNK", 128)
+    occl_c = np.asarray(
+        trace_rays(*args, t_max=jnp.asarray(t_max), any_hit=True)[0]
+    )
+    np.testing.assert_array_equal(occl_c, closest)
