@@ -192,7 +192,7 @@ def main():
         ("attenuation", build_attenuation_scene(), config, {}),
         # Sponza-analogue stress: instancing + alpha-clip depth peeling +
         # mixed buckets (VERDICT r2 #4: the clip path must be IN the bench)
-        ("stress", build_stress_scene(), config, {}),
+        ("stress", build_stress_scene(), config, {"pass_timing": True}),
         ("dragon_attenuation",
          build_dragon_scene(roughness_override=0.25), config,
          {"report_sensitivity": True, "pass_timing": True}),

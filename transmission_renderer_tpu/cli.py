@@ -259,6 +259,11 @@ def main(argv=None) -> int:
             render_frame_sharded,
         )
 
+        if args.ray_tracing:
+            print("error: --ray-tracing is unsupported on the sharded "
+                  "path (--devices > 1); drop one of the flags",
+                  file=sys.stderr)
+            return 2
         if len(jax.devices()) < args.devices:
             print(
                 f"error: --devices {args.devices} but only "

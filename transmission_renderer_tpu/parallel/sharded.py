@@ -266,6 +266,12 @@ def render_frame_sharded(
     devices available; returns the tonemapped [H, W, 3] frame (row-sharded
     on the first axis), plus a cross-band-reduced FrameDiagnostics when
     ``return_diagnostics`` is set."""
+    if config.ray_traced_shadows:
+        raise NotImplementedError(
+            "ray-traced shadows are unsupported on the sharded path: "
+            "band-local BVH traversal would need cross-band geometry "
+            "replication; render single-chip with --ray-tracing instead"
+        )
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
     if ggx_lut is None:
