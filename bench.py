@@ -232,14 +232,20 @@ def main():
             }
         ))
 
-    # the driver's contract: exactly ONE JSON line on stdout
-    flagship = results.get(
-        "dragon_attenuation", next(iter(results.values()), 0.0)
-    )
+    # the driver's contract: exactly ONE JSON line on stdout. Under a
+    # manual argv filter that excludes the flagship, label the line by
+    # the scene actually measured (never mislabel another scene's fps
+    # as the dragon metric).
+    if "dragon_attenuation" in results:
+        headline, flagship = "dragon_attenuation", results["dragon_attenuation"]
+    elif results:
+        headline, flagship = next(iter(results.items()))
+    else:
+        headline, flagship = "dragon_attenuation", 0.0
     print(
         json.dumps(
             {
-                "metric": "dragon_attenuation_1080p_fps_per_chip",
+                "metric": f"{headline}_1080p_fps_per_chip",
                 "value": flagship,
                 "unit": "fps",
                 "vs_baseline": round(flagship / 30.0, 4),

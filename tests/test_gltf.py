@@ -283,3 +283,100 @@ def test_specular_and_texture_transform(tmp_path):
     uvs = np.asarray(scene.uvs)
     np.testing.assert_allclose(uvs[1], [4.0, 0.0], rtol=1e-6)
     np.testing.assert_allclose(uvs[2], [0.0, 5.0], rtol=1e-6)
+
+
+def _two_mat_gltf(tmp_path, img_sizes, specular_shares_diffuse=False):
+    """Two materials, parameterised texture sizes per slot, optional
+    KHR_materials_specular whose specularTexture (DontCare format)
+    shares the diffuse (sRGB) image."""
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    normals = np.tile(np.array([0, 0, 1], np.float32), (3, 1))
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    blob = (
+        positions.tobytes() + normals.tobytes() + uvs.tobytes()
+        + indices.tobytes()
+    )
+    images, textures = [], []
+    for k, s in enumerate(img_sizes):
+        tex = np.full((s, s, 4), 40 * (k + 1), np.uint8)
+        images.append({"uri": _png_data_uri(tex)})
+        textures.append({"source": k})
+
+    def mat(d, mr):
+        m = {
+            "pbrMetallicRoughness": {
+                "baseColorTexture": {"index": d},
+                "metallicRoughnessTexture": {"index": mr},
+            },
+        }
+        if specular_shares_diffuse:
+            m["extensions"] = {
+                "KHR_materials_specular": {
+                    "specularColorTexture": {"index": d},
+                    "specularTexture": {"index": d},
+                }
+            }
+        return m
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [{"mesh": 0}, {"mesh": 1}],
+        "meshes": [
+            {"primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                "indices": 3, "material": i,
+            }]} for i in range(2)
+        ],
+        "materials": [mat(0, 1), mat(2, 3 if len(img_sizes) > 3 else 2)],
+        "textures": textures,
+        "images": images,
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 24},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 6},
+        ],
+        "buffers": [{"uri": _buffer_uri(blob), "byteLength": len(blob)}],
+    }
+    p = tmp_path / "two.gltf"
+    p.write_text(json.dumps(doc))
+    return str(p)
+
+
+def test_dontcare_specular_reuses_srgb_decode(tmp_path):
+    """A DontCare-format specularTexture sharing its image with the
+    material's sRGB specularColorTexture must reuse the sRGB entry
+    (reference src/model_loading.rs:179-194 + field order :274-291) —
+    not bundle a second linear decode of the same image."""
+    path = _two_mat_gltf(tmp_path, [4, 4, 4, 4], specular_shares_diffuse=True)
+    b = SceneBuilder()
+    load_gltf(path, b)
+    scene, dl, flags = b.finish_bundle()
+    m = scene.materials
+    # specular and specular_colour resolve to the SAME packed ref
+    assert int(m.tex_specular[0]) == int(m.tex_specular_colour[0])
+
+
+def test_mixed_size_material_disables_bundling_scene_wide(tmp_path):
+    """One material with mixed-size sampled images must disable
+    auto-bundling for the whole scene (a partial bundle would widen
+    every atlas row by L layers while compute_slot_bundles returns (),
+    so every tap would pay the L-wide gather with no sharing)."""
+    from transmission_renderer_tpu.ops.texture import atlas_group, atlas_layers
+
+    path = _two_mat_gltf(tmp_path, [4, 4, 4, 8])  # mat 1: 4px + 8px
+    b = SceneBuilder()
+    load_gltf(path, b)
+    scene, dl, flags = b.finish_bundle()
+    assert atlas_layers(
+        scene.atlas_texels, atlas_group(scene.atlas_meta)
+    ) == 1, "mixed-size material must keep the atlas single-layer"

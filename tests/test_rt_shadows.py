@@ -122,9 +122,28 @@ def test_cluster_gated_rays_bit_identical(rt_frames, monkeypatch):
         )
     )
     # sanity: the real mask actually kills some rays in this scene
-    # (otherwise this test proves nothing)
+    # (otherwise bit-identity holds vacuously)
     from transmission_renderer_tpu.render.shading import cluster_light_mask
     assert real_mask is cluster_light_mask
+    import jax.numpy as _jnp
+    from transmission_renderer_tpu.pbr.clustering import (
+        assign_lights_to_clusters,
+    )
+    from transmission_renderer_tpu.render.frame import _static_cluster_data
+
+    coeffs, aabb_min, aabb_max = _static_cluster_data(cfg)
+    lp_h = _jnp.concatenate(
+        [lights.position, _jnp.ones_like(lights.position[:, :1])], -1
+    )
+    counts, _ = assign_lights_to_clusters(
+        aabb_min, aabb_max, (lp_h @ params.view.T)[:, :3],
+        lights.falloff_distance_sq, lights.is_a_spotlight(),
+        lights.spot_direction @ params.view[:3, :3].T,
+        lights.spot_outer_angle, cfg.max_lights_per_cluster,
+    )
+    assert int(np.asarray(counts).min()) == 0, (
+        "every cluster sees every light — the gate kills nothing here"
+    )
     np.testing.assert_array_equal(gated, ungated)
 
 

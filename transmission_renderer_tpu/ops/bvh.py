@@ -590,8 +590,11 @@ def trace_shadow_bfs(
 
     ``cap_factor``: frontier capacity per ray-chunk. If a round would
     exceed it, the overflow count is returned (> 0 means some items
-    were DROPPED and shadows may be missed — callers surface it via
-    FrameDiagnostics; tests pin capacity with margin).
+    were DROPPED and shadows may be missed). NOTE: this function is a
+    KEPT NEGATIVE RESULT (measured 32-54 s vs the walk's 23.6 s at
+    1080p — see docs/PERFORMANCE.md) retained for its exact-match and
+    overflow-reporting tests; nothing in the frame path calls it, so
+    the overflow count is not wired into FrameDiagnostics.
     """
     shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)

@@ -275,7 +275,9 @@ def render_frame_sharded(
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
     if ggx_lut is None:
-        ggx_lut = jnp.asarray(default_ggx_lut())
+        # honor config.ggx_lut_size exactly like render_frame (parity:
+        # the sharding tests diff sharded vs single-chip at 2e-6)
+        ggx_lut = jnp.asarray(default_ggx_lut(config.ggx_lut_size))
 
     n_bands = mesh.devices.size
     w, h = config.width, config.height

@@ -1050,31 +1050,43 @@ def render_frame(
             if config.half_res_shadow_rays and h % 2 == 0 and w % 2 == 0:
                 # opt-in quality flag (RenderConfig.half_res_shadow_rays):
                 # trace on the half-res grid, bilinearly upsample the
-                # visibility factors
+                # visibility factors. NO cluster/N·L gating here: the
+                # upsample BLENDS factors across pixels, so a factor
+                # gated as "never read" at its own pixel IS read by its
+                # full-res neighbours (a gated 1.0 would leak light
+                # across cluster boundaries).
                 import jax as _jax
 
                 g_half = _jax.tree_util.tree_map(
                     lambda a: a[::2, ::2], g_o
                 )
-                # the half grid's samples sit at full-res pixels (2i, 2j)
-                px_h = jnp.broadcast_to(
-                    jnp.arange(0, w, 2, dtype=jnp.int32)[None, :],
-                    g_half.valid.shape,
-                )
-                py_h = jnp.broadcast_to(
-                    jnp.arange(0, h, 2, dtype=jnp.int32)[:, None],
-                    g_half.valid.shape,
-                )
                 sun_h, light_h = shadow_factors(
                     bvh, dl.tri_vtx, world_pos, g_half, params.sun_dir,
                     lights,
-                    light_active=_light_mask(ctx, g_half, px_h, py_h),
-                    nol_gate=config.nol_shadow_gate and not flags.tex_slots[2],
                 )
-                sun_f = _jax.image.resize(sun_h, (h, w), "linear")
-                light_f = _jax.image.resize(
-                    light_h, (h, w, light_h.shape[-1]), "linear"
-                )
+                # the half grid's samples sit at full-res pixels
+                # (2i, 2j): even outputs copy their sample exactly, odd
+                # outputs average the flanking samples (edge-clamped) —
+                # jax.image.resize's half-pixel-center alignment would
+                # shift every factor a quarter sample instead.
+                def _up2(a, axis):
+                    last = _jax.lax.slice_in_dim(
+                        a, a.shape[axis] - 1, a.shape[axis], axis=axis
+                    )
+                    nxt = jnp.concatenate(
+                        [_jax.lax.slice_in_dim(
+                            a, 1, a.shape[axis], axis=axis), last],
+                        axis=axis,
+                    )
+                    pair = jnp.stack([a, 0.5 * (a + nxt)], axis=axis + 1)
+                    return pair.reshape(
+                        a.shape[: axis]
+                        + (2 * a.shape[axis],)
+                        + a.shape[axis + 1 :]
+                    )
+
+                sun_f = _up2(_up2(sun_h, 0), 1)
+                light_f = _up2(_up2(light_h, 0), 1)
             else:
                 px_d = jnp.broadcast_to(
                     jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)

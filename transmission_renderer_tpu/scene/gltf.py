@@ -343,6 +343,13 @@ def load_gltf(
             raw_cache[image_index] = g.read_image(image_index)
         return raw_cache[image_index]
 
+    # images already resolved/loaded as sRGB, in LOAD ORDER — a DontCare
+    # slot reuses an sRGB decode of the same image iff one exists at the
+    # point it loads, exactly like the reference's sequential
+    # image_index_to_id lookup (src/model_loading.rs:179-194; field
+    # evaluation order puts specular_colour before specular, :274-291)
+    srgb_images: set[int] = set()
+
     def resolve(tex_info, srgb_requirement):
         """tex_info -> (image_index, srgb) or None; srgb_requirement:
         True / False / None (= DontCare, src/model_loading.rs:179-194)."""
@@ -351,11 +358,13 @@ def load_gltf(
         tex = doc["textures"][tex_info["index"]]
         image_index = tex.get("source", 0)
         if srgb_requirement is None:
-            if (image_index, True) in image_cache:
+            if image_index in srgb_images:
                 return (image_index, True)
             srgb = False
         else:
             srgb = srgb_requirement
+        if srgb:
+            srgb_images.add(image_index)
         return (image_index, srgb)
 
     def load_texture(tex_info, srgb_requirement) -> int:
@@ -368,12 +377,17 @@ def load_gltf(
             )
         return image_cache[key]
 
-    def load_material_set(slot_infos: list) -> list[int]:
+    def load_material_set(slot_infos: list, allow_bundle: bool) -> list[int]:
         """Resolve a material's SAMPLED texture slots, auto-bundling
         same-size images into one atlas entry so the deferred material
-        tap pays one gather for the whole set (scene/textures.py). Slots
-        whose image size differs from the material's majority fall back
-        to standalone textures (still correct — per-slot taps)."""
+        tap pays one gather for the whole set (scene/textures.py).
+
+        ``allow_bundle`` is the SCENE-WIDE viability verdict (see the
+        pre-pass below): bundling is all-or-nothing because a single
+        material whose sampled slots reference mixed-size/multiple
+        images makes compute_slot_bundles return () for the whole
+        scene — the atlas rows would then carry L layers that every
+        per-slot tap pays for with zero sharing benefit."""
         keys = [resolve(info, srgb) for info, srgb in slot_infos]
         sizes = {}
         for k in keys:
@@ -381,7 +395,7 @@ def load_gltf(
                 sizes.setdefault(raw_image(k[0]).shape[:2], []).append(k)
         # bundle the largest same-size group when it has >= 2 members
         bundle_keys: list = []
-        if sizes:
+        if sizes and allow_bundle:
             best = max(sizes.values(), key=len)
             if len(best) >= 2:
                 bundle_keys = list(dict.fromkeys(best))  # dedup, ordered
@@ -404,6 +418,37 @@ def load_gltf(
                 refs.append(load_texture(info, srgb))
         return refs
 
+    def _slot_infos_of(mat):
+        pbr = mat.get("pbrMetallicRoughness", {})
+        ext = mat.get("extensions", {})
+        transmission = ext.get("KHR_materials_transmission")
+        volume = ext.get("KHR_materials_volume")
+        specular = ext.get("KHR_materials_specular")
+        return [
+            (pbr.get("baseColorTexture"), True),
+            (pbr.get("metallicRoughnessTexture"), False),
+            (mat.get("normalTexture"), False),
+            (mat.get("emissiveTexture"), True),
+            ((transmission or {}).get("transmissionTexture"), False),
+            ((volume or {}).get("thicknessTexture"), False),
+            ((specular or {}).get("specularColorTexture"), True),
+            ((specular or {}).get("specularTexture"), None),
+        ]
+
+    # Bundling viability pre-pass (see load_material_set): every
+    # material's sampled slots must reference same-size images, or no
+    # material bundles. Resolution here is side-effect-light (only the
+    # srgb_images ordering set, which the real pass repeats in the same
+    # order, so DontCare decisions are identical).
+    allow_bundle = True
+    for mat in materials:
+        ks = [k for k in (
+            resolve(info, srgb) for info, srgb in _slot_infos_of(mat)
+        ) if k is not None]
+        if len({raw_image(k[0]).shape[:2] for k in ks}) > 1:
+            allow_bundle = False
+    srgb_images.clear()  # the real pass re-derives the same order
+
     for mat in materials:
         pbr = mat.get("pbrMetallicRoughness", {})
         ext = mat.get("extensions", {})
@@ -418,16 +463,7 @@ def load_gltf(
         (
             ref_diffuse, ref_mr, ref_normal, ref_emissive,
             ref_transmission, ref_thickness, ref_spec_col, ref_spec,
-        ) = load_material_set([
-            (pbr.get("baseColorTexture"), True),
-            (pbr.get("metallicRoughnessTexture"), False),
-            (mat.get("normalTexture"), False),
-            (mat.get("emissiveTexture"), True),
-            ((transmission or {}).get("transmissionTexture"), False),
-            ((volume or {}).get("thicknessTexture"), False),
-            ((specular or {}).get("specularColorTexture"), True),
-            ((specular or {}).get("specularTexture"), None),
-        ])
+        ) = load_material_set(_slot_infos_of(mat), allow_bundle)
         builder.add_material(
             tex_diffuse=ref_diffuse,
             tex_metallic_roughness=ref_mr,

@@ -88,11 +88,12 @@ if ATLAS_DTYPE is None:  # numpy bfloat16 rides ml_dtypes
 ATLAS_ROW_ELEMS = int(os.environ.get("TRTPU_ATLAS_ROW_ELEMS", "128"))
 
 
-def quad_group_for_layers(layers: int, itemsize: int = 2) -> int:
+def quad_group_for_layers(layers: int) -> int:
     """Blocks per physical (flat) atlas row: fill ATLAS_ROW_ELEMS
-    (one 128-element device tile by default — zero layout padding),
-    power-of-two so the sampler's qidx>>shift / & (G-1) addressing
-    holds. Wide blocks (many layers / fused) get G=1."""
+    (one 128-element device tile by default — zero layout padding for
+    any dtype, since tiling is in ELEMENTS, not bytes), power-of-two so
+    the sampler's qidx>>shift / & (G-1) addressing holds. Wide blocks
+    (many layers / fused) get G=1."""
     block_elems = BLOCK_TEXELS * 4 * layers
     g = max(1, ATLAS_ROW_ELEMS // block_elems)
     return 1 << max(g.bit_length() - 1, 0)
@@ -169,10 +170,11 @@ def quad_block_counts(width: int, height: int) -> tuple[int, int]:
 #   compact (4): just the bilinear footprint -> trilinear is the classic
 #     2-gather two-level blend, but rows are 3.25x narrower AND (at the
 #     208 B row target) the table has half the rows.
-# Measured in-frame on v5e (dragon 1080p, bf16): compact-G4 128 B rows /
-# 87k rows beats fused-G2 208 B / 175k rows — the fused layout's G4->G2
-# regrouping doubles the row count, which costs more than the saved
-# second gather (gathers cost by ROW COUNT; docs/PERFORMANCE.md).
+# Measured in-frame on v5e (dragon 1080p, bf16): compact flat G8
+# (43.7k x 128-element rows, zero device-tile padding) beats the fused
+# layout's G2 (175k rows) — the fused 13-texel blocks double the row
+# count and pad on device, which costs more than the saved second
+# gather (gathers cost by ROW COUNT; docs/PERFORMANCE.md).
 # TRTPU_ATLAS_FUSED=1 re-enables the fused layout for A/Bs.
 ATLAS_FUSED = os.environ.get("TRTPU_ATLAS_FUSED", "0") == "1"
 BLOCK_TEXELS = 13 if ATLAS_FUSED else 4
@@ -362,7 +364,7 @@ class AtlasBuilder:
                 parent = chain[m + 1] if m + 1 < len(chain) else dec
                 chunks.append(_quad_blocks(dec, wrap, parent))
         quads = np.concatenate(chunks).astype(ATLAS_DTYPE)
-        group = quad_group_for_layers(layers, quads.dtype.itemsize)
+        group = quad_group_for_layers(layers)
         pad = (-len(quads)) % group
         # FLAT [R, G * blk] rows: a 3D [R, G, blk] array tiles its minor
         # axis to 128 elements on device (see ATLAS_ROW_ELEMS), so thin
