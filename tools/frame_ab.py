@@ -1,0 +1,148 @@
+"""Single-process in-frame A/B sweeps over layout knobs.
+
+Cross-process A/Bs on the tunneled TPU are noisy (round-trip drift) and
+slow (no compile cache across processes, occasional multi-minute process
+-start stalls) — this harness measures every variant in ONE process with
+bench.py's timing discipline (forced readback, round-trip subtracted,
+per-frame MIN), mutating the layout module globals and rebuilding the
+scene per variant.
+
+Knobs understood (module globals read at build/trace time, so a plain
+setattr + scene rebuild takes effect):
+  row_elems   -> scene.textures.ATLAS_ROW_ELEMS (flat atlas row width)
+  fused       -> scene.textures.ATLAS_FUSED + BLOCK_TEXELS (13/4)
+  pyr_group   -> ops.mipchain.GROUP/_GSHIFT (pyramid row grouping)
+
+Usage:
+    python tools/frame_ab.py dragon "base" "row_elems=256" "pyr_group=8" \
+        [--frames 8]
+    python tools/frame_ab.py helmet "base" "row_elems=256" "row_elems=512"
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def measure_round_trip(n=6):
+    import jax.numpy as jnp
+
+    one = jnp.zeros((), jnp.float32)
+    float(one)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(one + 1.0)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def apply_knobs(spec: str) -> dict:
+    import transmission_renderer_tpu.ops.mipchain as mip
+    import transmission_renderer_tpu.scene.textures as tx
+
+    # reset to shipped defaults first
+    tx.ATLAS_FUSED = False
+    tx.BLOCK_TEXELS = 4
+    tx.ATLAS_ROW_ELEMS = 128
+    mip.GROUP = 4
+    mip._GSHIFT = 2
+    applied = {}
+    if spec != "base":
+        for kv in spec.split(","):
+            k, v = kv.split("=")
+            v = int(v)
+            if k == "row_elems":
+                tx.ATLAS_ROW_ELEMS = v
+            elif k == "fused":
+                tx.ATLAS_FUSED = bool(v)
+                tx.BLOCK_TEXELS = 13 if v else 4
+            elif k == "pyr_group":
+                mip.GROUP = v
+                mip._GSHIFT = v.bit_length() - 1
+            else:
+                raise SystemExit(f"unknown knob {k}")
+            applied[k] = v
+    return applied
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    scene_name, specs = args[0], args[1:]
+    frames = 8
+    for a in sys.argv[1:]:
+        if a.startswith("--frames"):
+            frames = int(a.split("=")[1]) if "=" in a else frames
+
+    import jax
+    from functools import partial
+
+    from transmission_renderer_tpu.config import RenderConfig
+    from transmission_renderer_tpu.models import (
+        build_attenuation_scene,
+        build_dragon_scene,
+        build_opaque_scene,
+        build_stress_scene,
+    )
+    from transmission_renderer_tpu.render import make_frame_params, render_frame
+    from transmission_renderer_tpu.scene.camera import CameraRig
+    from transmission_renderer_tpu.pbr.lights import pack_lights, point_light
+
+    builders = {
+        "dragon": lambda: build_dragon_scene(roughness_override=0.25),
+        "helmet": build_opaque_scene,
+        "attenuation": build_attenuation_scene,
+        "stress": build_stress_scene,
+        "smooth": lambda: build_dragon_scene(roughness_override=0.0),
+    }
+
+    print(f"backend={jax.default_backend()} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    cfg = RenderConfig(width=1920, height=1080)
+    rig = CameraRig()
+    params = make_frame_params(
+        cfg, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()
+    )
+    lights = pack_lights([
+        point_light([0.0, 0.8, 0.0], [1.0, 0.0, 0.0], 5.0),
+        point_light([8.0, 0.8, 0.0], [0.0, 1.0, 0.0], 10.0),
+    ])
+
+    results = {}
+    for spec in specs:
+        applied = apply_knobs(spec)
+        scene, dl, flags = builders[scene_name]().finish_bundle()
+        render = jax.jit(partial(render_frame, config=cfg, flags=flags))
+
+        def step():
+            return float(render(scene, dl, params, lights).sum())
+
+        t0 = time.perf_counter()
+        step()  # compile + warm
+        compile_s = time.perf_counter() - t0
+        r0 = measure_round_trip()
+        ts = []
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            step()
+            ts.append(time.perf_counter() - t0)
+        r1 = measure_round_trip()
+        el = min(ts) - min(r0, r1)
+        results[spec] = el
+        print(f"{spec:>24}: {el*1e3:7.1f} ms/frame "
+              f"(compile {compile_s:.0f}s, atlas "
+              f"{tuple(scene.atlas_texels.shape)} {scene.atlas_texels.dtype})",
+              file=sys.stderr, flush=True)
+
+    import json
+    print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

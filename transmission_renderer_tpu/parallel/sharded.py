@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from transmission_renderer_tpu.scene.textures import ATLAS_FUSED
+from transmission_renderer_tpu.scene import textures as _tx
 
 from transmission_renderer_tpu.config import (
     BUCKET_ALPHA_CLIP,
@@ -359,7 +359,7 @@ def render_frame_sharded(
             tex_slots=flags.tex_slots,
             mat_matrix=mat_matrix_o,
             ggx_lut_quads=lut_quads,
-            fused_trilinear=flags.atlas_pot and ATLAS_FUSED,
+            fused_trilinear=flags.atlas_pot and _tx.ATLAS_FUSED,
         )
 
         t0 = band * rows_per_band * tiles_x

@@ -43,7 +43,8 @@ from transmission_renderer_tpu.ops.raster import (
     setup_triangles,
 )
 from transmission_renderer_tpu.ops.texture import WRAP_REPEAT, sample_texture
-from transmission_renderer_tpu.scene.textures import ATLAS_FUSED, MAX_MIPS
+from transmission_renderer_tpu.scene import textures as _tx
+from transmission_renderer_tpu.scene.textures import MAX_MIPS
 from transmission_renderer_tpu.pbr import (
     bake_lottes_params,
     cluster_coefficients,
@@ -1031,7 +1032,7 @@ def render_frame(
         quad_taps=config.quad_material_taps,
         mat_matrix=mat_matrix_o,
         ggx_lut_quads=lut_quads,
-        fused_trilinear=flags.atlas_pot and ATLAS_FUSED,
+        fused_trilinear=flags.atlas_pot and _tx.ATLAS_FUSED,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------
