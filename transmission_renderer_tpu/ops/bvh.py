@@ -28,6 +28,7 @@ The reference builds one BLAS per primitive plus a TLAS over instances
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,10 @@ WIDE = 8  # children per internal node (one gather = 8 slab tests)
 # the root -> 7 internal levels -> LEAF_TRIS * WIDE^7 = 16 * 8^7 ≈ 33.5M
 # triangles. Plenty for the target scenes; asserted at build time.
 MAX_LEVELS = 7
-_RAY_CHUNK = 1 << 18  # rays per sequential lax.map chunk (see trace_rays)
+# rays per sequential lax.map chunk (see trace_rays); env-overridable
+# for hardware sweeps (the batched loop pays its chunk's worst lane, so
+# the optimum trades tail locality against per-chunk fixed cost)
+_RAY_CHUNK = int(os.environ.get("TRTPU_RAY_CHUNK", str(1 << 18)))
 _BFS_CHUNK = 1 << 17  # rays per frontier chunk (see trace_shadow_bfs)
 # Pops per while-loop iteration: the batched loop pays a fixed
 # per-iteration cost (loop bookkeeping + kernel dispatch) on top of the
@@ -60,7 +64,7 @@ _UNROLL = 4
 # every lane at budget * unroll pops, sorts unfinished rays to the front,
 # and phase 2 finishes only them — all-done chunks exit their loop after
 # one condition check. Exact: phase 2 is unbounded.
-_PHASE1_TRIPS = 8
+_PHASE1_TRIPS = int(os.environ.get("TRTPU_PHASE1_TRIPS", "8"))
 
 
 @jax.tree_util.register_pytree_node_class
