@@ -225,3 +225,24 @@ def test_fused_trilinear_matches_bundled(monkeypatch):
         jnp.asarray(texels), rows, uv, lod, fused=True, group=group
     )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(plain))
+
+
+def test_frame_ab_knobs_change_layout(monkeypatch):
+    """tools/frame_ab.py mutates layout module globals; the builders must
+    actually read them at build time (a frozen import would silently A/B
+    the same layout)."""
+    import transmission_renderer_tpu.scene.textures as tx
+
+    img = np.full((16, 16, 4), 128, np.uint8)
+
+    def build():
+        ab = AtlasBuilder()
+        ab.push_image(img, srgb=True)
+        return ab.finish()
+
+    t128, m128, _ = build()
+    monkeypatch.setattr(tx, "ATLAS_ROW_ELEMS", 512)
+    t512, m512, _ = build()
+    from transmission_renderer_tpu.ops.texture import atlas_group
+    assert atlas_group(m512) == 4 * atlas_group(m128)
+    assert t512.shape[-1] == 4 * t128.shape[-1]
