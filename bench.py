@@ -21,6 +21,7 @@ character):
                          >= 30 fps per chip at 1080p, set for v5p)
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -202,6 +203,12 @@ def main():
         # is emitted either way)
         ("dragon_rt_shadows",
          build_dragon_scene(roughness_override=0.25), config_rt,
+         {"n_frames": 1}),
+        # the opt-in quality flag's speed, reported alongside exact
+        # (docs/FIDELITY.md lists its error bound)
+        ("dragon_rt_halfres",
+         build_dragon_scene(roughness_override=0.25),
+         dataclasses.replace(config_rt, half_res_shadow_rays=True),
          {"n_frames": 1}),
     ]
 
