@@ -92,11 +92,15 @@ def _lights():
 
 def render_golden(name: str, pallas: bool = False) -> np.ndarray:
     """Render golden ``name`` -> sRGB-encoded [H, W, 3] float in [0, 1]."""
+    return render_golden_cfg(name, CFG_PAL if pallas else CFG)
+
+
+def render_golden_cfg(name: str, cfg: RenderConfig) -> np.ndarray:
+    """render_golden with an explicit config (quality-flag A/B bounds)."""
     import jax
 
     builder_fn, cam, pitch = GOLDENS[name]
     scene, dl, flags = builder_fn().finish_bundle()
-    cfg = CFG_PAL if pallas else CFG
     rig = _rig(cam, pitch)
     params = make_frame_params(
         cfg, rig.camera.view_matrix(), rig.camera.position, rig.sun_dir()

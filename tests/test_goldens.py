@@ -56,3 +56,23 @@ def test_golden_pallas(name):
 
 def test_golden_as_debug():
     _check("as_debug", render_as_debug_golden())
+
+
+@pytest.mark.parametrize("name,bound", [("dragon", 1e-2), ("helmet", 2e-3)])
+def test_bf16_light_math_error_bound(name, bound):
+    # RenderConfig.bf16_light_math spends RMSE for light-loop VPU
+    # throughput. Measured spend: ~1.2e-3 frame-wide on the opaque helmet
+    # and ~7e-3 on the transmission dragon (the BTDF's mirrored-halfway
+    # GGX lobe hits bf16's noh resolution, ~2^-8 near 1) — both OVER the
+    # 1e-3 ship budget (BASELINE.md), which is why the flag is opt-in and
+    # not a bench default (docs/FIDELITY.md). This pins the measured
+    # bounds so a regression that silently widens the error (e.g. a cast
+    # leaking into the radiance/accumulation path) fails.
+    import dataclasses as _dc
+
+    from golden_defs import CFG, render_golden_cfg
+
+    exact = render_golden_cfg(name, CFG)
+    bf16 = render_golden_cfg(name, _dc.replace(CFG, bf16_light_math=True))
+    rmse = float(np.sqrt(np.mean((bf16 - exact) ** 2)))
+    assert rmse < bound, f"{name}: bf16 light math RMSE {rmse} over bound"

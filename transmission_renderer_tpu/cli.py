@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nol-shadow-gate", action="store_true",
                    help="skip shadow rays where N.L <= 0 (near-lossless, "
                         "max delta ~1e-3; normal-map-free scenes only)")
+    p.add_argument("--bf16-lights", action="store_true",
+                   help="Evaluate the per-light BRDF/BTDF cores in "
+                   "bfloat16 (f32 accumulation). Spends the RMSE budget "
+                   "(bound pinned in tests/test_goldens.py) for VPU "
+                   "throughput in the light loop")
     p.add_argument("--half-res-shadows", action="store_true",
                    help="Trace --ray-tracing shadow rays on a half-res "
                    "grid and upsample the visibility factors (4x fewer "
@@ -161,6 +166,7 @@ def main(argv=None) -> int:
         quad_material_taps=args.quad_taps,
         half_res_shadow_rays=args.half_res_shadows,
         nol_shadow_gate=args.nol_shadow_gate,
+        bf16_light_math=args.bf16_lights,
         # checkify cannot see inside a Mosaic kernel; the XLA raster is
         # bit-matched to the Pallas one by tests/test_raster_pallas.py, so
         # instrumenting it validates the same frame logic.

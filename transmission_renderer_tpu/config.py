@@ -173,6 +173,15 @@ class RenderConfig:
     # The RMSE-critical shading chain stays float32 (SURVEY.md section 7,
     # hard part 6); bf16 is only used where it cannot affect fidelity.
     dtype: str = "float32"
+    # Evaluate the per-light BRDF/BTDF cores (basic_brdf /
+    # transmission_btdf, the light loop's VPU-bound bulk) in bfloat16,
+    # accumulating per-light contributions in f32. Light directions,
+    # attenuation and spot factors stay f32 (they are cheap and their
+    # error would multiply the whole contribution). Spends the BASELINE
+    # RMSE budget (< 1e-3 frame-wide, BASELINE.md) rather than bit
+    # precision; the measured bound is pinned by
+    # tests/test_goldens.py::test_bf16_light_math_error_bound.
+    bf16_light_math: bool = False
 
     @property
     def num_clusters(self) -> int:

@@ -360,6 +360,7 @@ def render_frame_sharded(
             mat_matrix=mat_matrix_o,
             ggx_lut_quads=lut_quads,
             fused_trilinear=flags.atlas_pot and _tx.ATLAS_FUSED,
+            bf16_lights=config.bf16_light_math,
         )
 
         t0 = band * rows_per_band * tiles_x

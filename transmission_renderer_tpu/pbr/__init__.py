@@ -11,6 +11,7 @@ from transmission_renderer_tpu.pbr.brdf import (  # noqa: F401
     MaterialParams,
     BrdfResult,
     basic_brdf,
+    material_invariants,
     transmission_btdf,
     ibl_volume_refraction,
     d_ggx,

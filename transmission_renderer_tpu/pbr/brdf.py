@@ -152,18 +152,48 @@ def _diffuse_brdf(base: jnp.ndarray, fresnel: jnp.ndarray) -> jnp.ndarray:
     return (1.0 - jnp.max(fresnel, axis=-1, keepdims=True)) * _FRAC_1_PI * base
 
 
+class MaterialInvariants(NamedTuple):
+    """Light-independent per-pixel shading terms, hoisted out of the
+    clustered light loop (each is the same expression the per-light path
+    computes, evaluated once — results are bit-identical).
+    """
+
+    actual_roughness: jnp.ndarray  # [...]
+    c_diff: jnp.ndarray  # [..., 3]
+    f0: jnp.ndarray  # [..., 3]
+    f90: jnp.ndarray  # [..., 3]
+
+
+def material_invariants(material: MaterialParams) -> MaterialInvariants:
+    """Precompute the light-independent terms of basic_brdf /
+    transmission_btdf for reuse across a pixel's light slots."""
+    return MaterialInvariants(
+        actual_roughness=perceptual_to_actual_roughness(
+            material.perceptual_roughness
+        ),
+        c_diff=material.diffuse_colour * (1.0 - material.metallic[..., None]),
+        f0=combined_f0(material),
+        f90=combined_f90(material),
+    )
+
+
 def basic_brdf(
     normal: jnp.ndarray,  # [..., 3]
     light: jnp.ndarray,  # [..., 3] (unit, surface -> light)
     light_intensity: jnp.ndarray,  # [..., 3]
     view: jnp.ndarray,  # [..., 3] (unit, surface -> eye)
     material: MaterialParams,
+    inv: MaterialInvariants | None = None,
 ) -> BrdfResult:
     """Lambert-with-Fresnel diffuse + GGX specular (glam-pbr/src/lib.rs:377-423).
 
     Metallic workflow with KHR_materials_specular combined F0/F90.
+    ``inv`` (optional) supplies the light-independent terms precomputed by
+    :func:`material_invariants` so a light loop evaluates them once.
     """
-    actual_roughness = perceptual_to_actual_roughness(material.perceptual_roughness)
+    if inv is None:
+        inv = material_invariants(material)
+    actual_roughness = inv.actual_roughness
 
     halfway = _normalize(view + light)
     noh = _dot(normal, halfway)
@@ -171,12 +201,8 @@ def basic_brdf(
     nol = _dot(normal, light)
     voh = _dot(view, halfway)
 
-    # c_diff = diffuse.lerp(ZERO, metallic)
-    c_diff = material.diffuse_colour * (1.0 - material.metallic[..., None])
-
-    f0 = combined_f0(material)
-    f90 = combined_f90(material)
-    fresnel = fresnel_schlick(voh, f0, f90)
+    c_diff = inv.c_diff
+    fresnel = fresnel_schlick(voh, inv.f0, inv.f90)
 
     radiance = light_intensity * nol[..., None]
     diffuse = radiance * _diffuse_brdf(c_diff, fresnel)
@@ -193,15 +219,17 @@ def transmission_btdf(
     normal: jnp.ndarray,  # [..., 3]
     view: jnp.ndarray,  # [..., 3]
     light: jnp.ndarray,  # [..., 3]
+    inv: MaterialInvariants | None = None,
 ) -> jnp.ndarray:
     """Per-light rough transmission lobe (glam-pbr/src/lib.rs:200-233).
 
     Mirrors the light through the surface, evaluates GGX on the mirrored
     half-vector, and weights by (1 - F) * D * V * base_colour.
     """
-    actual_roughness = perceptual_to_actual_roughness(material.perceptual_roughness)
+    if inv is None:
+        inv = material_invariants(material)
     transmission_roughness = apply_ior_to_roughness(
-        actual_roughness, material.index_of_refraction
+        inv.actual_roughness, material.index_of_refraction
     )
 
     l_dot_n = jnp.sum((-light) * normal, axis=-1, keepdims=True)
@@ -216,7 +244,7 @@ def transmission_btdf(
     distribution = d_ggx(noh, transmission_roughness)
     visibility = v_smith_ggx_correlated(nov, nol_mirrored, transmission_roughness)
 
-    fresnel = fresnel_schlick(voh, combined_f0(material), combined_f90(material))
+    fresnel = fresnel_schlick(voh, inv.f0, inv.f90)
 
     return (
         (1.0 - fresnel)

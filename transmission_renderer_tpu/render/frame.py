@@ -1033,6 +1033,7 @@ def render_frame(
         mat_matrix=mat_matrix_o,
         ggx_lut_quads=lut_quads,
         fused_trilinear=flags.atlas_pot and _tx.ATLAS_FUSED,
+        bf16_lights=config.bf16_light_math,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------

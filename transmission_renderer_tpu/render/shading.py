@@ -44,6 +44,7 @@ from transmission_renderer_tpu.pbr import (
     get_depth_slice,
     ibl_volume_refraction,
     light_direction_and_attenuation,
+    material_invariants,
     spotlight_factor,
     transmission_btdf,
 )
@@ -94,6 +95,9 @@ class ShadeContext(NamedTuple):
     # single-gather fused trilinear material taps (POT atlases only —
     # SceneFlags.atlas_pot; see ops/texture.py::sample_bundle_rows)
     fused_trilinear: bool = False
+    # per-light BRDF/BTDF cores in bfloat16, f32 accumulation (see
+    # RenderConfig.bf16_light_math)
+    bf16_lights: bool = False
 
 
 def onehot_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -575,13 +579,42 @@ def _evaluate_lights_common(
         # ambient floor on ray-traced sun shadows (shader/src/lighting.rs:166)
         sun_factor = jnp.maximum(sun_factor, 0.1)
 
+    # bf16 light math (RenderConfig.bf16_light_math): the BRDF/BTDF cores
+    # — the loop's VPU-bound bulk — run in bfloat16; per-light radiance
+    # (emission x 1/d^2 x spot x shadow) and the accumulation stay f32.
+    # Casting the *geometry* once here (not per slot) keeps the cast cost
+    # out of the loop.
+    cdt = jnp.bfloat16 if ctx.bf16_lights else jnp.float32
+
+    def _c(x):
+        return x.astype(cdt)
+
+    def _f32(r: "BrdfResult"):
+        return r._replace(
+            diffuse=r.diffuse.astype(jnp.float32),
+            specular=r.specular.astype(jnp.float32),
+        )
+
+    material_c = MaterialParams(*(_c(f) for f in material))
+    normal_c = _c(normal)
+    view_c = _c(view)
+    # light-independent terms (roughness^2, c_diff, combined F0/F90)
+    # evaluated ONCE per pixel and reused by every light slot —
+    # bit-identical to the per-light evaluation (same expressions)
+    inv_c = material_invariants(material_c)
+
     sun_intensity = ctx.sun_intensity * sun_factor[..., None]
-    result = basic_brdf(normal, ctx.sun_dir, sun_intensity, view, material)
+    result = _f32(
+        basic_brdf(normal_c, _c(ctx.sun_dir), _c(sun_intensity), view_c,
+                   material_c, inv=inv_c)
+    )
     transmission = None
     if with_transmission:
         transmission = sun_intensity * transmission_btdf(
-            material, normal, view, jnp.broadcast_to(ctx.sun_dir, position.shape)
-        )
+            material_c, normal_c, view_c,
+            _c(jnp.broadcast_to(ctx.sun_dir, position.shape)),
+            inv=inv_c,
+        ).astype(jnp.float32)
 
     lmat = _light_matrix(ctx.lights)
 
@@ -615,9 +648,14 @@ def _evaluate_lights_common(
 
         light_emission = lrow[..., 3:6] * factor[..., None]
         radiance = light_emission * attenuation[..., None]
-        contrib = basic_brdf(normal, direction, radiance, view, material)
+        contrib = _f32(
+            basic_brdf(normal_c, _c(direction), _c(radiance), view_c,
+                       material_c, inv=inv_c)
+        )
         t_contrib = (
-            radiance * transmission_btdf(material, normal, view, direction)
+            radiance * transmission_btdf(
+                material_c, normal_c, view_c, _c(direction), inv=inv_c
+            ).astype(jnp.float32)
             if with_transmission
             else None
         )
