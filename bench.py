@@ -187,7 +187,7 @@ def main():
     config_rt = RenderConfig(width=1920, height=1080, ray_traced_shadows=True)
 
     scenes = [
-        ("helmet_opaque", build_opaque_scene(), config, {}),
+        ("helmet_opaque", build_opaque_scene(), config, {"pass_timing": True}),
         ("transmission_smooth",
          build_dragon_scene(roughness_override=0.0), config, {}),
         ("attenuation", build_attenuation_scene(), config, {}),

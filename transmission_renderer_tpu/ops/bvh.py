@@ -65,6 +65,9 @@ _UNROLL = 4
 # and phase 2 finishes only them — all-done chunks exit their loop after
 # one condition check. Exact: phase 2 is unbounded.
 _PHASE1_TRIPS = int(os.environ.get("TRTPU_PHASE1_TRIPS", "8"))
+# phase-2 compaction order: "done" (unfinished first, raster-coherent) or
+# "idx" (unfinished grouped by current subtree) — see trace_rays
+_PHASE2_SORT = os.environ.get("TRTPU_PHASE2_SORT", "done")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -532,8 +535,16 @@ def trace_rays(
         )
         state = run_chunks(rays, init_state(t_p[live_perm]), _PHASE1_TRIPS)
         # compaction: unfinished rays first (stable → raster-coherent
-        # within each group), finish them, un-permute
-        perm = jnp.argsort(state[-1], stable=True)
+        # within each group), finish them, un-permute.
+        # TRTPU_PHASE2_SORT=idx additionally groups unfinished rays by
+        # their CURRENT node (same subtree → the phase-2 chunks share
+        # gather rows and remaining trip counts); exact — the
+        # permutation is undone (hardware A/B knob).
+        if _PHASE2_SORT == "idx":
+            key = jnp.where(state[-1], jnp.int32(0x7FFFFFFF), state[1])
+            perm = jnp.argsort(key, stable=True)
+        else:
+            perm = jnp.argsort(state[-1], stable=True)
         rays_s = jax.tree.map(lambda a: a[perm], rays)
         state_s = jax.tree.map(lambda a: a[perm], state)
         final_s = run_chunks(rays_s, state_s, None)
