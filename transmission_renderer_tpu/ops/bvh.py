@@ -344,6 +344,24 @@ def trace_rays(
     else:
         leaf_rows = leaf_xyz
     num_rows = bvh.node_boxes.shape[0]
+    # ONE unified row table for both pop halves: the masked leaf and
+    # inner halves both execute every pop (SIMD), so separate tables cost
+    # TWO in-loop gathers per pop — and in-loop gathers are the
+    # traversal's dominant cost (~0.8-3 ms per 256k-lane iteration,
+    # docs/PERFORMANCE.md). Node rows (WIDE*6 wide) pad to the leaf row
+    # width and prepend the leaf rows; each pop gathers one row and the
+    # two halves slice it. Built once per trace outside the walk
+    # (~+0.5 MB of node-row padding).
+    node_w = bvh.node_boxes.shape[1]
+    leaf_w = leaf_rows.shape[1]
+    uni_w = max(node_w, leaf_w)
+    unified_rows = jnp.concatenate(
+        [
+            jnp.pad(bvh.node_boxes, ((0, 0), (0, uni_w - node_w))),
+            jnp.pad(leaf_rows, ((0, 0), (0, uni_w - leaf_w))),
+        ],
+        axis=0,
+    )  # [num_rows + num_leaves, uni_w]
     assert bvh.num_levels <= MAX_LEVELS, "scene exceeds bitstack depth"
     lanes_t = jnp.arange(LEAF_TRIS, dtype=jnp.int32)
     lanes_w = jnp.arange(WIDE, dtype=jnp.int32)
@@ -401,9 +419,22 @@ def trace_rays(
             is_leaf = (lvl == 0) & ~done
             is_inner = (lvl > 0) & ~done
 
-            # ---- leaf half (masked by is_leaf) ----
+            # ---- ONE row gather serves both masked halves ----
             li = jnp.clip(idx, 0, bvh.num_leaves - 1)
-            row = leaf_rows[li]
+            clvl = jnp.maximum(lvl - 1, 0)
+            row_off = jnp.int32(bvh.level_offsets[0])
+            n_below = jnp.int32(bvh.children_below(0))
+            for k in range(1, bvh.num_levels):
+                row_off = jnp.where(clvl == k, bvh.level_offsets[k], row_off)
+                n_below = jnp.where(clvl == k, bvh.children_below(k), n_below)
+            uidx = jnp.where(
+                is_leaf,
+                num_rows + li,
+                jnp.clip(row_off + idx, 0, num_rows - 1),
+            )
+            row = unified_rows[uidx]
+
+            # ---- leaf half (masked by is_leaf) ----
             tv = row[: LEAF_TRIS * 9].reshape(LEAF_TRIS, 3, 3)
             hit4, t4, u4, v4 = _ray_tri(
                 o_i, d_i, t_min, best_t, tv[:, 0], tv[:, 1], tv[:, 2]
@@ -414,7 +445,7 @@ def trace_rays(
                 best_tri = jnp.where(take, 0, best_tri)
                 done = done | take
             else:
-                ids = row[LEAF_TRIS * 9 :].astype(jnp.int32)
+                ids = row[LEAF_TRIS * 9 : LEAF_TRIS * 10].astype(jnp.int32)
                 if alpha_test_fn is not None:
                     hit4 = hit4 & alpha_test_fn(ids, u4, v4)
                 t4m = jnp.where(hit4, t4, jnp.inf)
@@ -427,14 +458,7 @@ def trace_rays(
                 done = done | (take if any_hit else False)
 
             # ---- inner half (masked by is_inner) ----
-            clvl = jnp.maximum(lvl - 1, 0)
-            row_off = jnp.int32(bvh.level_offsets[0])
-            n_below = jnp.int32(bvh.children_below(0))
-            for k in range(1, bvh.num_levels):
-                row_off = jnp.where(clvl == k, bvh.level_offsets[k], row_off)
-                n_below = jnp.where(clvl == k, bvh.children_below(k), n_below)
-            row = bvh.node_boxes[jnp.clip(row_off + idx, 0, num_rows - 1)]
-            boxes = row.reshape(WIDE, 6)
+            boxes = row[: WIDE * 6].reshape(WIDE, 6)
             hit8 = (
                 _ray_aabb(o_i, inv_i, best_t, boxes[:, :3], boxes[:, 3:])
                 & is_inner
