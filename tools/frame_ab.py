@@ -12,6 +12,7 @@ setattr + scene rebuild takes effect):
   row_elems   -> scene.textures.ATLAS_ROW_ELEMS (flat atlas row width)
   fused       -> scene.textures.ATLAS_FUSED + BLOCK_TEXELS (13/4)
   pyr_group   -> ops.mipchain.GROUP/_GSHIFT (pyramid row grouping)
+  bf16        -> RenderConfig.bf16_light_math (light-loop dtype A/B)
 
 Usage:
     python tools/frame_ab.py dragon "base" "row_elems=256" "pyr_group=8" \
@@ -66,6 +67,8 @@ def apply_knobs(spec: str) -> dict:
             elif k == "pyr_group":
                 mip.GROUP = v
                 mip._GSHIFT = v.bit_length() - 1
+            elif k == "bf16":
+                pass  # handled at config level in main()
             else:
                 raise SystemExit(f"unknown knob {k}")
             applied[k] = v
@@ -117,8 +120,12 @@ def main():
     results = {}
     for spec in specs:
         applied = apply_knobs(spec)
+        import dataclasses
+        cfg_v = dataclasses.replace(
+            cfg, bf16_light_math=bool(applied.get("bf16", 0))
+        )
         scene, dl, flags = builders[scene_name]().finish_bundle()
-        render = jax.jit(partial(render_frame, config=cfg, flags=flags))
+        render = jax.jit(partial(render_frame, config=cfg_v, flags=flags))
 
         def step():
             return float(render(scene, dl, params, lights).sum())
