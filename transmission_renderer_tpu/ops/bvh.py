@@ -40,7 +40,10 @@ import numpy as np
 # dragon's leaf tables (134k tris -> 8.4k rows) at the small-table floor
 # AND drop one tree level (fewer pops). The extra per-pop triangle tests
 # are VPU work, which measures ~50x cheaper than the gathers they ride.
-LEAF_TRIS = 16
+# Env-overridable for hardware sweeps of the VPU-vs-gather trade (the
+# leaf half's 16 masked tri tests run on EVERY pop); builds and walks in
+# one process share the module constant, so a sweep just sets the env.
+LEAF_TRIS = int(os.environ.get("TRTPU_LEAF_TRIS", "16"))
 WIDE = 8  # children per internal node (one gather = 8 slab tests)
 # The stackless bitstack traversal keeps one 8-bit child mask per level in
 # two packed uint32 registers -> at most 8 level codes, of which one is
@@ -57,7 +60,7 @@ _BFS_CHUNK = 1 << 17  # rays per frontier chunk (see trace_shadow_bfs)
 # per-lane work; unrolling amortises it. Done lanes no-op extra pops
 # (every update is masked by `done`), so with mean trip counts ~15 the
 # waste is bounded by unroll-1 pops per ray.
-_UNROLL = 4
+_UNROLL = int(os.environ.get("TRTPU_RT_UNROLL", "4"))
 # While-loop trips (each _UNROLL pops) per ray before the first
 # compaction: a batched walk pays its chunk's WORST lane trip count
 # (measured dragon@480p: mean 15 pops, chunk-max ~110), so phase 1 stops
