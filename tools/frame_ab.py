@@ -13,6 +13,9 @@ setattr + scene rebuild takes effect):
   fused       -> scene.textures.ATLAS_FUSED + BLOCK_TEXELS (13/4)
   pyr_group   -> ops.mipchain.GROUP/_GSHIFT (pyramid row grouping)
   bf16        -> RenderConfig.bf16_light_math (light-loop dtype A/B)
+  k_pairs     -> RenderConfig.pallas_tiles_per_tri (binning tier K)
+  cap_t16     -> RenderConfig.transmission_block_cap_frac * 16 (int:
+                 cap_t16=3 -> 0.1875; 4 -> 0.25)
 
 Usage:
     python tools/frame_ab.py dragon "base" "row_elems=256" "pyr_group=8" \
@@ -67,7 +70,7 @@ def apply_knobs(spec: str) -> dict:
             elif k == "pyr_group":
                 mip.GROUP = v
                 mip._GSHIFT = v.bit_length() - 1
-            elif k == "bf16":
+            elif k in ("bf16", "k_pairs", "cap_t16"):
                 pass  # handled at config level in main()
             else:
                 raise SystemExit(f"unknown knob {k}")
@@ -121,9 +124,12 @@ def main():
     for spec in specs:
         applied = apply_knobs(spec)
         import dataclasses
-        cfg_v = dataclasses.replace(
-            cfg, bf16_light_math=bool(applied.get("bf16", 0))
-        )
+        cfg_kw = {"bf16_light_math": bool(applied.get("bf16", 0))}
+        if "k_pairs" in applied:
+            cfg_kw["pallas_tiles_per_tri"] = applied["k_pairs"]
+        if "cap_t16" in applied:
+            cfg_kw["transmission_block_cap_frac"] = applied["cap_t16"] / 16.0
+        cfg_v = dataclasses.replace(cfg, **cfg_kw)
         scene, dl, flags = builders[scene_name]().finish_bundle()
         render = jax.jit(partial(render_frame, config=cfg_v, flags=flags))
 
