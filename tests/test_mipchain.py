@@ -102,3 +102,19 @@ def test_refraction_level_set_derivation():
     fm = SceneFlags(True, True, transmission_ior_roughness=(0.1, 0.4))
     ls = fm and refraction_level_set(fm, 1920, 12)
     assert ls[0] <= 1 and ls[-1] >= 4 and ls == tuple(range(ls[0], ls[-1] + 1))
+
+
+def test_planar_downsample_chain_bit_exact(monkeypatch):
+    # TRTPU_PLANAR_PYR slices channels into planes before box-filtering;
+    # every output element is the same adds in the same order, so the
+    # whole pyramid must be BIT-identical to the interleaved chain.
+    import transmission_renderer_tpu.ops.mipchain as mip
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((37, 53, 3)).astype(np.float32))
+    base = mip.build_pyramid(img)
+    monkeypatch.setattr(mip, "PLANAR", True)
+    planar = mip.build_pyramid(img)
+    assert base.offsets == planar.offsets
+    for a, b in zip(base.level_quads, planar.level_quads):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -12,6 +12,7 @@ setattr + scene rebuild takes effect):
   row_elems   -> scene.textures.ATLAS_ROW_ELEMS (flat atlas row width)
   fused       -> scene.textures.ATLAS_FUSED + BLOCK_TEXELS (13/4)
   pyr_group   -> ops.mipchain.GROUP/_GSHIFT (pyramid row grouping)
+  planar_pyr  -> ops.mipchain.PLANAR (channel-planar downsample chain)
   bf16        -> RenderConfig.bf16_light_math (light-loop dtype A/B)
   k_pairs     -> RenderConfig.pallas_tiles_per_tri (binning tier K)
   cap_t16     -> RenderConfig.transmission_block_cap_frac * 16 (int:
@@ -57,6 +58,7 @@ def apply_knobs(spec: str) -> dict:
     tx.ATLAS_ROW_ELEMS = 128
     mip.GROUP = 4
     mip._GSHIFT = 2
+    mip.PLANAR = False
     applied = {}
     if spec != "base":
         for kv in spec.split(","):
@@ -70,6 +72,8 @@ def apply_knobs(spec: str) -> dict:
             elif k == "pyr_group":
                 mip.GROUP = v
                 mip._GSHIFT = v.bit_length() - 1
+            elif k == "planar_pyr":
+                mip.PLANAR = bool(v)
             elif k in ("bf16", "k_pairs", "cap_t16"):
                 pass  # handled at config level in main()
             else:

@@ -62,6 +62,12 @@ class MipPyramid(NamedTuple):
 GROUP = int(os.environ.get("TRTPU_PYRAMID_GROUP", "4"))
 assert GROUP & (GROUP - 1) == 0 and GROUP >= 1
 _GSHIFT = GROUP.bit_length() - 1
+# Channel-planar downsample chain: slice [H, W, 3] into three [H, W]
+# planes and box-filter each (identical adds per element -> bit-exact;
+# pinned by tests/test_mipchain.py). The interleaved chain reduces over
+# a 3-wide minor axis, which maps to mostly-empty 128-lane VPU registers
+# on device — hardware A/B knob (tools/frame_ab.py: planar_pyr).
+PLANAR = os.environ.get("TRTPU_PLANAR_PYR", "0") == "1"
 
 
 def pyramid_shapes(width: int, height: int) -> list[tuple[int, int]]:
@@ -75,17 +81,43 @@ def pyramid_shapes(width: int, height: int) -> list[tuple[int, int]]:
 
 def _downsample2x(img: jnp.ndarray) -> jnp.ndarray:
     """2x2 box downsample of [H, W, 3]; odd trailing row/col dropped
-    (floor(n/2) sizing, like the reference's LINEAR blit chain)."""
+    (floor(n/2) sizing, like the reference's LINEAR blit chain).
+
+    The 4-texel average is EXPLICIT elementwise adds (not a reduce op) in
+    a pinned order so the channel-planar variant below is bit-identical
+    (multi-axis jnp.mean lowers with shape-dependent reduction order)."""
     h, w = img.shape[:2]
     nh, nw = max(h // 2, 1), max(w // 2, 1)
     if h == 1:
         img2 = img[:, : nw * 2].reshape(1, nw, 2, 3)
-        return jnp.mean(img2, axis=2)
+        return (img2[:, :, 0] + img2[:, :, 1]) * 0.5
     if w == 1:
         img2 = img[: nh * 2].reshape(nh, 2, 1, 3)
-        return jnp.mean(img2, axis=1)
+        return (img2[:, 0] + img2[:, 1]) * 0.5
     img2 = img[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2, 3)
-    return jnp.mean(img2, axis=(1, 3))
+    return (
+        (img2[:, 0, :, 0] + img2[:, 0, :, 1])
+        + (img2[:, 1, :, 0] + img2[:, 1, :, 1])
+    ) * 0.25
+
+
+def _downsample2x_plane(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample of one [H, W] channel plane — the same explicit
+    adds in the same order as _downsample2x (bit-exact counterpart,
+    pinned by tests/test_mipchain.py)."""
+    h, w = img.shape
+    nh, nw = max(h // 2, 1), max(w // 2, 1)
+    if h == 1:
+        img2 = img[:, : nw * 2].reshape(1, nw, 2)
+        return (img2[:, :, 0] + img2[:, :, 1]) * 0.5
+    if w == 1:
+        img2 = img[: nh * 2].reshape(nh, 2, 1)
+        return (img2[:, 0] + img2[:, 1]) * 0.5
+    img2 = img[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2)
+    return (
+        (img2[:, 0, :, 0] + img2[:, 0, :, 1])
+        + (img2[:, 1, :, 0] + img2[:, 1, :, 1])
+    ) * 0.25
 
 
 def _quad_level(img: jnp.ndarray) -> jnp.ndarray:
@@ -132,9 +164,17 @@ def build_pyramid(framebuffer: jnp.ndarray) -> MipPyramid:
     """[H, W, 3] -> full quad-block mip pyramid (level 0 included)."""
     h, w = framebuffer.shape[:2]
     shapes = pyramid_shapes(w, h)
-    levels = [framebuffer]
-    for _ in range(len(shapes) - 1):
-        levels.append(_downsample2x(levels[-1]))
+    if PLANAR:
+        planes = [
+            [framebuffer[..., c] for c in range(3)]
+        ]
+        for _ in range(len(shapes) - 1):
+            planes.append([_downsample2x_plane(p) for p in planes[-1]])
+        levels = [jnp.stack(ps, axis=-1) for ps in planes]
+    else:
+        levels = [framebuffer]
+        for _ in range(len(shapes) - 1):
+            levels.append(_downsample2x(levels[-1]))
     offsets, off = [], 0
     for lw, lh in shapes:
         offsets.append(off)
