@@ -17,6 +17,8 @@ setattr + scene rebuild takes effect):
   k_pairs     -> RenderConfig.pallas_tiles_per_tri (binning tier K)
   cap_t16     -> RenderConfig.transmission_block_cap_frac * 16 (int:
                  cap_t16=3 -> 0.1875; 4 -> 0.25)
+  peel        -> RenderConfig.alpha_clip_rounds (stress depth peel)
+  retile16    -> RenderConfig.clip_retile_cap_frac * 16 (int)
 
 Usage:
     python tools/frame_ab.py dragon "base" "row_elems=256" "pyr_group=8" \
@@ -74,7 +76,7 @@ def apply_knobs(spec: str) -> dict:
                 mip._GSHIFT = v.bit_length() - 1
             elif k == "planar_pyr":
                 mip.PLANAR = bool(v)
-            elif k in ("bf16", "k_pairs", "cap_t16"):
+            elif k in ("bf16", "k_pairs", "cap_t16", "peel", "retile16"):
                 pass  # handled at config level in main()
             else:
                 raise SystemExit(f"unknown knob {k}")
@@ -133,6 +135,10 @@ def main():
             cfg_kw["pallas_tiles_per_tri"] = applied["k_pairs"]
         if "cap_t16" in applied:
             cfg_kw["transmission_block_cap_frac"] = applied["cap_t16"] / 16.0
+        if "peel" in applied:
+            cfg_kw["alpha_clip_rounds"] = applied["peel"]
+        if "retile16" in applied:
+            cfg_kw["clip_retile_cap_frac"] = applied["retile16"] / 16.0
         cfg_v = dataclasses.replace(cfg, **cfg_kw)
         scene, dl, flags = builders[scene_name]().finish_bundle()
         render = jax.jit(partial(render_frame, config=cfg_v, flags=flags))
