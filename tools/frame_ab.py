@@ -13,6 +13,8 @@ setattr + scene rebuild takes effect):
   fused       -> scene.textures.ATLAS_FUSED + BLOCK_TEXELS (13/4)
   pyr_group   -> ops.mipchain.GROUP/_GSHIFT (pyramid row grouping)
   planar_pyr  -> ops.mipchain.PLANAR (channel-planar downsample chain)
+  paired      -> ops.raster_pallas_gbuf.PAYLOAD_PAIRED (record-pair
+                 source rows: half the gather-table rows, zero padding)
   bf16        -> RenderConfig.bf16_light_math (light-loop dtype A/B)
   k_pairs     -> RenderConfig.pallas_tiles_per_tri (binning tier K)
   cap_t16     -> RenderConfig.transmission_block_cap_frac * 16 (int:
@@ -52,6 +54,7 @@ def measure_round_trip(n=6):
 
 def apply_knobs(spec: str) -> dict:
     import transmission_renderer_tpu.ops.mipchain as mip
+    import transmission_renderer_tpu.ops.raster_pallas_gbuf as rg
     import transmission_renderer_tpu.scene.textures as tx
 
     # reset to shipped defaults first
@@ -61,6 +64,7 @@ def apply_knobs(spec: str) -> dict:
     mip.GROUP = 4
     mip._GSHIFT = 2
     mip.PLANAR = False
+    rg.PAYLOAD_PAIRED = False
     applied = {}
     if spec != "base":
         for kv in spec.split(","):
@@ -76,6 +80,8 @@ def apply_knobs(spec: str) -> dict:
                 mip._GSHIFT = v.bit_length() - 1
             elif k == "planar_pyr":
                 mip.PLANAR = bool(v)
+            elif k == "paired":
+                rg.PAYLOAD_PAIRED = bool(v)
             elif k in ("bf16", "k_pairs", "cap_t16", "peel", "retile16"):
                 pass  # handled at config level in main()
             else:

@@ -38,6 +38,7 @@ per-record *scalar*, so the per-pixel cost is a handful of VPU ops.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,15 @@ TILE_W = 128
 REC_F32 = 64
 RECS_PER_ROW = 128 // REC_F32  # 2
 CHUNK_ROWS = 16  # 32 records / chunk, 8 KB
+# Payload-gather source layout: the record table is [T, 64] f32, whose
+# minor axis pads to a whole 128-element device tile (2x physical bytes,
+# docs/PERFORMANCE.md "device-tile padding") — and XLA gather cost steps
+# with table ROW count. Packing record PAIRS into one flat 128-element
+# row ([ceil(T/2), 128]) halves both at zero real-byte cost; the per-id
+# half select is register work on rows the gather already fetched.
+# Sweepable on hardware (the win rides the measured row-count gather
+# model; flip the default once measured in-frame).
+PAYLOAD_PAIRED = os.environ.get("TRTPU_PAYLOAD_PAIRED", "0") == "1"
 
 # output channel order (each [n_tiles, TILE_H, TILE_W] f32 unless noted)
 GBUF_CHANNELS = (
@@ -133,6 +143,21 @@ def gather_gbuf_payload(records: jnp.ndarray, bins: TileBins):
     sorted_ids = jnp.where(bins.sorted_tri_ids >= 0, bins.sorted_tri_ids, t)
     big_ids = jnp.where(bins.big_tri_ids >= 0, bins.big_tri_ids, t)
 
+    if PAYLOAD_PAIRED:
+        n = rec_ext.shape[0]
+        paired = jnp.pad(rec_ext, ((0, (-n) % 2), (0, 0)))
+        paired = paired.reshape(-1, 2 * REC_F32)  # [ceil/2, 128]: no pad
+
+        def fetch(ids):
+            rows = jax.lax.optimization_barrier(paired[ids >> 1])
+            odd = (ids & 1).astype(bool)[:, None]
+            return jnp.where(odd, rows[:, REC_F32:], rows[:, :REC_F32])
+
+    else:
+
+        def fetch(ids):
+            return rec_ext[ids]
+
     def pack_rows(recs, extra_pad):
         n = recs.shape[0]
         pad = (-n) % RECS_PER_ROW
@@ -143,8 +168,8 @@ def gather_gbuf_payload(records: jnp.ndarray, bins: TileBins):
         return rows
 
     return (
-        pack_rows(rec_ext[sorted_ids], CHUNK_ROWS),
-        pack_rows(rec_ext[big_ids], 0),
+        pack_rows(fetch(sorted_ids), CHUNK_ROWS),
+        pack_rows(fetch(big_ids), 0),
     )
 
 
