@@ -190,7 +190,24 @@ def bench_scene(name, builder, config, round_trip, n_frames=10,
 def main():
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+    # Watchdog: on this container the axon plugin's backend init blocks
+    # indefinitely while the TPU tunnel is down (observed: jax.devices()
+    # hung > 9 min with zero CPU). Convert that into a clean failure so
+    # a down tunnel can't swallow the whole bench run silently.
+    import threading
+
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(timeout=600):
+            log("FATAL: TPU backend init did not complete in 600 s — "
+                "tunnel down? (jax.devices() blocked)")
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     dev = jax.devices()[0]
+    ready.set()
     round_trip = measure_round_trip()
     log(f"backend={jax.default_backend()} device_kind={dev.device_kind} "
         f"platform={dev.platform} round_trip={round_trip*1e3:.2f} ms")
