@@ -22,8 +22,14 @@ step dragon_ab 2400 python tools/frame_ab.py dragon \
 
 # 2. Helmet atlas row-width sweep (the 0.5-1M-row bundle atlas is in the
 #    row-count-bound gather regime — the biggest expected helmet lever)
-step helmet_ab 2400 python tools/frame_ab.py helmet \
-  base row_elems=256 row_elems=512 paired=1
+step helmet_ab 3000 python tools/frame_ab.py helmet \
+  base row_elems=256 row_elems=512 row_elems=1024 paired=1
+
+# 2b. Smooth transmission (the slowest non-RT scene): its static level
+#     set is LOD 0 — the PYRAMID'S BIGGEST per-level table (~130k rows
+#     at GROUP=4) — so pyramid row grouping should matter most here
+step smooth_ab 2400 python tools/frame_ab.py smooth \
+  base pyr_group=8 pyr_group=32 planar_pyr=1 paired=1
 
 # 3. RT ray-economics after the fat-leaf + unified-gather walk
 step rt_base 1800 python tools/rt_bench.py
