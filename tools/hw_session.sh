@@ -41,7 +41,13 @@ step rt_p2sort 1800 env TRTPU_PHASE2_SORT=subtree python tools/rt_bench.py
 step stress_ab 2400 python tools/frame_ab.py stress \
   base peel=2 retile16=2 paired=1
 
-# 5. Full bench with pass timing (current defaults) — the round's
+# 5. Best-guess combined winners (re-run manually if singles disagree)
+step dragon_combo 2400 python tools/frame_ab.py dragon \
+  base "paired=1,pyr_group=8,cap_t16=3"
+step helmet_combo 2400 python tools/frame_ab.py helmet \
+  base "paired=1,row_elems=512"
+
+# 6. Full bench with pass timing (current defaults) — the round's
 #    reference point; RT scenes included (exact + half-res flag)
 step bench_full 5400 python bench.py
 
