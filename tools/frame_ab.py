@@ -9,7 +9,8 @@ scene per variant.
 
 Knobs understood (module globals read at build/trace time, so a plain
 setattr + scene rebuild takes effect):
-  row_elems   -> scene.textures.ATLAS_ROW_ELEMS (flat atlas row width)
+  row_elems   -> scene.textures.ATLAS_ROW_ELEMS (flat atlas row width;
+                 0 = per-scene auto, see textures.AUTO_TARGET_ROWS)
   fused       -> scene.textures.ATLAS_FUSED + BLOCK_TEXELS (13/4)
   pyr_group   -> ops.mipchain.GROUP/_GSHIFT (pyramid row grouping)
   planar_pyr  -> ops.mipchain.PLANAR (channel-planar downsample chain)

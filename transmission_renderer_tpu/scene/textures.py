@@ -85,17 +85,38 @@ if ATLAS_DTYPE is None:  # numpy bfloat16 rides ml_dtypes
 # bf16 [R, 4, 16] materialises 8x its logical bytes (every gathered row
 # pays 1 KB for 128 B of texels), which is exactly the compact-G4
 # regression BENCH'd at 163 ms vs 108. Flat [R, 128] rows pad ZERO.
-ATLAS_ROW_ELEMS = int(os.environ.get("TRTPU_ATLAS_ROW_ELEMS", "128"))
+ATLAS_ROW_ELEMS = int(
+    os.environ.get("TRTPU_ATLAS_ROW_ELEMS", "128").replace("auto", "0")
+)
+# "auto" (ATLAS_ROW_ELEMS = 0): widen rows per scene until the table
+# drops into the near-free gather regime (docs/PERFORMANCE.md: gather
+# cost steps with table ROW count — <= ~32-48k rows is close to the
+# 3.3 ns/idx floor; the helmet's 5-slot bundle atlas at 128-elem rows
+# is 524k rows, deep in the row-count-bound regime). Row width itself
+# is nearly free to a gather; the cap bounds bytes-per-tap.
+AUTO_TARGET_ROWS = 48_000
+AUTO_MAX_ROW_ELEMS = 1024
 
 
-def quad_group_for_layers(layers: int) -> int:
+def quad_group_for_layers(layers: int, num_blocks: int | None = None) -> int:
     """Blocks per physical (flat) atlas row: fill ATLAS_ROW_ELEMS
     (one 128-element device tile by default — zero layout padding for
     any dtype, since tiling is in ELEMENTS, not bytes), power-of-two so
     the sampler's qidx>>shift / & (G-1) addressing holds. Wide blocks
-    (many layers / fused) get G=1."""
+    (many layers / fused) get G=1. ATLAS_ROW_ELEMS == 0 selects the
+    row width adaptively from ``num_blocks`` (see AUTO_TARGET_ROWS)."""
     block_elems = BLOCK_TEXELS * 4 * layers
-    g = max(1, ATLAS_ROW_ELEMS // block_elems)
+    row_elems = ATLAS_ROW_ELEMS
+    if row_elems == 0:
+        row_elems = 128
+        while (
+            row_elems < AUTO_MAX_ROW_ELEMS
+            and num_blocks is not None
+            and num_blocks // max(1, row_elems // block_elems)
+            > AUTO_TARGET_ROWS
+        ):
+            row_elems *= 2
+    g = max(1, row_elems // block_elems)
     return 1 << max(g.bit_length() - 1, 0)
 
 WRAP_REPEAT = 0
@@ -364,7 +385,7 @@ class AtlasBuilder:
                 parent = chain[m + 1] if m + 1 < len(chain) else dec
                 chunks.append(_quad_blocks(dec, wrap, parent))
         quads = np.concatenate(chunks).astype(ATLAS_DTYPE)
-        group = quad_group_for_layers(layers)
+        group = quad_group_for_layers(layers, num_blocks=len(quads))
         pad = (-len(quads)) % group
         # FLAT [R, G * blk] rows: a 3D [R, G, blk] array tiles its minor
         # axis to 128 elements on device (see ATLAS_ROW_ELEMS), so thin
