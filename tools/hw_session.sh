@@ -22,8 +22,8 @@ step dragon_ab 2400 python tools/frame_ab.py dragon \
 
 # 2. Helmet atlas row-width sweep (the 0.5-1M-row bundle atlas is in the
 #    row-count-bound gather regime — the biggest expected helmet lever)
-step helmet_ab 3000 python tools/frame_ab.py helmet \
-  base row_elems=256 row_elems=512 row_elems=1024 paired=1
+step helmet_ab 3600 python tools/frame_ab.py helmet \
+  base row_elems=256 row_elems=512 row_elems=1024 row_elems=0 paired=1
 
 # 2b. Smooth transmission (the slowest non-RT scene): its static level
 #     set is LOD 0 — the PYRAMID'S BIGGEST per-level table (~130k rows
