@@ -35,7 +35,7 @@ step smooth_ab 2400 python tools/frame_ab.py smooth \
 step rt_base 1800 python tools/rt_bench.py
 step rt_leaf32 1800 env TRTPU_LEAF_TRIS=32 python tools/rt_bench.py
 step rt_unroll8 1800 env TRTPU_RT_UNROLL=8 python tools/rt_bench.py
-step rt_p2sort 1800 env TRTPU_PHASE2_SORT=subtree python tools/rt_bench.py
+step rt_p2sort 1800 env TRTPU_PHASE2_SORT=idx python tools/rt_bench.py
 
 # 4. Stress-scene peel knobs
 step stress_ab 2400 python tools/frame_ab.py stress \
