@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from transmission_renderer_tpu.ops.mipchain import MipPyramid, sample_pyramid_lod
 from transmission_renderer_tpu.ops.texture import (
@@ -693,7 +694,10 @@ def _evaluate_lights_common(
     return result, transmission, cluster, counts
 
 
-_DEBUG_COLOURS = jnp.array(
+# NumPy on purpose: a module-level jnp.array would force backend init at
+# import time (and fail the import outright when the TPU tunnel is down);
+# np constants convert lazily inside traced code.
+_DEBUG_COLOURS = np.array(
     [  # shader/src/lib.rs:647-664
         [0.0, 0.0, 0.0],
         [0.0, 0.0, 0.1647],
@@ -711,7 +715,7 @@ _DEBUG_COLOURS = jnp.array(
         [1.0, 0.0, 1.0],
         [0.6, 0.3333, 0.7882],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
@@ -755,8 +759,9 @@ def shade_opaque_flat(
 
     if ctx.debug_clusters:
         # cluster false-colouring oracle (shader/src/lib.rs:241-245)
-        c1 = _DEBUG_COLOURS[counts.astype(jnp.int32) % 15]
-        c2 = _DEBUG_COLOURS[cluster % 15]
+        colours = jnp.asarray(_DEBUG_COLOURS)
+        c1 = colours[counts.astype(jnp.int32) % 15]
+        c2 = colours[cluster % 15]
         out = c1 + (c2 - 0.5) * 0.025
 
     return jnp.where(g.valid[..., None], out, 0.0)
