@@ -106,18 +106,23 @@ def quad_group_for_layers(layers: int, num_blocks: int | None = None) -> int:
     (many layers / fused) get G=1. ATLAS_ROW_ELEMS == 0 selects the
     row width adaptively from ``num_blocks`` (see AUTO_TARGET_ROWS)."""
     block_elems = BLOCK_TEXELS * 4 * layers
+    def pow2_group(row_elems: int) -> int:
+        g = max(1, row_elems // block_elems)
+        return 1 << max(g.bit_length() - 1, 0)
+
     row_elems = ATLAS_ROW_ELEMS
     if row_elems == 0:
         row_elems = 128
+        # estimate rows with the pow2-floored group actually used below
+        # (raw row_elems // block_elems can overestimate it ~1.5x for
+        # non-pow2 block widths, stopping the widening one step early)
         while (
             row_elems < AUTO_MAX_ROW_ELEMS
             and num_blocks is not None
-            and num_blocks // max(1, row_elems // block_elems)
-            > AUTO_TARGET_ROWS
+            and num_blocks // pow2_group(row_elems) > AUTO_TARGET_ROWS
         ):
             row_elems *= 2
-    g = max(1, row_elems // block_elems)
-    return 1 << max(g.bit_length() - 1, 0)
+    return pow2_group(row_elems)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
