@@ -92,12 +92,16 @@ def apply_knobs(spec: str) -> dict:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    scene_name, specs = args[0], args[1:]
     frames = 8
-    for a in sys.argv[1:]:
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
         if a.startswith("--frames"):
-            frames = int(a.split("=")[1]) if "=" in a else frames
+            # accept both --frames=N and --frames N
+            frames = int(a.split("=")[1] if "=" in a else next(it))
+        elif not a.startswith("--"):
+            args.append(a)
+    scene_name, specs = args[0], args[1:]
 
     import jax
     from functools import partial

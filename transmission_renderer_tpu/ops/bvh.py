@@ -702,7 +702,7 @@ def trace_shadow_bfs(
             overflow = jnp.maximum(overflow, new_count - cap)
             count = jnp.minimum(new_count, cap)
 
-        # ---- leaf round: 4-triangle rows ----
+        # ---- leaf round: LEAF_TRIS-triangle rows ----
         valid = iota < count
         safe_leaf = jnp.clip(node_f, 0, bvh.num_leaves - 1)
         tv = leaf_xyz[safe_leaf].reshape(cap, LEAF_TRIS, 3, 3)

@@ -739,6 +739,7 @@ def _make_alpha_fn(
     path (render/frame.py::_clip_alpha_ok_tiles) test identical
     semantics."""
     from transmission_renderer_tpu.render.shading import _mip_lod
+    from transmission_renderer_tpu.scene.textures import IMAGE_MASK
 
     m = scene.materials
     tri_mat = dl.tri_material
@@ -775,7 +776,7 @@ def _make_alpha_fn(
         nb = adj[0, 1] * uv0 + adj[1, 1] * uv1 + adj[2, 1] * uv2
         duv_dx = (na * d_sum[..., None] - n_uv * a_sum) * inv_d2x[..., None]
         duv_dy = (nb * d_sum[..., None] - n_uv * b_sum) * inv_d2y[..., None]
-        rows = scene.atlas_meta[packed & 0xFFFF]
+        rows = scene.atlas_meta[packed & IMAGE_MASK]
         lod = _mip_lod(duv_dx, duv_dy, rows[..., 2], rows[..., 3])
         sample = sample_texture(
             scene.atlas_texels,
@@ -1048,6 +1049,14 @@ def render_frame(
                 return None
             return cluster_light_mask(c, g.depth, px, py)
 
+        if config.half_res_shadow_rays and (h % 2 or w % 2):
+            import warnings
+
+            warnings.warn(
+                f"half_res_shadow_rays requires even framebuffer dims; "
+                f"{w}x{h} traces FULL-res shadow rays",
+                stacklevel=2,
+            )
         with pass_scope("shadow_rays_opaque"):
             if config.half_res_shadow_rays and h % 2 == 0 and w % 2 == 0:
                 # opt-in quality flag (RenderConfig.half_res_shadow_rays):

@@ -474,6 +474,29 @@ def _cluster_index(ctx: ShadeContext, depth, px, py):
     return (cluster_z * (cx * cy) + cluster_y * cx + cluster_x).astype(jnp.int32)
 
 
+def _cluster_rows(ctx: ShadeContext, depth, px, py):
+    """Per-pixel fused cluster fetch -> (cluster ids, [..., 1 + S] rows
+    [count, idx_0..idx_{S-1}], counts, S).
+
+    ONE row gather per pixel (TPU gathers cost by index count, not row
+    width). The SINGLE source of the cluster-list layout: both the light
+    loop (_evaluate_lights_common) and the shadow-ray gate
+    (cluster_light_mask) read it, which is what makes the gate's "factor
+    never read for out-of-cluster lights" invariant hold by
+    construction."""
+    cluster = _cluster_index(ctx, depth, px, py)
+    max_slots = min(ctx.lights.num, ctx.cluster_light_indices.shape[1])
+    cluster_table = jnp.concatenate(
+        [
+            ctx.cluster_light_counts[:, None].astype(jnp.int32),
+            ctx.cluster_light_indices[:, :max_slots].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    rows = cluster_table[cluster]  # [..., 1 + S]
+    return cluster, rows, rows[..., 0], max_slots
+
+
 def cluster_light_mask(ctx: ShadeContext, depth, px, py) -> jnp.ndarray:
     """[..., L] bool: light l is in the pixel's cluster light list.
 
@@ -486,18 +509,8 @@ def cluster_light_mask(ctx: ShadeContext, depth, px, py) -> jnp.ndarray:
     immediately (ops/bvh.py), cutting the pass's effective ray count to
     sun + cluster-active pairs with a bit-identical image.
     """
-    cluster = _cluster_index(ctx, depth, px, py)
     num_lights = ctx.lights.num
-    max_slots = min(num_lights, ctx.cluster_light_indices.shape[1])
-    cluster_table = jnp.concatenate(
-        [
-            ctx.cluster_light_counts[:, None].astype(jnp.int32),
-            ctx.cluster_light_indices[:, :max_slots].astype(jnp.int32),
-        ],
-        axis=1,
-    )
-    rows = cluster_table[cluster]  # [..., 1 + S]
-    counts = rows[..., 0]
+    _, rows, counts, max_slots = _cluster_rows(ctx, depth, px, py)
     lids = jnp.arange(num_lights, dtype=jnp.int32)
     mask = jnp.zeros((*counts.shape, num_lights), dtype=bool)
     # Python loop over the (small, static) slot count: each step is one
@@ -555,21 +568,10 @@ def _evaluate_lights_common(
     Returns (BrdfResult sum, transmission accumulation [M, 3] or None,
     cluster ids, per-pixel light counts).
     """
-    cluster = _cluster_index(ctx, depth, px, py)
     num_lights = ctx.lights.num
-
-    # Fused cluster fetch: [count, idx_0..idx_{S-1}] in ONE row gather
-    # (TPU gathers cost by index count, not row width).
-    max_slots = min(num_lights, ctx.cluster_light_indices.shape[1])
-    cluster_table = jnp.concatenate(
-        [
-            ctx.cluster_light_counts[:, None].astype(jnp.int32),
-            ctx.cluster_light_indices[:, :max_slots].astype(jnp.int32),
-        ],
-        axis=1,
+    cluster, cluster_rows, counts, max_slots = _cluster_rows(
+        ctx, depth, px, py
     )
-    cluster_rows = cluster_table[cluster]  # [M, 1 + S]
-    counts = cluster_rows[..., 0]
 
     sun_factor = (
         ctx.sun_shadow_factor

@@ -393,12 +393,15 @@ def load_gltf(
         for k in keys:
             if k is not None:
                 sizes.setdefault(raw_image(k[0]).shape[:2], []).append(k)
-        # bundle the largest same-size group when it has >= 2 members
+        # bundle the largest same-size group when it has >= 2 DISTINCT
+        # members (dedup first: a material reusing one image in two
+        # slots must go through the per-image cache, not a 1-layer
+        # bundle that would duplicate its texels in the atlas)
         bundle_keys: list = []
         if sizes and allow_bundle:
-            best = max(sizes.values(), key=len)
+            best = list(dict.fromkeys(max(sizes.values(), key=len)))
             if len(best) >= 2:
-                bundle_keys = list(dict.fromkeys(best))  # dedup, ordered
+                bundle_keys = best
         refs = []
         if bundle_keys:
             bk = tuple(bundle_keys)
