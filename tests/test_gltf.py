@@ -380,3 +380,71 @@ def test_mixed_size_material_disables_bundling_scene_wide(tmp_path):
     assert atlas_layers(
         scene.atlas_texels, atlas_group(scene.atlas_meta)
     ) == 1, "mixed-size material must keep the atlas single-layer"
+
+
+def test_same_image_two_slots_reuses_cache_not_bundle(tmp_path):
+    """A material reusing ONE image in two same-colour-space slots
+    (baseColor + emissive, both sRGB) must resolve both through the
+    per-image cache — NOT a pointless 1-layer bundle that would
+    duplicate the decoded texels once more for every other material
+    loading the image standalone (the >= 2 bundle threshold applies
+    AFTER key dedup)."""
+    from transmission_renderer_tpu.ops.texture import atlas_group, atlas_layers
+
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    normals = np.tile(np.array([0, 0, 1], np.float32), (3, 1))
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    blob = (
+        positions.tobytes() + normals.tobytes() + uvs.tobytes()
+        + indices.tobytes()
+    )
+    tex = np.full((4, 4, 4), 77, np.uint8)
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0, 1]}],
+        "nodes": [{"mesh": 0}, {"mesh": 1}],
+        "meshes": [
+            {"primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                "indices": 3, "material": i,
+            }]} for i in range(2)
+        ],
+        "materials": [
+            {   # same sRGB image in two slots
+                "pbrMetallicRoughness": {"baseColorTexture": {"index": 0}},
+                "emissiveTexture": {"index": 0},
+            },
+            {   # second material loads the image standalone
+                "pbrMetallicRoughness": {"baseColorTexture": {"index": 0}},
+            },
+        ],
+        "textures": [{"source": 0}],
+        "images": [{"uri": _png_data_uri(tex)}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 24},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 6},
+        ],
+        "buffers": [{"uri": _buffer_uri(blob), "byteLength": len(blob)}],
+    }
+    p = tmp_path / "dup.gltf"
+    p.write_text(json.dumps(doc))
+    b = SceneBuilder()
+    load_gltf(str(p), b)
+    scene, dl, flags = b.finish_bundle()
+    m = scene.materials
+    # one cached atlas entry serves all three references
+    assert int(m.tex_diffuse[0]) == int(m.tex_emissive[0])
+    assert int(m.tex_diffuse[0]) == int(m.tex_diffuse[1])
+    assert atlas_layers(
+        scene.atlas_texels, atlas_group(scene.atlas_meta)
+    ) == 1
