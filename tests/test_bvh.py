@@ -237,3 +237,46 @@ def test_occlusion_mode_matches_closest(monkeypatch):
         trace_rays(*args, t_max=jnp.asarray(t_max), any_hit=True)[0]
     )
     np.testing.assert_array_equal(occl_c, closest)
+
+
+def test_tiny_negative_direction_component():
+    """inv_dir fallback regression: a direction component in
+    (-1e-20, 0) — denormal residue from cross products on a near-
+    axis-aligned ray — used to map to inv_dir = 0 (sign(d)*1e20 + 1e20),
+    which corrupted that axis's slab interval to [0, 0]: hits ahead of
+    the ray were rejected and origin-straddling boxes falsely accepted.
+    Traversal must treat it exactly like a -0/at-zero component."""
+    pos, _, _, tri = make_sphere_mesh(8, 16)
+    bvh = build_bvh(tri, pos)
+    o = np.tile(np.array([0.0, 0.0, 4.0], np.float32), (4, 1))
+    d_clean = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (4, 1))
+    d_dirty = d_clean.copy()
+    d_dirty[:, 0] = -1e-21  # tiny NEGATIVE x component
+    d_dirty[:, 1] = +1e-21  # tiny positive y (was already fine)
+
+    args = (bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos))
+    hit_c, t_c, tri_c, *_ = trace_rays(*args, jnp.asarray(o), jnp.asarray(d_clean))
+    hit_d, t_d, tri_d, *_ = trace_rays(*args, jnp.asarray(o), jnp.asarray(d_dirty))
+    np.testing.assert_array_equal(np.asarray(hit_c), np.asarray(hit_d))
+    np.testing.assert_array_equal(np.asarray(tri_c), np.asarray(tri_d))
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_d), rtol=1e-6)
+    assert bool(np.asarray(hit_d).all()), "ray straight at the sphere must hit"
+
+
+def test_dead_rays_start_done():
+    """Rays with t_max <= t_min (padding, cluster-gated shadow pairs)
+    must report 0 pops — they start done instead of walking their
+    AABB-containment path (the liveness pre-sort's early-exit chunks
+    rely on this)."""
+    pos, _, _, tri = make_sphere_mesh(8, 16)
+    bvh = build_bvh(tri, pos)
+    o = np.zeros((8, 3), np.float32)  # origin INSIDE the sphere's AABBs
+    d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (8, 1))
+    t_max = np.zeros((8,), np.float32)
+    hit, t, tri_id, u, v, trips = trace_rays(
+        bvh, jnp.asarray(tri.astype(np.int32)), jnp.asarray(pos),
+        jnp.asarray(o), jnp.asarray(d), t_max=jnp.asarray(t_max),
+        any_hit=True, return_trips=True,
+    )
+    assert not bool(np.asarray(hit).any())
+    np.testing.assert_array_equal(np.asarray(trips), 0)

@@ -5,10 +5,10 @@ The reference builds one BLAS per primitive plus a TLAS over instances
 (src/acceleration_structures.rs) and traverses with hardware ray queries
 (shader/src/lighting.rs:97-125, shader/src/lib.rs:742-797). Here:
 
-  * build: triangles are Morton-sorted by centroid, packed 4 per leaf
-    row, and folded bottom-up into 8-ary levels. Because grouping is by
-    CONSECUTIVE index (node i's children are ids 8i..8i+7 one level
-    down, leaf row i covers sorted triangles 4i..4i+3), the topology is
+  * build: triangles are Morton-sorted by centroid, packed LEAF_TRIS per
+    leaf row, and folded bottom-up into 8-ary levels. Because grouping is
+    by CONSECUTIVE index (node i's children are ids 8i..8i+7 one level
+    down, leaf row i covers sorted triangles LEAF_TRIS*i..), the topology is
     fully implicit: no child pointers, ragged tails are plain count
     arithmetic, and a refit is a chain of dense min/max folds. The fold
     itself runs in C++ when available (native/bvh_native.cc), NumPy
@@ -17,7 +17,7 @@ The reference builds one BLAS per primitive plus a TLAS over instances
     a vector machine: a binary tree walk costs ~log2(T) ≈ 17 levels of
     divergent while-loop iterations where every lane pays the batch's
     worst trip count; the 8-ary walk tests 8 child AABBs per ONE row
-    gather and 4 triangles per ONE leaf-row gather, cutting iteration
+    gather and LEAF_TRIS triangles per ONE leaf-row gather, cutting iteration
     counts ~5x. Shadow rays are any-hit and — exactly like the
     reference's ``trace_shadow_ray``, which confirms every candidate
     unconditionally (shader/src/lighting.rs:115-118) — ignore alpha
@@ -82,7 +82,7 @@ class BVH:
     LAST; a level-k node's row stores its (up to) 8 children's AABBs as
     [minx miny minz maxx maxy maxz] * 8. Children of level-k node i are
     level-(k-1) nodes 8i..8i+7 (k > 0) or leaf rows 8i..8i+7 (k == 0);
-    leaf row g covers Morton-sorted triangles 4g..4g+3. Unused child
+    leaf row g covers Morton-sorted triangles LEAF_TRIS*g... Unused child
     slots hold inverted boxes (+inf/-inf) so they vanish in fold math;
     traversal masks them by count arithmetic, never by box contents.
 
@@ -146,6 +146,12 @@ def wide_layout(num_tris: int) -> tuple[int, tuple, tuple]:
         counts.append(n)
         if n == 1:
             break
+    if len(counts) > MAX_LEVELS:
+        raise ValueError(
+            f"{num_tris} triangles need {len(counts)} internal levels; the "
+            f"bitstack traversal supports {MAX_LEVELS} "
+            f"(LEAF_TRIS * WIDE^{MAX_LEVELS} = {LEAF_TRIS * WIDE**MAX_LEVELS} tris)"
+        )
     offsets, off = [], 0
     for c in counts:
         offsets.append(off)
@@ -320,10 +326,12 @@ def trace_rays(
     n = o.shape[0]
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), shape).reshape(-1)
 
-    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
+    inv_d = jnp.where(
+        jnp.abs(d) > 1e-20, 1.0 / d, jnp.where(d < 0, -1e20, 1e20)
+    )  # sign-matched large fallback (sign(d)*1e20+1e20 was 0 for tiny-negative d)
 
     # Pre-gather each leaf row's triangle geometry ONCE, outside the
-    # batched walk ([L, 4*9] f32, ~5 MB at 134k tris): the leaf test is
+    # batched walk ([L, LEAF_TRIS*9] f32, ~5 MB at 134k tris): the leaf test is
     # then a single row gather. (An in-leaf positions[tri_vertices[id]]
     # double gather makes XLA broadcast the whole positions table across
     # the ray batch — hundreds of GB at 1080p.)
@@ -510,7 +518,16 @@ def trace_rays(
             t_max_i, zeros - 1,
             jnp.zeros_like(t_max_i), jnp.zeros_like(t_max_i),
             zeros,  # per-lane pop counter
-            jnp.zeros_like(t_max_i, bool),
+            # dead-on-arrival rays (t_max <= t_min: padding, gated
+            # shadow pairs) start DONE. The empty (t_min, t_max)
+            # interval already rejects every triangle, but AABBs
+            # containing the ray origin still pass the slab test
+            # (enter < 0 <= exit <= t_max holds at t_max = 0), so
+            # without this they walk their containment path to the
+            # leaves — the liveness pre-sort's all-done chunks only
+            # actually exit early because of this flag. Bit-identical:
+            # such rays can never accept a hit.
+            t_max_i <= t_min,
         )
 
     def run_chunks(rays, state, budget):
@@ -546,13 +563,15 @@ def trace_rays(
         o_p = jnp.pad(o, ((0, pad), (0, 0)))
         inv_p = jnp.pad(inv_d, ((0, pad), (0, 0)), constant_values=1e20)
         d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-        # padding rays get t_max=0: every AABB/triangle test fails against
-        # an empty (t_min, 0) interval, so they walk the root and stop.
+        # padding rays get t_max=0: the empty (t_min, 0) interval rejects
+        # every triangle, and init_state starts them DONE (an AABB
+        # containing the origin would otherwise still pass the slab test
+        # and walk its containment path).
         t_p = jnp.pad(t_max_arr, (0, pad))
-        # LIVENESS pre-compaction: rays killed before the walk
+        # LIVENESS pre-compaction: rays dead before the walk
         # (t_max <= 0: invalid pixels, cluster-gated lights, padding)
-        # idle in 1-2 pops — but a chunk pays its WORST lane, so dead
-        # lanes scattered through live chunks save nothing. A stable
+        # start done and never pop — but a chunk pays its WORST lane, so
+        # dead lanes scattered through live chunks save nothing. A stable
         # pre-sort (live first; raster-coherent within each group)
         # packs them into all-done chunks that exit phase 1
         # immediately; the cost is one bool argsort over the batch.
@@ -645,7 +664,9 @@ def trace_shadow_bfs(
     t_max_arr = jnp.broadcast_to(
         jnp.asarray(t_max, jnp.float32), shape
     ).reshape(-1)
-    inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / d, jnp.sign(d) * 1e20 + 1e20)
+    inv_d = jnp.where(
+        jnp.abs(d) > 1e-20, 1.0 / d, jnp.where(d < 0, -1e20, 1e20)
+    )  # sign-matched large fallback (sign(d)*1e20+1e20 was 0 for tiny-negative d)
 
     tri_xyz = positions[tri_vertices]  # [T, 3, 3]
     leaf_xyz = tri_xyz[bvh.leaf_tri.reshape(-1)].reshape(

@@ -56,6 +56,7 @@ def pack_payload(
     t = setup.adj.shape[0]
     # ids stored as float *values* (exact below 2^25) — a bitcast would
     # produce denormals that TPU float paths flush to zero.
+    assert t <= CLASS_BIT, f"{t} records exceed the 2^22 tri-id field"
     ids = jnp.arange(t, dtype=jnp.int32)
     if class_flags is not None:
         ids = ids + CLASS_BIT * class_flags.astype(jnp.int32)
@@ -154,7 +155,13 @@ def _raster_kernel(
     def record_body(ref, row, off):
         """Rasterise one record (16 floats at [row, off:off+16] of an SMEM
         ref) into the scratch race. SMEM scalar loads support the dynamic
-        indices (VMEM lane-dynamic extracts do not lower on TPU)."""
+        indices (VMEM lane-dynamic extracts do not lower on TPU).
+
+        KEEP IN SYNC with raster_pallas_gbuf.py::record_body — the
+        decode / edge-function / top-left-rule / depth-race core is
+        identical by contract; a raster-rule fix here MUST be applied
+        there too (both kernels are pinned to the same JAX oracle by
+        exact tri-id tests, which catches divergence)."""
         rec = lambda k: ref[row, off + k]
         a0, b0, c0 = rec(0), rec(1), rec(2)
         a1, b1_, c1 = rec(3), rec(4), rec(5)

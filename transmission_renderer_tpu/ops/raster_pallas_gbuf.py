@@ -7,9 +7,8 @@ vertices' attributes *in the record stream* (they're SMEM scalars anyway)
 and interpolates at depth-race win time, writing the G-buffer channels
 directly: no per-pixel attribute gathers at all.
 
-Record layout: 48 f32 (2 records per 128-lane row would need 64; we use
-one record per 48 lanes? No — rows must be 128 lanes, so records are
-padded to 64 f32, 2 per row):
+Record layout: 64 f32 per record (48 used + 16 pad), 2 records per
+128-lane row:
   [0:9]   adjugate rows (a0 b0 c0 a1 b1 c1 a2 b2 c2)
   [9:12]  z_clip,  [12:15] w_clip
   [15]    tri id + CLASS_BIT * draw_class, as float value. Classes map
@@ -114,6 +113,9 @@ def pack_gbuf_payload(
     """[T, 64] records (per-frame; the vertex gathers here are T-sized,
     not pixel-sized)."""
     t = setup.adj.shape[0]
+    # the id + CLASS_BIT*class encoding (and its exact-f32 storage)
+    # requires ids below the class field
+    assert t <= CLASS_BIT, f"{t} records exceed the 2^22 tri-id field"
     ids = jnp.arange(t, dtype=jnp.int32)
     if class_flags is not None:
         ids = ids + CLASS_BIT * class_flags.astype(jnp.int32)
@@ -260,6 +262,11 @@ def _kernel(
         count = tile_start_ref[num_classes * tile_id + pass_class + 1] - start
 
     def record_body(ref, row, off):
+        # KEEP IN SYNC with raster_pallas.py::record_body: the decode /
+        # edge-function / top-left-rule / depth-race core is identical
+        # by contract (differences: 64-f32 records, 4-class filter, and
+        # the attribute-interpolation tail). A raster-rule fix applied
+        # to one kernel MUST be applied to the other.
         rec = lambda k: ref[row, off + k]
         a0, b0, c0 = rec(0), rec(1), rec(2)
         a1, b1_, c1 = rec(3), rec(4), rec(5)
@@ -492,7 +499,6 @@ def rasterize_gbuffer_pallas(
 ):
     """Full-frame G-buffer raster. Returns a render.gbuffer.GBuffer."""
     from transmission_renderer_tpu.ops.raster import tile_image, untile_image
-    from transmission_renderer_tpu.render.gbuffer import GBuffer
 
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
