@@ -50,3 +50,43 @@ def _run_inproc(n):
     from tests.sharding_driver import main
 
     return main(n)
+
+
+def test_band_pyramid_spec_layout_consistency():
+    """_BandPyramidSpec's static offsets must match the rows the build
+    chain actually stores, for every level — including deep levels of
+    WIDE frames where (band_h * n_bands) >> l underflows to 0 while the
+    downsample chain sticks at 1 row, and odd band_h where a per-band
+    floor-halve would diverge from the global pyramid (must replicate
+    from level 0 instead: l_local == 0)."""
+    from transmission_renderer_tpu.parallel.sharded import _BandPyramidSpec
+    from transmission_renderer_tpu.ops.mipchain import pyramid_shapes
+
+    def check(width, height, band_h, n_bands, halo):
+        spec = _BandPyramidSpec(width, height, band_h, n_bands, halo)
+        # l_local levels must halve the band height exactly, and the
+        # FIRST replicated level is per-band downsampled before its
+        # all_gather — so 2^l_local must divide band_h
+        assert band_h % (1 << spec.l_local) == 0
+        # simulate the stored pool: local levels band_rows + 2*halos,
+        # replicated levels floor-halved (sticking at 1) from the
+        # gathered level
+        off = 0
+        g = (band_h >> spec.l_local) * n_bands
+        for l in range(spec.num_levels):
+            assert spec.offsets[l] == off, (l, width, height, band_h)
+            if l < spec.l_local:
+                rows = spec.band_rows[l] + 2 * spec.halos[l]
+            else:
+                rows = max(g >> (l - spec.l_local), 1)
+                assert spec.pad_rows[l] == rows, (l, width, height, band_h)
+            off += rows * spec.widths[l]
+        assert spec.total == off
+
+    check(1920, 1080, 136, 8, 64)   # production shape
+    check(1920, 400, 52, 8, 16)     # wide: deep levels outlive the height
+    check(1920, 1080, 135, 8, 64)   # ODD band height -> l_local == 0
+    check(320, 180, 24, 8, 8)       # small CI shape
+    check(256, 1024, 128, 8, 32)    # tall
+    spec_odd = _BandPyramidSpec(1920, 1080, 135, 8, 64)
+    assert spec_odd.l_local == 0

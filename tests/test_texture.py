@@ -246,3 +246,30 @@ def test_frame_ab_knobs_change_layout(monkeypatch):
     from transmission_renderer_tpu.ops.texture import atlas_group
     assert atlas_group(m512) == 4 * atlas_group(m128)
     assert t512.shape[-1] == 4 * t128.shape[-1]
+
+
+def test_auto_row_width_group_selection():
+    """TRTPU_ATLAS_ROW_ELEMS=auto (0): rows widen per scene until the
+    table leaves the row-count-bound gather regime, estimating rows with
+    the pow2-floored group actually used (a raw row_elems//block_elems
+    estimate overestimates ~1.5x for non-pow2 block widths and stops a
+    step early)."""
+    import transmission_renderer_tpu.scene.textures as tx
+
+    saved = tx.ATLAS_ROW_ELEMS
+    try:
+        tx.ATLAS_ROW_ELEMS = 0
+        # single-layer blocks (16 elems): small atlas stays at one tile
+        assert tx.quad_group_for_layers(1, num_blocks=100_000) == 8
+        # helmet-like 5-layer bundle (80-elem blocks), 1M blocks: widen
+        # to the 1024-elem cap -> G=8 (raw estimate at 256 elems would
+        # claim g=3 and could stop early; pow2 floor must keep widening)
+        assert tx.quad_group_for_layers(5, num_blocks=1_048_576) == 8
+        # moderate 5-layer: 90k blocks at G=2 -> 45k rows <= target
+        assert tx.quad_group_for_layers(5, num_blocks=90_000) == 2
+        # default (non-auto) path unchanged
+        tx.ATLAS_ROW_ELEMS = 128
+        assert tx.quad_group_for_layers(1) == 8
+        assert tx.quad_group_for_layers(5) == 1
+    finally:
+        tx.ATLAS_ROW_ELEMS = saved

@@ -80,44 +80,34 @@ def pyramid_shapes(width: int, height: int) -> list[tuple[int, int]]:
 
 
 def _downsample2x(img: jnp.ndarray) -> jnp.ndarray:
-    """2x2 box downsample of [H, W, 3]; odd trailing row/col dropped
-    (floor(n/2) sizing, like the reference's LINEAR blit chain).
+    """2x2 box downsample of [H, W] or [H, W, C]; odd trailing row/col
+    dropped (floor(n/2) sizing, like the reference's LINEAR blit chain).
 
     The 4-texel average is EXPLICIT elementwise adds (not a reduce op) in
-    a pinned order so the channel-planar variant below is bit-identical
-    (multi-axis jnp.mean lowers with shape-dependent reduction order)."""
+    a pinned order, and one shape-generic body serves both the
+    interleaved [H, W, 3] chain and the channel-planar [H, W] variant —
+    bit-exactness between them holds by construction (multi-axis
+    jnp.mean would lower with shape-dependent reduction order)."""
     h, w = img.shape[:2]
+    c = img.shape[2:]  # () for a channel plane, (3,) interleaved
     nh, nw = max(h // 2, 1), max(w // 2, 1)
     if h == 1:
-        img2 = img[:, : nw * 2].reshape(1, nw, 2, 3)
+        img2 = img[:, : nw * 2].reshape(1, nw, 2, *c)
         return (img2[:, :, 0] + img2[:, :, 1]) * 0.5
     if w == 1:
-        img2 = img[: nh * 2].reshape(nh, 2, 1, 3)
+        img2 = img[: nh * 2].reshape(nh, 2, 1, *c)
         return (img2[:, 0] + img2[:, 1]) * 0.5
-    img2 = img[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2, 3)
+    img2 = img[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2, *c)
     return (
         (img2[:, 0, :, 0] + img2[:, 0, :, 1])
         + (img2[:, 1, :, 0] + img2[:, 1, :, 1])
     ) * 0.25
 
 
-def _downsample2x_plane(img: jnp.ndarray) -> jnp.ndarray:
-    """2x2 box downsample of one [H, W] channel plane — the same explicit
-    adds in the same order as _downsample2x (bit-exact counterpart,
-    pinned by tests/test_mipchain.py)."""
-    h, w = img.shape
-    nh, nw = max(h // 2, 1), max(w // 2, 1)
-    if h == 1:
-        img2 = img[:, : nw * 2].reshape(1, nw, 2)
-        return (img2[:, :, 0] + img2[:, :, 1]) * 0.5
-    if w == 1:
-        img2 = img[: nh * 2].reshape(nh, 2, 1)
-        return (img2[:, 0] + img2[:, 1]) * 0.5
-    img2 = img[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2)
-    return (
-        (img2[:, 0, :, 0] + img2[:, 0, :, 1])
-        + (img2[:, 1, :, 0] + img2[:, 1, :, 1])
-    ) * 0.25
+# the channel-planar chain (PLANAR knob) downsample — same function; the
+# name records that bit-exactness with the interleaved chain is pinned
+# by tests/test_mipchain.py
+_downsample2x_plane = _downsample2x
 
 
 def _quad_level(img: jnp.ndarray) -> jnp.ndarray:

@@ -128,7 +128,14 @@ class _BandPyramidSpec:
         self.num_levels = len(shapes)
         self.widths = [s[0] for s in shapes]
         self.heights = [s[1] for s in shapes]
-        max_aligned = max(1, min(_trailing_zeros(band_h), self.num_levels - 1))
+        # level l is band-local only when 2^l | band_h — and the FIRST
+        # replicated level is produced by per-band downsampling of level
+        # l_local-1 before the all_gather, which matches the global
+        # downsample only when 2^l_local | band_h too. Odd band_h must
+        # therefore gather level 0 whole (l_local = 0), not floor-halve
+        # each band independently (that drops one row per band boundary
+        # and diverges from the single-chip pyramid).
+        max_aligned = min(_trailing_zeros(band_h), self.num_levels - 1)
         self.l_local = 0
         for l in range(max_aligned):
             if max(halo_px >> l, 1) >= (band_h >> l):
@@ -136,9 +143,12 @@ class _BandPyramidSpec:
             self.l_local = l + 1
         self.band_rows = [band_h >> l for l in range(self.l_local)]
         self.halos = [max(halo_px >> l, 1) for l in range(self.l_local)]
-        # replicated levels live at padded heights
+        # replicated levels live at padded heights; floor at 1 row — the
+        # downsample chain sticks at max(h // 2, 1), so a wide frame
+        # whose deep levels outlive the padded height (num_levels is set
+        # by max(w, h)) still stores one row per level
         self.pad_rows = [
-            (band_h * n_bands) >> l for l in range(self.num_levels)
+            max((band_h * n_bands) >> l, 1) for l in range(self.num_levels)
         ]
         offsets, off = [], 0
         for l in range(self.num_levels):
