@@ -36,6 +36,18 @@ winner depends only on its own records). ``return_diagnostics`` yields a
 FrameDiagnostics reduced across bands (max for capacities, sum for
 unresolved pixels), so capacity overflows are visible exactly like the
 single-chip path.
+
+KNOWN LAYOUT COST (future work): the distributed pyramid pool is a flat
+[N, 3] f32 table — on device the 3-element minor axis tiles to 128
+elements (~42x the logical bytes, docs/PERFORMANCE.md "device-tile
+padding") and a trilinear fetch pays 8 row gathers at full-table row
+count, where the single-chip path pays 2 grouped quad-block gathers
+(ops/mipchain.py). The fix is to quad-blockify each stored slice in
+slice-local coordinates (band slice + halo for local levels, the
+gathered level for replicated ones) and mirror mipchain's 1-gather
+bilinear tap; deferred because multi-chip perf is unmeasurable in this
+environment (virtual CPU mesh only) and the rewrite risks the
+bit-match contract this path is tested by.
 """
 
 from __future__ import annotations
