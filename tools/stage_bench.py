@@ -278,10 +278,7 @@ def main():
 
         def f_mat(gf):
             ctx = make_ctx(flags.tex_slots)
-            view_vector = ctx.view_position - gf.position
-            return evaluate_pixel_material(
-                scene, gf, view_vector, ctx.tex_slots
-            )
+            return evaluate_pixel_material(scene, gf, ctx.tex_slots)
 
         pm = stage("  shade_o/material", f_mat, gf)
 

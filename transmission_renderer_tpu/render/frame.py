@@ -123,6 +123,11 @@ def expand_draw_list_numpy(
 ) -> dict:
     """NumPy instance x geometry expansion (shared by DrawList construction
     and host-side BVH builds)."""
+    if len(inst_prim) == 0:
+        raise ValueError(
+            "draw-list expansion requires at least one instance "
+            "(camera/light-only scenes have nothing to rasterise)"
+        )
     vtx_src, vtx_inst = [], []
     tri_vtx, tri_inst, tri_bucket, tri_material = [], [], [], []
     vtx_offset = 0
@@ -293,14 +298,17 @@ def scene_flags(scene: Scene) -> SceneFlags:
         inst_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
     )
     trans_mids = np.unique(inst_mat[trans_inst])
+    # pass gating keys off INSTANCED primitives (inst_bucket), not the
+    # primitive pool: a pool entry no node references must not enable
+    # the clip-peel rounds or disable the fused sparse-transmission path
     return SceneFlags(
         has_alpha_clip=bool(
-            np.any(buckets == BUCKET_ALPHA_CLIP)
-            | np.any(buckets == BUCKET_TRANSMISSION_ALPHA_CLIP)
+            np.any(inst_bucket == BUCKET_ALPHA_CLIP)
+            | np.any(inst_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP)
         ),
         has_transmission=bool(
-            np.any(buckets == BUCKET_TRANSMISSION)
-            | np.any(buckets == BUCKET_TRANSMISSION_ALPHA_CLIP)
+            np.any(inst_bucket == BUCKET_TRANSMISSION)
+            | np.any(inst_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP)
         ),
         tex_slots=compute_tex_slot_flags(cols),
         tex_slots_transmission=compute_tex_slot_flags(
@@ -963,8 +971,15 @@ def render_frame(
         # peel always keeps uv for its coverage test)
         pos_derivs_o = flags.tex_slots[2]
         pos_derivs_t = flags.tex_slots_transmission[2]
-        uv_o = any(flags.tex_slots) or flags.has_alpha_clip
-        uv_t = any(flags.tex_slots_transmission) or flags.has_alpha_clip
+
+        # slot 4 (occlusion) is loaded but never sampled (the reference
+        # also ignores it, shading._MAT_SLOTS) — an occlusion-only scene
+        # must not force the uv channels on
+        def _sampled(slots):
+            return any(s for i, s in enumerate(slots) if i != 4)
+
+        uv_o = _sampled(flags.tex_slots) or flags.has_alpha_clip
+        uv_t = _sampled(flags.tex_slots_transmission) or flags.has_alpha_clip
         with pass_scope("raster_opaque"):
             g_o = rasterize_gbuffer_pallas(
                 records, bins_all, w, h, pass_class=0, payload=gpayload,

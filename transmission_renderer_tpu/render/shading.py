@@ -159,7 +159,8 @@ def build_material_matrix(
     """Fuse material factors, texture ids, and per-slot texture metadata
     into one f32 matrix (trace-time work over [n_materials] arrays).
 
-    Layout: [0:20] factors (see below), [20:28] texture ids, then one
+    Layout: [0:21] factors (the attenuation-infinity flag is col 20,
+    see below), [21:29] texture ids, then from col 29 one
     30-col metadata block per *used* sampled slot GROUP.
     attenuation_distance's infinity default (src/model_loading.rs:318) is
     encoded as (finite value, is_inf flag) to keep the table inf-free;
@@ -260,7 +261,6 @@ def evaluate_pixel_material(*args, **kw):
 def _evaluate_pixel_material(
     scene: Scene,
     g: GBuffer,
-    view_vector: jnp.ndarray,
     tex_slots: tuple = (True,) * 9,
     mat_matrix: MaterialMatrix | None = None,
     quad_shape: tuple | None = None,
@@ -749,7 +749,7 @@ def shade_opaque_flat(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
     pm = evaluate_pixel_material(
-        scene, g, view_vector, ctx.tex_slots, mat_matrix=ctx.mat_matrix,
+        scene, g, ctx.tex_slots, mat_matrix=ctx.mat_matrix,
         quad_shape=quad_shape, fused_trilinear=ctx.fused_trilinear,
     )
 
@@ -808,7 +808,7 @@ def shade_transmission_flat(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
     )
     pm = evaluate_pixel_material(
-        scene, g, view_vector, ctx.tex_slots, mat_matrix=ctx.mat_matrix,
+        scene, g, ctx.tex_slots, mat_matrix=ctx.mat_matrix,
         fused_trilinear=ctx.fused_trilinear,
     )
 
