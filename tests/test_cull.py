@@ -72,3 +72,34 @@ def test_bucket_triangle_masks():
     assert list(m) == [True, True, False, True]
     m2 = np.asarray(bucket_triangle_masks(tri_inst, tri_bucket, visible, (2,)))
     assert list(m2) == [False, False, False, False]  # instance 1 invisible
+
+
+def test_uninstanced_primitive_does_not_gate_passes():
+    """A pool primitive no instance references must not enable the
+    clip-peel rounds or the transmission pipeline (pass gating keys off
+    INSTANCED primitives) — in BOTH flag derivations: the host-side
+    finish_bundle and the device-side scene_flags."""
+    import numpy as np
+    from transmission_renderer_tpu.config import (
+        BUCKET_ALPHA_CLIP,
+        BUCKET_OPAQUE,
+        BUCKET_TRANSMISSION,
+    )
+    from transmission_renderer_tpu.models import make_box_mesh
+    from transmission_renderer_tpu.render.frame import scene_flags
+    from transmission_renderer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    pos, nrm, uv, tri = make_box_mesh()
+    mid = b.add_material()
+    p_opaque = b.add_primitive(pos, nrm, uv, tri, BUCKET_OPAQUE)
+    # pool-only primitives: never instanced
+    b.add_primitive(pos, nrm, uv, tri, BUCKET_ALPHA_CLIP)
+    b.add_primitive(pos, nrm, uv, tri, BUCKET_TRANSMISSION)
+    b.add_instance(p_opaque, mid, translation=np.zeros(3, np.float32))
+    scene, dl, flags = b.finish_bundle()
+    assert not flags.has_alpha_clip
+    assert not flags.has_transmission
+    f2 = scene_flags(scene)
+    assert not f2.has_alpha_clip
+    assert not f2.has_transmission

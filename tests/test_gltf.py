@@ -448,3 +448,97 @@ def test_same_image_two_slots_reuses_cache_not_bundle(tmp_path):
     assert atlas_layers(
         scene.atlas_texels, atlas_group(scene.atlas_meta)
     ) == 1
+
+
+def test_sparse_accessor_substitution(tmp_path):
+    """accessor.sparse scatters `values` rows at `indices` over the base
+    view (glTF 2.0 §3.6.2.4) — previously silently dropped."""
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    normals = np.tile(np.array([0, 0, 1], np.float32), (3, 1))
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    sp_idx = np.array([1], np.uint16)
+    sp_val = np.array([[5.0, 6.0, 7.0]], np.float32)
+    blob = (
+        positions.tobytes() + normals.tobytes() + uvs.tobytes()
+        + indices.tobytes() + sp_idx.tobytes() + sp_val.tobytes()
+    )
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3,
+        }]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3",
+             "sparse": {
+                 "count": 1,
+                 "indices": {"bufferView": 4, "componentType": 5123},
+                 "values": {"bufferView": 5},
+             }},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 24},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 6},
+            {"buffer": 0, "byteOffset": 102, "byteLength": 2},
+            {"buffer": 0, "byteOffset": 104, "byteLength": 12},
+        ],
+        "buffers": [{"uri": _buffer_uri(blob), "byteLength": len(blob)}],
+    }
+    p = tmp_path / "sparse.gltf"
+    p.write_text(json.dumps(doc))
+    g = GltfDocument.load(str(p))
+    got = g.read_accessor(0)
+    np.testing.assert_array_equal(
+        got, np.array([[0, 0, 0], [5, 6, 7], [0, 1, 0]], np.float32)
+    )
+
+
+def test_zero_material_document_gets_spec_default(tmp_path):
+    """A document with no materials array: the reference's unwrap_or(0)
+    would alias a previous model's material (UB); here a spec-default
+    material (metallic=1, roughness=1, white) is appended instead, and
+    the instance points at it."""
+    path = make_tri_gltf(tmp_path)
+    import json as _json
+    with open(path) as f:
+        doc = _json.load(f)
+    del doc["materials"]
+    del doc["meshes"][0]["primitives"][0]["material"]
+    # textures/images may dangle unused
+    p = tmp_path / "nomat.gltf"
+    p.write_text(_json.dumps(doc))
+    b = SceneBuilder()
+    load_gltf(str(p), b)
+    scene, dl, flags = b.finish_bundle()
+    m = scene.materials
+    assert m.num == 1
+    assert float(m.metallic_factor[0]) == 1.0
+    assert float(m.roughness_factor[0]) == 1.0
+    assert int(scene.inst_material_id[0]) == 0
+
+
+def test_non_triangle_mode_rejected(tmp_path):
+    """Primitive modes other than TRIANGLES raise a clear error instead
+    of reshaping a strip's indices into garbage triangles."""
+    import pytest
+
+    path = make_tri_gltf(tmp_path)
+    import json as _json
+    with open(path) as f:
+        doc = _json.load(f)
+    doc["meshes"][0]["primitives"][0]["mode"] = 5  # TRIANGLE_STRIP
+    p = tmp_path / "strip.gltf"
+    p.write_text(_json.dumps(doc))
+    b = SceneBuilder()
+    with pytest.raises(ValueError, match="primitive mode 5"):
+        load_gltf(str(p), b)

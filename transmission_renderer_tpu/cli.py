@@ -12,6 +12,7 @@ Usage examples (mirroring readme.md):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -156,8 +157,6 @@ def main(argv=None) -> int:
     config = RenderConfig(
         width=args.width,
         height=args.height,
-        roughness_override=args.roughness_override,
-        scale=args.scale,
         ray_traced_shadows=args.ray_tracing or args.as_debug,
         spotlights=args.spotlights,
         rotate_model=args.rotate_model,
@@ -354,6 +353,25 @@ def main(argv=None) -> int:
     else:
         apply_overlays = lambda ldr: ldr
 
+    profile_cm = None
+    if args.profile:
+        from transmission_renderer_tpu.utils.profiling import trace
+
+        profile_cm = trace(args.profile)
+        profile_cm.__enter__()
+
+    def _end_profile():
+        if profile_cm is not None:
+            profile_cm.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile}",
+                  file=sys.stderr)
+
+    def _frame_path(frame: int, multi: bool) -> str:
+        if not multi:
+            return args.output
+        root, ext = os.path.splitext(args.output)
+        return f"{root}_{frame:03d}{ext or '.png'}"
+
     if args.interactive:
         # Headless analogue of the reference's winit loop
         # (src/main.rs:923-1456): keys move the dolly rig / sun; each
@@ -364,6 +382,7 @@ def main(argv=None) -> int:
         for line in sys.stdin:
             for ch in line.strip():
                 if ch == "x":
+                    _end_profile()
                     return 0
                 move = {"w": (1, 0, 0), "s": (-1, 0, 0), "a": (0, -1, 0),
                         "d": (0, 1, 0), "q": (0, 0, -1), "e": (0, 0, 1)}
@@ -384,19 +403,13 @@ def main(argv=None) -> int:
             t0 = time.time()
             ldr = np.asarray(apply_overlays(render(scene, dl, params, lights)))
             check_frame(ldr)
-            out = args.output.replace(".png", f"_{frame:03d}.png")
+            out = _frame_path(frame, True)
             save_png(out, linear_to_srgb(ldr))
             print(f"frame {frame}: {(time.time()-t0)*1000:.1f} ms -> {out}",
                   file=sys.stderr)
             frame += 1
+        _end_profile()
         return 0
-
-    profile_cm = None
-    if args.profile:
-        from transmission_renderer_tpu.utils.profiling import trace
-
-        profile_cm = trace(args.profile)
-        profile_cm.__enter__()
 
     for frame in range(args.frames):
         rig.update()
@@ -429,19 +442,13 @@ def main(argv=None) -> int:
         ldr = np.asarray(apply_overlays(render(scene, dl, params, lights)))
         check_frame(ldr)
         dt = time.time() - t0
-        out = (
-            args.output
-            if args.frames == 1
-            else args.output.replace(".png", f"_{frame:03d}.png")
-        )
+        out = _frame_path(frame, args.frames > 1)
         save_png(out, linear_to_srgb(ldr))
         print(f"frame {frame}: {dt*1000:.1f} ms -> {out}")
         # simple orbit for multi-frame renders
         rig.target_yaw += 0.1
 
-    if profile_cm is not None:
-        profile_cm.__exit__(None, None, None)
-        print(f"profiler trace written to {args.profile}", file=sys.stderr)
+    _end_profile()
 
     return 0
 

@@ -30,8 +30,9 @@ class RenderConfig:
     max_lights_per_cluster: int = 128
 
     # --- CLI-equivalent knobs (reference src/main.rs:65-91) ----------------
-    scale: float = 1.0
-    roughness_override: float | None = None
+    # (--scale and --roughness-override act at ASSET-LOAD time — they are
+    # parameters of load_gltf / the procedural builders, not frame state,
+    # so they deliberately have no RenderConfig field)
     ray_traced_shadows: bool = False
     spotlights: bool = False
     rotate_model: bool = False

@@ -275,32 +275,39 @@ def static_ior_roughness_values(roughs, iors) -> tuple:
     return tuple(sorted(set(float(x) for x in v.astype(np.float32))))
 
 
-def _transmission_ior_roughness(scene: Scene, trans_mids: np.ndarray):
-    """Static (ior-adjusted) roughness of each transmissive material, or
-    None when a metallic_roughness texture makes it per-pixel."""
-    if len(trans_mids) == 0:
-        return None
-    m = scene.materials
-    if np.any(np.asarray(m.tex_metallic_roughness)[trans_mids] >= 0):
-        return None
-    return static_ior_roughness_values(
-        np.asarray(m.roughness_factor, np.float32)[trans_mids],
-        np.asarray(m.index_of_refraction, np.float32)[trans_mids],
-    )
+def scene_flags_from_arrays(
+    prim_buckets: np.ndarray,
+    inst_prim: np.ndarray,
+    inst_mat: np.ndarray,
+    cols: dict,  # TEX_SLOT_NAMES -> [n_materials] id columns (numpy-able)
+    roughness_factor: np.ndarray,
+    index_of_refraction: np.ndarray,
+    atlas_meta: np.ndarray,
+) -> SceneFlags:
+    """The SINGLE SceneFlags derivation, on plain host arrays — shared by
+    scene_flags (device Scene) and SceneBuilder.finish_bundle (host
+    staging lists, which must not read device arrays back).
 
-
-def scene_flags(scene: Scene) -> SceneFlags:
-    buckets = np.asarray(scene.prim_draw_bucket)
-    inst_bucket = buckets[np.asarray(scene.inst_primitive_id)]
-    inst_mat = np.asarray(scene.inst_material_id)
-    cols = {n: getattr(scene.materials, n) for n in TEX_SLOT_NAMES}
+    Pass gating keys off INSTANCED primitives (inst_bucket), not the
+    primitive pool: a pool entry no node references must not enable the
+    clip-peel rounds or disable the fused sparse-transmission path."""
+    buckets = np.asarray(prim_buckets)
+    inst_bucket = buckets[np.asarray(inst_prim, np.int64)]
+    inst_mat = np.asarray(inst_mat)
+    cols = {n: np.asarray(c) for n, c in cols.items()}
     trans_inst = (inst_bucket == BUCKET_TRANSMISSION) | (
         inst_bucket == BUCKET_TRANSMISSION_ALPHA_CLIP
     )
     trans_mids = np.unique(inst_mat[trans_inst])
-    # pass gating keys off INSTANCED primitives (inst_bucket), not the
-    # primitive pool: a pool entry no node references must not enable
-    # the clip-peel rounds or disable the fused sparse-transmission path
+    if len(trans_mids) and not np.any(
+        cols["tex_metallic_roughness"][trans_mids] >= 0
+    ):
+        tir = static_ior_roughness_values(
+            np.asarray(roughness_factor, np.float32)[trans_mids],
+            np.asarray(index_of_refraction, np.float32)[trans_mids],
+        )
+    else:
+        tir = None
     return SceneFlags(
         has_alpha_clip=bool(
             np.any(inst_bucket == BUCKET_ALPHA_CLIP)
@@ -314,11 +321,22 @@ def scene_flags(scene: Scene) -> SceneFlags:
         tex_slots_transmission=compute_tex_slot_flags(
             cols, inst_mat, trans_inst
         ),
-        transmission_ior_roughness=_transmission_ior_roughness(
-            scene, trans_mids
-        ),
+        transmission_ior_roughness=tir,
         slot_bundles=compute_slot_bundles(cols),
-        atlas_pot=atlas_all_pot(scene.atlas_meta),
+        atlas_pot=atlas_all_pot(atlas_meta),
+    )
+
+
+def scene_flags(scene: Scene) -> SceneFlags:
+    m = scene.materials
+    return scene_flags_from_arrays(
+        np.asarray(scene.prim_draw_bucket),
+        np.asarray(scene.inst_primitive_id),
+        np.asarray(scene.inst_material_id),
+        {n: np.asarray(getattr(m, n)) for n in TEX_SLOT_NAMES},
+        np.asarray(m.roughness_factor),
+        np.asarray(m.index_of_refraction),
+        np.asarray(scene.atlas_meta),
     )
 
 

@@ -113,8 +113,11 @@ def render_as_debug_frame(scene, dl, params, lights, config, bvh):
     uvs = scene.uvs[dl.vtx_src]
     bvh = refit_bvh(bvh, dl.tri_vtx, world_pos)
     view_inverse = jnp.linalg.inv(params.view)
-    proj = params.proj_view @ jnp.linalg.inv(params.view)
-    proj_inverse = jnp.linalg.inv(proj)
+    # the host-computed inv(proj) (FrameParams.inverse_perspective) —
+    # reconstructing proj via proj_view @ inv(view) and inverting again
+    # costs two extra device 4x4 inverses and f32 round-trip error vs
+    # the unprojection the raster path uses
+    proj_inverse = params.inverse_perspective
     return as_debug_view(
         scene, bvh, dl.tri_vtx, dl.tri_material, world_pos, uvs,
         view_inverse, proj_inverse, config.width, config.height,

@@ -174,16 +174,8 @@ class SceneBuilder:
         over remote-TPU transports."""
         from transmission_renderer_tpu.render.frame import (
             TEX_SLOT_NAMES,
-            SceneFlags,
-            atlas_all_pot,
             build_draw_list_from_numpy,
-            compute_slot_bundles,
-            static_ior_roughness_values,
-        )
-        from transmission_renderer_tpu.config import (
-            BUCKET_ALPHA_CLIP as _AC,
-            BUCKET_TRANSMISSION as _T,
-            BUCKET_TRANSMISSION_ALPHA_CLIP as _TAC,
+            scene_flags_from_arrays,
         )
 
         scene = self.finish()
@@ -195,47 +187,19 @@ class SceneBuilder:
             np.array(self.prim_bucket, np.int32),
             np.concatenate(self.indices).astype(np.int32).reshape(-1, 3),
         )
-        buckets = np.array(self.prim_bucket)
         mats = self.materials or [default_material()]
-        inst_bucket = buckets[np.array(self.inst_primitive, np.int32)]
-        inst_mat = np.array(self.inst_material, np.int32)
-        trans_inst = (inst_bucket == _T) | (inst_bucket == _TAC)
-        trans_mids = set(np.unique(inst_mat[trans_inst]).tolist())
-        flags = SceneFlags(
-            has_alpha_clip=bool(np.any(buckets == _AC) | np.any(buckets == _TAC)),
-            has_transmission=bool(np.any(buckets == _T) | np.any(buckets == _TAC)),
-            tex_slots=tuple(
-                any(m[n] >= 0 for m in mats) for n in TEX_SLOT_NAMES
-            ),
-            tex_slots_transmission=tuple(
-                any(
-                    m[n] >= 0
-                    for i, m in enumerate(mats)
-                    if i in trans_mids
-                )
-                for n in TEX_SLOT_NAMES
-            ),
-            transmission_ior_roughness=(
-                static_ior_roughness_values(
-                    [mats[i]["roughness_factor"] for i in sorted(trans_mids)],
-                    [mats[i]["index_of_refraction"] for i in sorted(trans_mids)],
-                )
-                if trans_mids
-                and not any(
-                    mats[i]["tex_metallic_roughness"] >= 0
-                    for i in trans_mids
-                )
-                else None
-            ),
-            slot_bundles=compute_slot_bundles(
-                {
-                    n: np.array([m[n] for m in mats], np.int64)
-                    for n in TEX_SLOT_NAMES
-                }
-            ),
-            # host-side meta copy: finish_bundle must not read back
-            # device arrays (slow over remote-TPU transports)
-            atlas_pot=atlas_all_pot(np.stack(self.atlas._meta)),
+        # SAME derivation as render.frame.scene_flags, fed from the host
+        # staging lists (finish_bundle must not read back device arrays —
+        # slow over remote-TPU transports)
+        flags = scene_flags_from_arrays(
+            np.array(self.prim_bucket, np.int32),
+            np.array(self.inst_primitive, np.int32),
+            np.array(self.inst_material, np.int32),
+            {n: np.array([m[n] for m in mats], np.int64)
+             for n in TEX_SLOT_NAMES},
+            np.array([m["roughness_factor"] for m in mats], np.float32),
+            np.array([m["index_of_refraction"] for m in mats], np.float32),
+            np.stack(self.atlas._meta),
         )
         return scene, dl, flags
 

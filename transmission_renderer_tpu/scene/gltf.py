@@ -133,6 +133,26 @@ class GltfDocument:
                 out = strided.tobytes()
                 out = np.frombuffer(out, dtype).reshape(count, ncomp)
         out = np.array(out)  # copy, detach from buffer
+        if "sparse" in acc:
+            # sparse substitution: scatter `values` rows at `indices`
+            # over the base view (or the zero base when bufferView is
+            # absent) — glTF 2.0 §3.6.2.4
+            sp = acc["sparse"]
+            n = sp["count"]
+            idx_def, val_def = sp["indices"], sp["values"]
+            idx_dtype = _COMPONENT_DTYPES[idx_def["componentType"]]
+            ibv = self.doc["bufferViews"][idx_def["bufferView"]]
+            istart = ibv.get("byteOffset", 0) + idx_def.get("byteOffset", 0)
+            sidx = np.frombuffer(
+                self.buffers[ibv["buffer"]], idx_dtype, count=n, offset=istart
+            ).astype(np.int64)
+            vbv = self.doc["bufferViews"][val_def["bufferView"]]
+            vstart = vbv.get("byteOffset", 0) + val_def.get("byteOffset", 0)
+            svals = np.frombuffer(
+                self.buffers[vbv["buffer"]], dtype, count=n * ncomp,
+                offset=vstart,
+            ).reshape(n, ncomp)
+            out[sidx] = svals
         if acc.get("normalized"):
             info = np.iinfo(dtype)
             if info.min < 0:
@@ -284,14 +304,32 @@ def load_gltf(
 
     # --- meshes/primitives (src/model_loading.rs:59-162) -------------------
     materials = doc.get("materials", [])
+    # primitives without a "material" reference map to the MODEL'S
+    # material 0 — the reference's unwrap_or(0) quirk
+    # (src/model_loading.rs:96), NOT the glTF-spec default material.
+    # The one case the reference leaves undefined (a document with zero
+    # materials, where base+0 would alias a previous model's material)
+    # gets a spec-default material appended instead.
+    needs_default_material = False
     for node_idx, node in enumerate(doc.get("nodes", [])):
         if "mesh" not in node:
             continue
         t, q, s = _sim_mul(base_sim, node_world[node_idx])
         mesh = doc["meshes"][node["mesh"]]
         for prim in mesh["primitives"]:
+            mode = prim.get("mode", 4)
+            if mode != 4:  # TRIANGLES; strips/fans/lines need conversion
+                raise ValueError(
+                    f"unsupported glTF primitive mode {mode} (only "
+                    f"TRIANGLES is supported, like the reference loader)"
+                )
             mat_idx = prim.get("material", 0)
-            mat = materials[mat_idx] if mat_idx < len(materials) else {}
+            if mat_idx < len(materials):
+                mat = materials[mat_idx]
+            else:
+                mat_idx = len(materials)  # default slot (appended below)
+                needs_default_material = True
+                mat = {}
             ext = mat.get("extensions", {})
             alpha_mode = mat.get("alphaMode", "OPAQUE")
             has_transmission = "KHR_materials_transmission" in ext
@@ -504,3 +542,7 @@ def load_gltf(
                 (specular or {}).get("specularColorFactor", (1.0, 1.0, 1.0))
             ),
         )
+
+    if needs_default_material:
+        # the glTF default material, at local index len(materials)
+        builder.add_material()
