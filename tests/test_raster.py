@@ -202,3 +202,34 @@ def test_barycentric_interpolation_perspective_correct():
     m = (exp_tri == 0) & (got_tri == 0)
     assert m.sum() > 100
     np.testing.assert_allclose(got_bary[m], exp_bary[m], atol=2e-4)
+
+
+def test_top_left_fill_rule_horizontal_edges():
+    """Vulkan top-left rule: a pixel centre EXACTLY on a triangle's top
+    horizontal edge (interior below, y-down) is covered; one exactly on
+    a bottom horizontal edge is not. Regression for the b<0 variant that
+    covered bottom edges instead."""
+    # axis-aligned quad in NDC (w=1), horizontal edges EXACTLY through
+    # pixel-centre rows r0 (top) and r1 (bottom)
+    r0, r1 = 20, 40
+    ny0 = (r0 + 0.5) * 2.0 / H - 1.0
+    ny1 = (r1 + 0.5) * 2.0 / H - 1.0
+    x0, x1 = -0.5, 0.5
+    quad = np.array(
+        [
+            [x0, ny0, 0.5, 1.0],  # top-left
+            [x1, ny0, 0.5, 1.0],  # top-right
+            [x1, ny1, 0.5, 1.0],  # bottom-right
+            [x0, ny1, 0.5, 1.0],  # bottom-left
+        ],
+        np.float32,
+    )
+    tris = [[0, 1, 2], [0, 2, 3]]
+    tri_id, _, _, valid = run_raster(quad, tris, cull_backfaces=False)
+    covered = tri_id >= 0
+    assert valid.all()
+    cx = W // 2  # column well inside the quad's x range
+    assert covered[r0, cx], "top edge through the pixel centre must cover"
+    assert not covered[r1, cx], "bottom edge through the centre must NOT"
+    assert covered[r0 + 1 : r1, cx].all(), "interior rows covered"
+    assert not covered[r0 - 1, cx], "row above the quad uncovered"

@@ -126,6 +126,11 @@ def setup_triangles(
     # Off-screen cull: bbox entirely outside (only meaningful when all w>0).
     on_screen = (x1 > 0) & (x0 < width) & (y1 > 0) & (y0 < height)
     valid = valid & (any_behind | on_screen)
+    # Behind-eye cull (exact): with every w <= 0, interior weights e >= 0
+    # give w_interp = sum(e_i w_i) <= 0, and coverage requires
+    # w_interp > 0 — such a triangle can never produce a fragment, yet
+    # its unbounded bbox would demote it to the big/giant tier.
+    valid = valid & ~jnp.all(w <= 0.0, axis=-1)
 
     return TriangleSetup(
         adj=adj_signed,
@@ -401,10 +406,14 @@ def _raster_tile(
         e2 = adj[2, 0] * nx + adj[2, 1] * ny + adj[2, 2]
 
         # Top-left fill rule: e > 0, or e == 0 on a top/left edge. A tie on
-        # edge i means the pixel centre lies exactly on the line; the edge
-        # is top/left iff (a > 0) or (a == 0 and b < 0) in this orientation.
+        # edge i means the pixel centre lies exactly on the line. With the
+        # interior-positive edges and Y-DOWN ndc used here (ny grows with
+        # py), a LEFT edge has interior to its right (a > 0) and a TOP
+        # edge is horizontal with interior below it (a == 0, b > 0) —
+        # matching Vulkan's rule (an earlier version used b < 0, which
+        # covered bottom edges instead).
         def covered(e, a, b):
-            tl = (a > 0) | ((a == 0) & (b < 0))
+            tl = (a > 0) | ((a == 0) & (b > 0))
             return (e > 0) | ((e == 0) & tl)
 
         inside = (
@@ -430,8 +439,18 @@ def _raster_tile(
             # reference's `.sample` and the Pallas peel path)
             inside &= alpha_ref(safe_tri, b1, b2, nx, ny, adj)
 
-        # GREATER depth test (reversed-Z), first-wins on ties (draw order).
-        win = enabled & inside & (depth > best_depth)
+        # GREATER depth test (reversed-Z), first-wins on ties (draw
+        # order = triangle id). Within each list ids ascend, so strict
+        # GREATER alone keeps the earlier id — but the big list is
+        # walked AFTER the binned list, so an exact cross-list depth tie
+        # (coplanar decal vs demoted wall) needs the explicit id
+        # tie-break to match the reference's draw order (and the Pallas
+        # kernel, whose demoted records ride the id-sorted stream).
+        # best_tri = -1 (no incumbent) never tie-breaks: tri < -1 is
+        # false, preserving GREATER-vs-cleared semantics.
+        win = enabled & inside & (
+            (depth > best_depth) | ((depth == best_depth) & (tri < best_tri))
+        )
         best_tri = jnp.where(win, tri, best_tri)
         best_depth = jnp.where(win, depth, best_depth)
         new_bary = jnp.stack([b1, b2], axis=-1)
@@ -459,19 +478,6 @@ def _raster_tile(
         carry,
     )
     return carry
-
-
-def merge_visibility(a: VisibilityBuffer, b: VisibilityBuffer) -> VisibilityBuffer:
-    """Depth-race merge of two visibility buffers (reversed-Z GREATER);
-    ``a`` wins ties — pass the earlier-drawn batch as ``a`` to preserve
-    draw-order tie semantics. Used to combine the Pallas raster's output
-    (opaque buckets) with the JAX raster's (alpha-clip buckets)."""
-    win_b = b.depth > a.depth
-    return VisibilityBuffer(
-        tri_id=jnp.where(win_b, b.tri_id, a.tri_id),
-        depth=jnp.maximum(a.depth, b.depth),
-        bary=jnp.where(win_b[..., None], b.bary, a.bary),
-    )
 
 
 def tile_image(img: jnp.ndarray, tile_w: int, tile_h: int) -> jnp.ndarray:

@@ -179,7 +179,7 @@ def _raster_kernel(
         e2 = a2 * nx + b2_ * ny + c2
 
         def covered(e, a, b):
-            tl = (a > 0) | ((a == 0) & (b < 0))
+            tl = (a > 0) | ((a == 0) & (b > 0))
             return (e > 0) | ((e == 0) & tl)
 
         inside = (

@@ -294,8 +294,12 @@ def apply_volume_attenuation(
 
     ``attenuation_distance == inf`` means no attenuation (the glTF default).
     """
-    # -ln(colour)/distance; guard colour=0 (ln -> -inf) identically to IEEE:
-    # exp(-inf * d) = 0, which is the correct Beer's-law limit.
+    # -ln(colour)/distance: colour=0 gives coefficient=inf, and
+    # exp(-inf * d) = 0 is the correct Beer's-law limit for d > 0. At
+    # d == 0 (zero-thickness path) inf * 0 = NaN — the SAME IEEE corner
+    # the reference hits (glam-pbr/src/lib.rs:275-290 does the identical
+    # arithmetic in Rust f32); preserved for parity, surfaced by
+    # --check-nan.
     coefficient = -jnp.log(attenuation_colour) / attenuation_distance[..., None]
     transmittance = jnp.exp(-coefficient * transmission_distance[..., None])
     no_attenuation = jnp.isinf(attenuation_distance)[..., None]
