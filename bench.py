@@ -11,7 +11,13 @@ Scene list mirrors BASELINE.md's comparison configs (no glTF sample
 assets exist in this environment, so each is the procedural analogue
 from models/procedural.py, matched in triangle count / material
 character):
-  - helmet_opaque      — DamagedHelmet: opaque PBR, textured
+  - helmet_opaque      — DamagedHelmet: opaque PBR, textured. Since
+                         round 3 this scene carries the real asset's
+                         full 5-slot usage (diffuse + MR + normal +
+                         emissive + occlusion, VERDICT r2 weak #3), so
+                         its fps is NOT comparable to rounds 1-2 (the
+                         old 2-slot scene measured 78.6 ms; the
+                         adversarial one 116.3 ms on the same day)
   - transmission_smooth— TransmissionTest: roughness-0 transmission
   - attenuation        — AttenuationTest: KHR_materials_volume thickness
                          refraction + Beer's law, missing-UV path
