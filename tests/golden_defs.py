@@ -24,7 +24,9 @@ import numpy as np
 
 from transmission_renderer_tpu.config import RenderConfig
 from transmission_renderer_tpu.models import (
+    bindless_lights,
     build_attenuation_scene,
+    build_bindless_scene,
     build_dragon_scene,
     build_opaque_scene,
     build_stress_scene,
@@ -64,13 +66,25 @@ def _stress():
     return build_stress_scene(grid=3)
 
 
-# name -> (builder_fn, camera position, camera pitch)
+def _bindless():
+    return build_bindless_scene(grid=5, n_images=48)
+
+
+def _bindless_lights():
+    return bindless_lights(20)
+
+
+# name -> (builder_fn, camera position, camera pitch[, lights_fn])
 GOLDENS = {
     "test_scene": (build_test_scene, (0.0, 2.0, 2.0), -0.4),
     "attenuation": (build_attenuation_scene, (0.0, 5.0, 3.0), -0.75),
     "dragon": (_dragon, (0.0, 2.2, 1.5), -0.25),
     "helmet": (_helmet, (0.0, 2.2, 1.5), -0.25),
     "stress": (_stress, (0.0, 3.0, 2.5), -0.5),
+    # bindless-scale atlas (48 mixed-size images, no bundle fast path)
+    # under a 20-light rig — pins the general per-slot tap + many-light
+    # cluster path (VERDICT r3 missing #3)
+    "bindless": (_bindless, (0.0, 4.0, 3.0), -0.6, _bindless_lights),
 }
 
 # goldens also rendered through the Pallas-interpret kernel in
@@ -99,7 +113,9 @@ def render_golden_cfg(name: str, cfg: RenderConfig) -> np.ndarray:
     """render_golden with an explicit config (quality-flag A/B bounds)."""
     import jax
 
-    builder_fn, cam, pitch = GOLDENS[name]
+    entry = GOLDENS[name]
+    builder_fn, cam, pitch = entry[:3]
+    lights = pack_lights(entry[3]()) if len(entry) > 3 else _lights()
     scene, dl, flags = builder_fn().finish_bundle()
     rig = _rig(cam, pitch)
     params = make_frame_params(
@@ -107,7 +123,7 @@ def render_golden_cfg(name: str, cfg: RenderConfig) -> np.ndarray:
     )
     ldr = np.asarray(
         jax.jit(partial(render_frame, config=cfg, flags=flags))(
-            scene, dl, params, _lights()
+            scene, dl, params, lights
         )
     )
     return linear_to_srgb(ldr)

@@ -1,0 +1,134 @@
+"""Fused Pallas deferred-shade kernel vs the XLA oracle.
+
+The kernel (render/shade_kernel.py) reproduces shade_opaque_flat's math
+term for term; these tests pin the two paths on full rendered frames
+(interpret mode on CPU — the Pallas program text is identical to the TPU
+build, minus Mosaic codegen).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transmission_renderer_tpu.config import RenderConfig
+from transmission_renderer_tpu.models.procedural import (
+    build_opaque_scene,
+    build_test_scene,
+)
+from transmission_renderer_tpu.pbr.lights import (
+    pack_lights,
+    point_light,
+    spot_light,
+)
+from transmission_renderer_tpu.render import make_frame_params, render_frame
+from transmission_renderer_tpu.scene.camera import CameraRig
+
+
+def _render_pair(builder, lights, width=256, height=64, **cfg_kw):
+    """Render (xla, kernel) frames of the same scene on CPU."""
+    scene, dl, flags = builder.finish_bundle()
+    rig = CameraRig()
+    rig.camera.position = np.array([0.0, 2.0, 1.5], np.float32)
+    rig.camera.pitch = -0.3
+    out = []
+    for pallas_shade in (False, True):
+        config = RenderConfig(
+            width=width, height=height,
+            use_pallas_raster=False,
+            pallas_shade=pallas_shade,
+            pallas_interpret=True,
+            **cfg_kw,
+        )
+        params = make_frame_params(
+            config, rig.camera.view_matrix(), rig.camera.position,
+            rig.sun_dir(),
+        )
+        img = jax.jit(
+            lambda s, d, p, li: render_frame(
+                s, d, p, li, config=config, flags=flags
+            )
+        )(scene, dl, params, lights)
+        out.append(np.asarray(img))
+    return out
+
+
+LIGHTS = pack_lights(
+    [
+        point_light([0.0, 1.5, -2.0], [1.0, 0.2, 0.1], 6.0),
+        point_light([2.0, 0.8, -4.0], [0.1, 0.9, 0.2], 9.0),
+        spot_light([-1.0, 2.5, -3.0], [0.3, 0.4, 1.0], 14.0,
+                   [0.3, -1.0, -0.2], 0.3, 0.7),
+    ]
+)
+
+
+def test_kernel_matches_xla_test_scene():
+    xla, kern = _render_pair(build_test_scene(), LIGHTS)
+    assert not np.allclose(xla, 0.0)
+    np.testing.assert_allclose(kern, xla, atol=2e-5)
+
+
+def test_kernel_matches_xla_normal_mapped():
+    # the helmet-analogue: 4-layer bundle + normal mapping + emissive
+    xla, kern = _render_pair(
+        build_opaque_scene(stacks=12, sectors=24, texture_size=64), LIGHTS
+    )
+    assert not np.allclose(xla, 0.0)
+    np.testing.assert_allclose(kern, xla, atol=2e-5)
+
+
+def test_kernel_matches_xla_sparse_blocks():
+    # block-sparse opaque worklist path (cap < full coverage exercises
+    # the dynamic block-id candidate construction)
+    xla, kern = _render_pair(
+        build_test_scene(), LIGHTS, opaque_block_cap_frac=1.0
+    )
+    assert not np.allclose(xla, 0.0)
+    np.testing.assert_allclose(kern, xla, atol=2e-5)
+
+
+def test_kernel_matches_xla_transmission():
+    # the flagship path: rough transmission + volume attenuation through
+    # the fused pre-kernel + XLA pyramid/LUT fetch + combine tail
+    from transmission_renderer_tpu.models.procedural import build_dragon_scene
+
+    xla, kern = _render_pair(
+        build_dragon_scene(stacks=16, sectors=32, roughness_override=0.25),
+        LIGHTS,
+    )
+    assert not np.allclose(xla, 0.0)
+    # the refract/normalize chains reassociate a few ULP more than the
+    # opaque path (measured max 2.9e-5 on 6/49k pixels); budget is 1e-3
+    np.testing.assert_allclose(kern, xla, atol=1e-4)
+
+
+def test_kernel_matches_xla_attenuation():
+    # Beer's-law attenuation + the missing-UV transmissive path +
+    # smooth (roughness 0) refraction
+    from transmission_renderer_tpu.models.procedural import (
+        build_attenuation_scene,
+    )
+
+    xla, kern = _render_pair(build_attenuation_scene(), LIGHTS)
+    assert not np.allclose(xla, 0.0)
+    np.testing.assert_allclose(kern, xla, atol=1e-4)
+
+
+def test_kernel_gate_untextured():
+    """A scene with no sampled texture slots still renders identically
+    (sample plane list is empty)."""
+    from transmission_renderer_tpu.scene.builder import SceneBuilder
+    from transmission_renderer_tpu.models.procedural import make_sphere_mesh
+    from transmission_renderer_tpu.config import BUCKET_OPAQUE
+
+    b = SceneBuilder()
+    mat = b.add_material(diffuse_factor=(0.7, 0.3, 0.2, 1.0),
+                         roughness_factor=0.5)
+    prim = b.add_primitive(*make_sphere_mesh(12, 24), bucket=BUCKET_OPAQUE)
+    b.add_instance(prim, mat, translation=(0.0, 1.0, -3.0))
+    xla, kern = _render_pair(b, LIGHTS)
+    assert not np.allclose(xla, 0.0)
+    np.testing.assert_allclose(kern, xla, atol=2e-5)

@@ -7,21 +7,22 @@ inside a kernel, given Mosaic has no documented arbitrary per-lane VMEM
 gather? This tool measures every candidate on the real chip:
 
   A. XLA-level gather baseline (what the current frame pays)
-  B. in-kernel `jnp.take` / `table_ref[idx]` (does Mosaic lower it at all,
-     and at what rate) with the table VMEM-resident
+  B. in-kernel `jnp.take` (does Mosaic lower it at all, and at what
+     rate) with the table VMEM-resident
   C. in-kernel one-hot MXU row fetch (the verdict's suggested fallback)
   D. in-kernel fori_loop of scalar dynamic-slice row reads
   E. fused math throughput reference: ~N VPU ops/pixel in one kernel
      (what the BRDF/cluster math costs once fused)
 
-Timing: forced tiny readback with the enqueue round-trip subtracted
-(same methodology as bench.py — on the tunneled axon platform
-block_until_ready returns at enqueue).
+Timing: SLOPE method — each case is wrapped in one jitted function that
+chains the op `reps` times with a data dependency (per-iteration index
+perturbation defeats CSE), readback once; cost = (t(hi) - t(lo)) /
+(hi - lo). No round-trip subtraction needed, robust to the tunneled
+device's enqueue-async behaviour.
 
-Usage: python tools/gather_study.py [case ...]
+Usage: python tools/gather_study.py [A B C D E ...]
 """
 
-import functools
 import os
 import sys
 import time
@@ -36,35 +37,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def measure_round_trip():
-    trivial = jax.jit(lambda x: jnp.sum(x))
-    small = jnp.ones((8,), jnp.float32)
-    float(trivial(small))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        float(trivial(small))
-    return (time.perf_counter() - t0) / 20
+M_PAD = 2_097_152  # ~1080p pixel count, 2^21
 
 
-def timeit(fn, *args, n=8):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # force a real readback each iteration
-    reader = jax.jit(lambda x: jnp.sum(jnp.asarray(x, jnp.float32).ravel()[:4]))
-    float(reader(out if not isinstance(out, tuple) else out[0]))
-    times = []
+def slope_time(build, lo=2, hi=10, n=5):
+    """build(reps) -> jitted zero-arg fn returning a scalar. Returns s/op."""
+    f_lo, f_hi = build(lo), build(hi)
+    float(f_lo())  # compile
+    float(f_hi())
+    t_lo, t_hi = [], []
     for _ in range(n):
         t0 = time.perf_counter()
-        r = fn(*args)
-        float(reader(r if not isinstance(r, tuple) else r[0]))
-        times.append(time.perf_counter() - t0)
-    rt = measure_round_trip()
-    return min(times) - rt
-
-
-M = 2_073_600  # 1080p pixel count
-M_PAD = 2_097_152  # 2^21, divisible by 1024
+        float(f_lo())
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(f_hi())
+        t_hi.append(time.perf_counter() - t0)
+    return (min(t_hi) - min(t_lo)) / (hi - lo)
 
 
 def coherent_indices(n_rows, key=0):
@@ -75,140 +64,187 @@ def coherent_indices(n_rows, key=0):
     return jnp.asarray(((base + noise) % n_rows).astype(np.int32))
 
 
-def case_xla_gather(n_rows, width=128, dtype=jnp.bfloat16):
+def frame_like_indices(n_rows, key=0):
+    """Closer to real frame taps: per-256px-block base + jitter within a
+    mip-locality window (neighbouring pixels hit nearby rows, blocks jump)."""
+    rng = np.random.default_rng(key)
+    n_blocks = M_PAD // 256
+    base = rng.integers(0, n_rows, n_blocks)[:, None]
+    jit = rng.integers(0, max(n_rows // 64, 16), (n_blocks, 256))
+    return jnp.asarray(((base + jit) % n_rows).astype(np.int32).reshape(-1))
+
+
+def case_xla_gather(n_rows, width=128, dtype=jnp.bfloat16, idx_kind="coherent"):
     table = jnp.asarray(
         np.random.default_rng(1).standard_normal((n_rows, width)), dtype
     )
-    idx = coherent_indices(n_rows)
+    mk = coherent_indices if idx_kind == "coherent" else frame_like_indices
+    idx = mk(n_rows)
 
-    @jax.jit
-    def f(table, idx):
-        return jnp.sum(table[idx].astype(jnp.float32), axis=-1)
+    def build(reps):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                rows = table[(idx + i) % n_rows]
+                return acc + jnp.sum(rows[:, :1].astype(jnp.float32))
 
-    dt = timeit(f, table, idx)
-    print(f"A. XLA gather   rows={n_rows:>7} w={width} {np.dtype(dtype).name}: "
-          f"{dt*1e3:8.2f} ms  ({dt/M_PAD*1e9:.2f} ns/idx)")
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        return f
+
+    dt = slope_time(build)
+    print(f"A. XLA gather  rows={n_rows:>7} w={width} {np.dtype(dtype).name} "
+          f"{idx_kind:>9}: {dt*1e3:8.2f} ms  ({dt/M_PAD*1e9:.2f} ns/idx)")
 
 
-def case_pallas_take(n_rows, width=128, dtype=jnp.bfloat16, block=2048):
-    """Whole table VMEM-resident; per-block [block] indices; jnp.take."""
+def _pallas_block_loop(kernel_per_block, table, idx3, extra_scratch=()):
+    """idx3: [NB, 8, 128] int32. Runs kernel over grid NB, out [NB, 8, 128] f32."""
+    nb = idx3.shape[0]
+    return pl.pallas_call(
+        kernel_per_block,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY)
+            if table is None else pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(idx3.shape, jnp.float32),
+        scratch_shapes=list(extra_scratch),
+    )(table, idx3)
+
+
+def case_pallas_take(n_rows, width=128, dtype=jnp.bfloat16):
+    """Whole table VMEM-resident; 1024 idx per block; jnp.take."""
     table = jnp.asarray(
         np.random.default_rng(1).standard_normal((n_rows, width)), dtype
     )
-    idx = coherent_indices(n_rows).reshape(-1, block)
+    idx3 = coherent_indices(n_rows).reshape(-1, 8, 128)
 
     def kernel(tab_ref, idx_ref, out_ref):
-        rows = jnp.take(tab_ref[:], idx_ref[0], axis=0)  # [block, width]
-        out_ref[0] = jnp.sum(rows.astype(jnp.float32), axis=-1)
+        ids = idx_ref[0].reshape(-1)  # [1024]
+        rows = jnp.take(tab_ref[:], ids, axis=0)  # [1024, width]
+        out_ref[0] = jnp.sum(rows.astype(jnp.float32), axis=-1).reshape(8, 128)
 
-    @jax.jit
-    def f(table, idx):
-        return pl.pallas_call(
-            kernel,
-            grid=(idx.shape[0],),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, block), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(idx.shape, jnp.float32),
-        )(table, idx)
+    def build(reps):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                out = _pallas_block_loop(kernel, table, (idx3 + i) % n_rows)
+                return acc + out[0, 0, 0]
+
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        return f
 
     try:
-        dt = timeit(f, table, idx)
-        print(f"B. pallas take  rows={n_rows:>7} w={width} {np.dtype(dtype).name}: "
-              f"{dt*1e3:8.2f} ms  ({dt/M_PAD*1e9:.2f} ns/idx)")
+        dt = slope_time(build)
+        print(f"B. pallas take  rows={n_rows:>6} w={width}: {dt*1e3:8.2f} ms "
+              f"({dt/M_PAD*1e9:.2f} ns/idx)")
     except Exception as e:
-        msg = str(e).split(chr(10))[0][:140]
-        print(f"B. pallas take  rows={n_rows:>7}: FAILED {type(e).__name__}: {msg}")
+        msg = str(e).split(chr(10))[0][:160]
+        print(f"B. pallas take  rows={n_rows:>6}: FAILED {type(e).__name__}: {msg}")
 
 
-def case_pallas_onehot(n_rows, width=16, block=1024):
-    """One-hot MXU row fetch from a small VMEM table, per block."""
+def case_pallas_onehot(n_rows, width=16):
+    """One-hot MXU row fetch from a small VMEM-resident f32 table."""
     table = jnp.asarray(
         np.random.default_rng(1).standard_normal((n_rows, width)), jnp.float32
     )
-    idx = coherent_indices(n_rows).reshape(-1, block)
+    idx3 = coherent_indices(n_rows).reshape(-1, 8, 128)
 
     def kernel(tab_ref, idx_ref, out_ref):
-        ids = idx_ref[0]  # [block]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block, n_rows), 1)
-        oh = (ids[:, None] == row_ids).astype(jnp.float32)
+        ids = idx_ref[0].reshape(-1, 1)  # [1024, 1]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1024, n_rows), 1)
+        oh = (ids == row_ids).astype(jnp.float32)
         rows = jnp.dot(oh, tab_ref[:], preferred_element_type=jnp.float32)
-        out_ref[0] = jnp.sum(rows, axis=-1)
+        out_ref[0] = jnp.sum(rows, axis=-1).reshape(8, 128)
 
-    @jax.jit
-    def f(table, idx):
-        return pl.pallas_call(
-            kernel,
-            grid=(idx.shape[0],),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, block), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(idx.shape, jnp.float32),
-        )(table, idx)
+    def build(reps):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                out = _pallas_block_loop(kernel, table, (idx3 + i) % n_rows)
+                return acc + out[0, 0, 0]
+
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        return f
 
     try:
-        dt = timeit(f, table, idx)
-        print(f"C. pallas onehot rows={n_rows:>6} w={width}: "
-              f"{dt*1e3:8.2f} ms  ({dt/M_PAD*1e9:.2f} ns/idx)")
+        dt = slope_time(build)
+        print(f"C. pallas onehot rows={n_rows:>6} w={width}: {dt*1e3:8.2f} ms "
+              f"({dt/M_PAD*1e9:.2f} ns/idx)")
     except Exception as e:
-        msg = str(e).split(chr(10))[0][:140]
+        msg = str(e).split(chr(10))[0][:160]
         print(f"C. pallas onehot rows={n_rows:>6}: FAILED {type(e).__name__}: {msg}")
 
 
-def case_pallas_scalar_loop(n_rows, width=128, block=256):
+def case_pallas_scalar_loop(n_rows, width=128, n_idx=16_384):
     """fori_loop of per-row dynamic slices (the naive fallback)."""
     table = jnp.asarray(
         np.random.default_rng(1).standard_normal((n_rows, width)), jnp.float32
     )
-    idx = coherent_indices(n_rows).reshape(-1, block)
-    n_blocks = min(idx.shape[0], 64)  # cap: extrapolate, this one is slow
-    idx = idx[:n_blocks]
+    idx3 = coherent_indices(n_rows)[:n_idx].reshape(-1, 8, 128)
 
-    def kernel(tab_ref, idx_ref, out_ref, scratch):
-        def body(i, _):
-            r = idx_ref[0, i]
-            scratch[i, :] = tab_ref[r, :]
-            return 0
+    def kernel(tab_ref, idx_ref, out_ref, sref, acc_ref):
+        sref[0] = idx_ref[0].reshape(-1)  # spill indices to SMEM? no: SMEM write
+        # read indices into SMEM is itself awkward; do dynamic-slice per row
+        def body(i, acc):
+            r = sref[i]
+            return acc + jnp.sum(tab_ref[pl.ds(r, 1), :])
 
-        jax.lax.fori_loop(0, block, body, 0)
-        out_ref[0] = jnp.sum(scratch[:], axis=-1)
+        total = jax.lax.fori_loop(0, 1024, body, 0.0)
+        out_ref[0] = jnp.full((8, 128), total, jnp.float32)
 
-    @jax.jit
-    def f(table, idx):
-        return pl.pallas_call(
-            kernel,
-            grid=(idx.shape[0],),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((1, block), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(idx.shape, jnp.float32),
-            scratch_shapes=[pltpu.VMEM((block, width), jnp.float32)],
-        )(table, idx)
+    def kernel2(tab_ref, idx_ref, out_ref, acc_ref):
+        def body(i, acc):
+            r = idx_ref[0].reshape(-1)[i]
+            return acc + jnp.sum(tab_ref[pl.ds(r, 1), :])
+
+        total = jax.lax.fori_loop(0, 1024, body, 0.0)
+        out_ref[0] = jnp.full((8, 128), total, jnp.float32)
+
+    def build(reps):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                out = pl.pallas_call(
+                    kernel2,
+                    grid=(idx3.shape[0],),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct(idx3.shape, jnp.float32),
+                    scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+                )((table + i * 0.0), (idx3 + i) % n_rows)
+                return acc + out[0, 0, 0]
+
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        return f
 
     try:
-        dt = timeit(f, table, idx)
-        per_idx = dt / (n_blocks * block)
+        dt = slope_time(build)
+        per_idx = dt / n_idx
         print(f"D. pallas scalar-loop rows={n_rows:>6}: {dt*1e3:8.2f} ms over "
-              f"{n_blocks*block} idx ({per_idx*1e9:.2f} ns/idx -> "
+              f"{n_idx} idx ({per_idx*1e9:.2f} ns/idx -> "
               f"{per_idx*M_PAD*1e3:.1f} ms at 2M)")
     except Exception as e:
-        msg = str(e).split(chr(10))[0][:140]
+        msg = str(e).split(chr(10))[0][:160]
         print(f"D. pallas scalar-loop: FAILED {type(e).__name__}: {msg}")
 
 
-def case_fused_math(n_ops=400, block=1024):
-    """Reference: n_ops chained VPU ops per pixel in one kernel."""
+def case_fused_math(n_ops=400):
+    """Reference: n_ops chained VPU ops per pixel in one kernel, 2M px."""
     x = jnp.asarray(
-        np.random.default_rng(1).standard_normal((M_PAD // block, block)),
+        np.random.default_rng(1).standard_normal((M_PAD // 128, 128)),
         jnp.float32,
     )
 
@@ -218,19 +254,26 @@ def case_fused_math(n_ops=400, block=1024):
             v = v * 1.0001 + 0.3
         out_ref[:] = v
 
-    @jax.jit
-    def f(x):
-        return pl.pallas_call(
-            kernel,
-            grid=(x.shape[0] // 8,),
-            in_specs=[pl.BlockSpec((8, block), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((8, block), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
-        )(x)
+    def build(reps):
+        @jax.jit
+        def f():
+            def body(i, acc):
+                out = pl.pallas_call(
+                    kernel,
+                    grid=(x.shape[0] // 512,),
+                    in_specs=[pl.BlockSpec((512, 128), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((512, 128), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+                )(x + i * 0.0)
+                return acc + out[0, 0]
 
-    dt = timeit(f, x)
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        return f
+
+    dt = slope_time(build)
     print(f"E. fused math {n_ops} ops/px at 2M px: {dt*1e3:8.2f} ms")
 
 
@@ -239,10 +282,15 @@ def main():
     print(f"device: {dev.device_kind} ({dev.platform})")
     wanted = set(sys.argv[1:]) or {"A", "B", "C", "D", "E"}
 
+    if "W" in wanted:
+        case_width_sweep()
+
     if "A" in wanted:
-        case_xla_gather(6144, 16, jnp.float32)   # cluster-table scale
-        case_xla_gather(43_690, 128, jnp.bfloat16)  # dragon atlas scale
+        case_xla_gather(6144, 16, jnp.float32)       # cluster-table scale
+        case_xla_gather(43_690, 128, jnp.bfloat16)   # dragon atlas scale
+        case_xla_gather(43_690, 128, jnp.bfloat16, "frame")
         case_xla_gather(524_292, 128, jnp.bfloat16)  # helmet bundle scale
+        case_xla_gather(524_292, 128, jnp.bfloat16, "frame")
     if "B" in wanted:
         case_pallas_take(6144, 16, jnp.float32)
         case_pallas_take(43_690, 128, jnp.bfloat16)
@@ -259,3 +307,35 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def case_width_sweep():
+    """SAME table bytes, different (rows x width) factorings — decides
+    whether gather cost is row-count-bound or bytes/locality-bound, i.e.
+    whether a select-free narrow-row atlas ([4.2M, 16] instead of
+    [524k, 128] + in-register sub-block select) is free or 4x worse.
+    Uses frame-like indices; when width shrinks GROUP-fold the index
+    space grows GROUP-fold (same texel locality)."""
+    for n_rows, width in ((524_288, 128), (2_097_152, 32), (4_194_304, 16),
+                          (43_690, 128), (349_520, 16)):
+        table = jnp.asarray(
+            np.random.default_rng(1).standard_normal((n_rows, width)),
+            jnp.bfloat16,
+        )
+        idx = frame_like_indices(n_rows)
+
+        def build(reps):
+            @jax.jit
+            def f():
+                def body(i, acc):
+                    rows = table[(idx + i) % n_rows]
+                    return acc + jnp.sum(rows[:, :1].astype(jnp.float32))
+
+                return jax.lax.fori_loop(0, reps, body, 0.0)
+
+            return f
+
+        dt = slope_time(build)
+        mb = n_rows * width * 2 / 1e6
+        print(f"W. gather rows={n_rows:>8} w={width:>4} ({mb:6.0f} MB): "
+              f"{dt*1e3:8.2f} ms ({dt/M_PAD*1e9:.2f} ns/idx)")

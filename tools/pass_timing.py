@@ -27,8 +27,17 @@ import tempfile
 PASS_SCOPES = (
     # sub-scopes FIRST: attribution picks the first match, and these
     # appear nested under shade_* in the op_name path
+    "mat_row",
+    "mat_tap",
+    "mat_normal",
     "material_taps",
+    "shade_kernel",
+    "cluster_fetch",
+    "brdf_sun",
+    "brdf_slots",
     "light_loop",
+    "pyr_down",
+    "pyr_quads",
     "geometry",
     "binning",
     "payload",

@@ -65,10 +65,19 @@ class RenderConfig:
     # demotes to a mid tier (max_mid x cap pair slots); larger ones to the
     # giant tier (max_big x n_tiles slots). Tier overflow drops draws and
     # is surfaced via FrameDiagnostics (mid_tri_count / big_tri_count).
-    pallas_tiles_per_tri: int = 8
+    pallas_tiles_per_tri: int = 2
     pallas_mid_tile_cap: int = 128
     pallas_max_mid_tris: int = 512
     pallas_max_big_tris: int = 32
+    # Demotion TIER LADDER (ops/raster.py::bin_triangles tiers=): each
+    # (tile_cap, max_tris) rung holds triangles whose bbox coverage is in
+    # (previous cap, tile_cap]; cap 0 = the full-screen catch-all. At the
+    # flagship camera 97.9% of dragon triangles cover <= 2 tiles (the
+    # true pair count is 0.13 M), so K=2 + this ladder feeds the binning
+    # sort ~0.6 M slots instead of 1.7 M (K=8 + one 32 x n_tiles giant
+    # tier). Rung overflow drops draws and is surfaced via
+    # FrameDiagnostics.tier_overflow.
+    pallas_tiers: tuple = ((8, 4096), (128, 512), (2048, 64), (0, 16))
 
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
     # shape is the kernel's native 8x128; pure-JAX vmapped raster
@@ -78,6 +87,13 @@ class RenderConfig:
     use_pallas_raster: bool | None = None
     # Run the Pallas kernel in interpreter mode (CPU testing only).
     pallas_interpret: bool = False
+    # Fused Pallas deferred-shade kernel (render/shade_kernel.py): the
+    # opaque shade's material assembly + clustered light loop + BRDF as
+    # ONE kernel, replacing ~30 ms of fragmented XLA elementwise fusions
+    # at 1080p (the gathers stay in XLA at their measured floor). None =
+    # auto (on whenever the Pallas raster path is on); the XLA
+    # formulation remains the exactness oracle (tests/test_shade_kernel).
+    pallas_shade: bool | None = None
     # Walk the full static bin capacity per tile instead of the dynamic
     # trip count. Exactly equivalent (bin padding is -1 and masked), but
     # avoids the batched while_loop that jax.experimental.checkify cannot

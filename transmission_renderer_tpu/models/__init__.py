@@ -19,4 +19,6 @@ from transmission_renderer_tpu.models.procedural import (  # noqa: F401
     build_dragon_scene,
     build_stress_scene,
     build_attenuation_scene,
+    build_bindless_scene,
+    bindless_lights,
 )

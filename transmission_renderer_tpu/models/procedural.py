@@ -377,6 +377,144 @@ def build_stress_scene(grid: int = 5, seed: int = 11) -> SceneBuilder:
     return b
 
 
+def _pattern_texture(size: int, kind: int, seed: int) -> np.ndarray:
+    """Small procedural RGBA pattern (stripes / rings / noise blobs /
+    checker), one distinct image per (kind, seed)."""
+    rng = np.random.default_rng(seed)
+    ys, xs = np.meshgrid(
+        np.arange(size, dtype=np.float32), np.arange(size, dtype=np.float32),
+        indexing="ij",
+    )
+    u, v = xs / size, ys / size
+    base = rng.uniform(60, 200, 3)
+    if kind == 0:
+        f = rng.integers(2, 9)
+        m = 0.5 + 0.5 * np.sin(2 * np.pi * f * u + rng.uniform(0, 6.0))
+    elif kind == 1:
+        r = np.hypot(u - 0.5, v - 0.5)
+        m = 0.5 + 0.5 * np.sin(2 * np.pi * rng.integers(3, 9) * r)
+    elif kind == 2:
+        m = np.zeros((size, size), np.float32)
+        for _ in range(4):
+            k = rng.normal(size=2).astype(np.float32) * rng.uniform(3, 9)
+            m += np.sin(u * 2 * np.pi * k[0] + v * 2 * np.pi * k[1])
+        m = 0.5 + m / 8.0
+    else:
+        cells = int(rng.integers(3, 9))
+        m = (((xs * cells // size) + (ys * cells // size)) % 2).astype(
+            np.float32
+        )
+    rgba = np.zeros((size, size, 4), np.uint8)
+    for c in range(3):
+        rgba[..., c] = np.clip(base[c] * (0.4 + 0.6 * m), 0, 255)
+    rgba[..., 3] = 255
+    return rgba
+
+
+def build_bindless_scene(
+    grid: int = 9, n_images: int = 72, seed: int = 23
+) -> SceneBuilder:
+    """Bindless-texture-scale stress scene (VERDICT r3 missing #3).
+
+    The reference carries MAX_IMAGES = 193 partially-bound bindless
+    images (src/main.rs:59) and Sponza loads dozens of mixed-size
+    textures / ~25 materials (src/main.rs:342-351); the other procedural
+    scenes peak at ~5 texture slots, which never exercises the atlas at
+    registry scale. This scene forces the general machinery:
+
+      * ``n_images`` individually-added images of MIXED sizes (32..192,
+        including non-power-of-two 48/96/192 -> ``atlas_pot`` False, the
+        exact 2-gather trilinear path),
+      * one material per grid object, most reading TWO different images
+        through sampled slots (diffuse + emissive or metallic-roughness)
+        -> ``compute_slot_bundles`` returns () — no shared-bundle fast
+        path, per-slot taps,
+      * bench pairs it with a 48-light rig so cluster assignment and the
+        128-slot clamp machinery run at many-light scale
+        (shared-structs/src/lib.rs:322).
+    """
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    sizes = (32, 48, 64, 96, 128, 192)
+    tex = [
+        b.add_texture(
+            _pattern_texture(sizes[i % len(sizes)], i % 4, seed + i),
+            srgb=(i % 3 != 2),
+        )
+        for i in range(n_images)
+    ]
+    floor_mat = b.add_material(tex_diffuse=tex[0], roughness_factor=0.85)
+    p_floor = b.add_primitive(
+        *make_plane_mesh(grid * 1.6), bucket=BUCKET_OPAQUE
+    )
+    p_sphere = b.add_primitive(*make_sphere_mesh(12, 24), bucket=BUCKET_OPAQUE)
+    p_box = b.add_primitive(*make_box_mesh((0.45, 0.45, 0.45)),
+                            bucket=BUCKET_OPAQUE)
+    b.add_instance(p_floor, floor_mat)
+    for i in range(grid):
+        for j in range(grid):
+            n = i * grid + j
+            kw = dict(
+                tex_diffuse=tex[(n + 1) % n_images],
+                roughness_factor=float(rng.uniform(0.2, 0.9)),
+                metallic_factor=float(rng.uniform(0.0, 1.0)),
+            )
+            # most materials read a SECOND, different image through a
+            # sampled slot — defeats the single-bundle grouping
+            if n % 3 == 0:
+                kw["tex_emissive"] = tex[(n + 29) % n_images]
+                kw["emissive_factor"] = (0.6, 0.5, 0.4)
+            elif n % 3 == 1:
+                kw["tex_metallic_roughness"] = tex[(n + 41) % n_images]
+            mat = b.add_material(**kw)
+            x = (i - grid / 2 + 0.5) * 2.4
+            z = -(j + 1) * 2.4
+            if n % 2:
+                b.add_instance(p_sphere, mat, translation=(x, 0.9, z),
+                               scale=float(rng.uniform(0.5, 0.9)))
+            else:
+                b.add_instance(
+                    p_box, mat, translation=(x, 0.45, z),
+                    rotation=quat_from_axis_angle(
+                        [0, 1, 0], float(rng.uniform(0, 3.1))
+                    ),
+                )
+    return b
+
+
+def bindless_lights(n: int = 48, seed: int = 5):
+    """Many-light rig for the bindless scene: a grid of coloured point
+    lights + a few spots (light-per-cluster assignment at real scale)."""
+    from transmission_renderer_tpu.pbr.lights import (
+        point_light,
+        spot_light,
+    )
+
+    rng = np.random.default_rng(seed)
+    lights = []
+    side = int(np.ceil(np.sqrt(n)))
+    for k in range(n - 4):
+        i, j = divmod(k, side)
+        x = (i - side / 2 + 0.5) * 3.0
+        z = -(j + 1) * 3.0
+        lights.append(
+            point_light(
+                [x, float(rng.uniform(0.8, 2.5)), z],
+                list(rng.uniform(0.2, 1.0, 3)),
+                float(rng.uniform(2.0, 8.0)),
+            )
+        )
+    for k in range(4):
+        lights.append(
+            spot_light(
+                [(k - 1.5) * 4.0, 4.0, -6.0],
+                list(rng.uniform(0.3, 1.0, 3)), 12.0,
+                [0.0, -1.0, 0.0], 0.3, 0.8,
+            )
+        )
+    return lights
+
+
 def build_attenuation_scene() -> SceneBuilder:
     """AttenuationTest-analogue: boxes of increasing thickness with
     Beer's-law attenuation and no UVs on the transmissive primitives

@@ -257,6 +257,37 @@ def refit_bvh(
     return dataclasses.replace(bvh, node_boxes=jnp.concatenate(rows, axis=0))
 
 
+def _stable_partition_perm(key: jnp.ndarray) -> jnp.ndarray:
+    """Permutation that stable-partitions by a bool key (False first) —
+    EXACTLY jnp.argsort(key, stable=True), but via cumsum + unique-index
+    scatter. An argsort over the ray batch is a full sort (~180 ms per
+    1M elements on v5e — three of them cost ~2.8 s/frame at 6.2M rays,
+    the RT pass's entire ray-count-independent overhead, BENCH_r03 /
+    docs/PERFORMANCE.md); the scatter is a gather-class op (~12 ns/elem,
+    ~75 ms at the same size)."""
+    n = key.shape[0]
+    kf = (~key).astype(jnp.int32)
+    nf = jnp.cumsum(kf)
+    total_false = nf[-1]
+    nt = jnp.cumsum(key.astype(jnp.int32))
+    pos = jnp.where(key, total_false + nt - 1, nf - 1)
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[pos]
+        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    )
+
+
+def _inverse_perm(perm: jnp.ndarray) -> jnp.ndarray:
+    """inv[perm[i]] = i via one unique-index scatter (vs an argsort)."""
+    n = perm.shape[0]
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    )
+
+
 def _ray_aabb(origin, inv_dir, t_max, bmin, bmax):
     """Slab test -> bool (handles inf inv_dir per IEEE); broadcasts over
     leading box axes."""
@@ -575,7 +606,7 @@ def trace_rays(
         # pre-sort (live first; raster-coherent within each group)
         # packs them into all-done chunks that exit phase 1
         # immediately; the cost is one bool argsort over the batch.
-        live_perm = jnp.argsort(t_p <= 0.0, stable=True)
+        live_perm = _stable_partition_perm(t_p <= 0.0)
         rays = jax.tree.map(
             lambda a: a[live_perm], (o_p, inv_p, d_p)
         )
@@ -590,11 +621,11 @@ def trace_rays(
             key = jnp.where(state[-1], jnp.int32(0x7FFFFFFF), state[1])
             perm = jnp.argsort(key, stable=True)
         else:
-            perm = jnp.argsort(state[-1], stable=True)
+            perm = _stable_partition_perm(state[-1])
         rays_s = jax.tree.map(lambda a: a[perm], rays)
         state_s = jax.tree.map(lambda a: a[perm], state)
         final_s = run_chunks(rays_s, state_s, None)
-        inv_perm = jnp.argsort(live_perm[perm])
+        inv_perm = _inverse_perm(live_perm[perm])
         final = jax.tree.map(lambda a: a[inv_perm][:n], final_s)
         best_t, best_tri, bu, bv = final[4], final[5], final[6], final[7]
         trips = final[8]

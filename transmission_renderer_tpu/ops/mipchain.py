@@ -36,10 +36,11 @@ class MipPyramid(NamedTuple):
     # 350k-row [12]f32 ~10 ms vs 87.5k-row [48]f32 ~1 ms), so a fetch
     # restricted to a static level set only ever touches small tables and
     # the row grouping cuts the rest ~4x. The concatenated view
-    # (``quads``) serves per-pixel dynamic levels; being a traced concat
-    # inside the frame jit, XLA dead-code-eliminates it (and the fine
-    # levels' quad builds) when unused.
-    level_quads: tuple  # tuple of [G_k, 12 * GROUP] float32
+    # (``quads``) serves per-pixel dynamic levels; levels outside a
+    # static ``level_set`` passed to build_pyramid hold None (their quad
+    # construction is skipped at trace time — cheaper and more reliable
+    # than hoping XLA DCEs a 100 MB level-0 phase-copy chain).
+    level_quads: tuple  # tuple of [G_k, 12 * GROUP] float32 (or None)
     # static per-level metadata (Python ints; the pyramid never crosses a
     # jit boundary, it is built and consumed inside the frame function)
     offsets: tuple  # GROUPED-row offset of each level in the concat view
@@ -48,6 +49,10 @@ class MipPyramid(NamedTuple):
 
     @property
     def quads(self) -> jnp.ndarray:
+        assert all(q is not None for q in self.level_quads), (
+            "dynamic-level sampling needs a full pyramid "
+            "(build_pyramid(level_set=None))"
+        )
         return jnp.concatenate(self.level_quads, axis=0)
 
     @property
@@ -150,27 +155,50 @@ def _fetch_quad(table: jnp.ndarray, grouped_off, qidx: jnp.ndarray):
     return out.reshape(out.shape[:-1] + (4, 3))
 
 
-def build_pyramid(framebuffer: jnp.ndarray) -> MipPyramid:
-    """[H, W, 3] -> full quad-block mip pyramid (level 0 included)."""
+def build_pyramid(
+    framebuffer: jnp.ndarray, level_set: tuple | None = None
+) -> MipPyramid:
+    """[H, W, 3] -> quad-block mip pyramid (level 0 included).
+
+    ``level_set`` (static level indices, see
+    render/frame.py::refraction_level_set) restricts the build: the
+    downsample chain stops at the coarsest needed level and quad tables
+    are only constructed for levels IN the set (others hold None). The
+    reference regenerates its full chain every frame
+    (src/main.rs:2054-2063); with an untextured transmissive roughness
+    the fetch provably touches only the set, so matching its work would
+    be pure waste."""
     h, w = framebuffer.shape[:2]
     shapes = pyramid_shapes(w, h)
-    if PLANAR:
-        planes = [
-            [framebuffer[..., c] for c in range(3)]
-        ]
-        for _ in range(len(shapes) - 1):
-            planes.append([_downsample2x_plane(p) for p in planes[-1]])
-        levels = [jnp.stack(ps, axis=-1) for ps in planes]
-    else:
-        levels = [framebuffer]
-        for _ in range(len(shapes) - 1):
-            levels.append(_downsample2x(levels[-1]))
+    n_levels = len(shapes)
+    max_needed = n_levels - 1 if level_set is None else min(
+        max(level_set), n_levels - 1
+    )
+    with jax.named_scope("pyr_down"):
+        if PLANAR:
+            planes = [
+                [framebuffer[..., c] for c in range(3)]
+            ]
+            for _ in range(max_needed):
+                planes.append([_downsample2x_plane(p) for p in planes[-1]])
+            levels = [jnp.stack(ps, axis=-1) for ps in planes]
+        else:
+            levels = [framebuffer]
+            for _ in range(max_needed):
+                levels.append(_downsample2x(levels[-1]))
     offsets, off = [], 0
     for lw, lh in shapes:
         offsets.append(off)
         off += _grouped_rows(4 * ((lw + 1) // 2) * ((lh + 1) // 2))
+    with jax.named_scope("pyr_quads"):
+        level_quads = tuple(
+            _quad_level(levels[k])
+            if (level_set is None or k in level_set) and k <= max_needed
+            else None
+            for k in range(n_levels)
+        )
     return MipPyramid(
-        level_quads=tuple(_quad_level(lvl) for lvl in levels),
+        level_quads=level_quads,
         offsets=tuple(offsets),
         widths=tuple(s[0] for s in shapes),
         heights=tuple(s[1] for s in shapes),

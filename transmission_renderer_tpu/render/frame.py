@@ -396,6 +396,9 @@ class FrameDiagnostics(NamedTuple):
     transmission_tile_capacity: int = 0
     clip_tiles: jnp.ndarray | int = 0
     clip_tile_capacity: int = 0
+    # worst demotion-tier rung overflow (Pallas tier ladder,
+    # config.pallas_tiers): demand minus slots, > 0 = dropped draws
+    tier_overflow: jnp.ndarray | int = 0
 
     def overflowed(self) -> bool:
         """Host-side check (call outside jit on fetched values)."""
@@ -408,9 +411,11 @@ class FrameDiagnostics(NamedTuple):
             (int(self.transmission_tiles), self.transmission_tile_capacity),
             (int(self.clip_tiles), self.clip_tile_capacity),
         ]
-        return any(cap and n > cap for n, cap in checks) or int(
-            self.clip_unresolved
-        ) > 0
+        return (
+            any(cap and n > cap for n, cap in checks)
+            or int(self.clip_unresolved) > 0
+            or int(self.tier_overflow) > 0
+        )
 
 
 class FrameParams(NamedTuple):
@@ -907,6 +912,7 @@ def render_frame(
     max_bin_count = jnp.int32(0)
     big_tri_demand = jnp.int32(0)
     mid_tri_demand = jnp.int32(0)
+    tier_overflow = jnp.int32(0)
     clip_tiles = jnp.int32(0)
     transmission_tiles = jnp.int32(0)
 
@@ -964,9 +970,15 @@ def render_frame(
                 num_classes=num_classes,
                 mid_tile_cap=config.pallas_mid_tile_cap,
                 max_mid_tris=config.pallas_max_mid_tris,
+                tiers=config.pallas_tiers,
             )
             # the Pallas tile lists are uncapped (they read tile_start),
-            # but the demotion tiers are static buffers
+            # but the demotion tier rungs are static buffers — track the
+            # worst rung's demand overflow (> 0 means dropped draws)
+            for demand, slots in zip(
+                bins_all.tier_demands, bins_all.tier_slots
+            ):
+                tier_overflow = jnp.maximum(tier_overflow, demand - slots)
             big_tri_demand = jnp.maximum(
                 big_tri_demand, bins_all.big_tri_count.astype(jnp.int32)
             )
@@ -1068,6 +1080,10 @@ def render_frame(
         ggx_lut_quads=lut_quads,
         fused_trilinear=flags.atlas_pot and _tx.ATLAS_FUSED,
         bf16_lights=config.bf16_light_math,
+        pallas_shade=(
+            use_pallas if config.pallas_shade is None else config.pallas_shade
+        ),
+        pallas_interpret=config.pallas_interpret,
     )
 
     # ---- 4. opaque shade ---------------------------------------------------
@@ -1174,7 +1190,15 @@ def render_frame(
                     )
                 )
             px, py = pixel_coords(wk_o)
-            hdr_flat = shade_opaque_flat(scene, g_of, ctx_f, px, py)
+            bk_py = bk_px0 = None
+            if w % 128 == 0:
+                # worklist blocks are single-row segments: kernel-eligible
+                bpr = w // 128
+                bid = jnp.minimum(wk_o.block_ids, nb - 1)
+                bk_py = bid // bpr
+                bk_px0 = (bid % bpr) * 128
+            hdr_flat = shade_opaque_flat(scene, g_of, ctx_f, px, py,
+                                         block_py=bk_py, block_px0=bk_px0)
             hdr = block_scatter(wk_o, hdr_flat, jnp.zeros((h, w, 3), jnp.float32))
         else:
             hdr = shade_opaque(scene, g_o, ctx)
@@ -1184,13 +1208,17 @@ def render_frame(
     cap_rt = 0
     if flags.has_transmission:
         # ---- 5. opaque mip pyramid ----------------------------------------
-        with pass_scope("mip_pyramid"):
-            pyramid = build_pyramid(hdr)
         # static level restriction: with untextured transmissive roughness
-        # the refraction fetch only ever touches a few levels, whose small
-        # per-level quad tables gather ~free (unused levels' quad builds
-        # are DCE'd by XLA)
-        level_set = refraction_level_set(flags, w, pyramid.num_levels)
+        # the refraction fetch only ever touches a few levels — restrict
+        # the BUILD to them too (the level-0 phase copies alone are
+        # ~100 MB of writes, and every skipped level drops 4+ fusions)
+        from transmission_renderer_tpu.scene.textures import (
+            mip_levels_for_size,
+        )
+
+        level_set = refraction_level_set(flags, w, mip_levels_for_size(w, h))
+        with pass_scope("mip_pyramid"):
+            pyramid = build_pyramid(hdr, level_set=level_set)
 
         # ---- 6-7. transmissive raster + shade ------------------------------
         fused_sparse = False
@@ -1340,9 +1368,16 @@ def render_frame(
                         sun_shadow_factor=sun_f_t,
                         light_shadow_factors=light_f_t,
                     )
+                bk_py_t = bk_px0_t = None
+                if w % 128 == 0:
+                    bpr_t = w // 128
+                    bid_t = jnp.minimum(wk_t.block_ids, nb - 1)
+                    bk_py_t = bid_t // bpr_t
+                    bk_px0_t = (bid_t % bpr_t) * 128
                 hdr_t_flat = shade_transmission_flat(
                     scene, g_tf, ctx_tf, pyramid, px_t, py_t,
                     pyramid_level_set=level_set,
+                    block_py=bk_py_t, block_px0=bk_px0_t,
                 )
                 merged = jnp.where(
                     g_tf.valid[..., None], hdr_t_flat, block_gather(wk_t, hdr)
@@ -1370,9 +1405,16 @@ def render_frame(
                         sun_shadow_factor=sun_f_t,
                         light_shadow_factors=light_f_t,
                     )
+                bk_py_t = bk_px0_t = None
+                if w % 128 == 0:
+                    bpr_t = w // 128
+                    bid_t = jnp.minimum(wk_t.block_ids, nb - 1)
+                    bk_py_t = bid_t // bpr_t
+                    bk_px0_t = (bid_t % bpr_t) * 128
                 hdr_t_flat = shade_transmission_flat(
                     scene, g_tf, ctx_tf, pyramid, px_t, py_t,
                     pyramid_level_set=level_set,
+                    block_py=bk_py_t, block_px0=bk_px0_t,
                 )
                 # transmission replaces covered pixels (the reference's
                 # blend-disabled transmission pipeline)
@@ -1418,7 +1460,9 @@ def render_frame(
             bin_capacity=config.max_tris_per_tile,
             big_tri_count=big_tri_demand,
             big_tri_capacity=(
-                config.pallas_max_big_tris if use_pallas else config.max_big_tris
+                config.pallas_tiers[-1][1]
+                if use_pallas
+                else config.max_big_tris
             ),
             opaque_blocks=opaque_blocks,
             opaque_block_capacity=cap_o,
@@ -1431,6 +1475,7 @@ def render_frame(
             transmission_tile_capacity=cap_rt,
             clip_tiles=clip_tiles,
             clip_tile_capacity=cap_clip,
+            tier_overflow=tier_overflow,
         )
         if return_hdr:
             return ldr, hdr, diags

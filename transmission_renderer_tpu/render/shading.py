@@ -99,6 +99,10 @@ class ShadeContext(NamedTuple):
     # per-light BRDF/BTDF cores in bfloat16, f32 accumulation (see
     # RenderConfig.bf16_light_math)
     bf16_lights: bool = False
+    # fused Pallas deferred-shade kernel (render/shade_kernel.py); the
+    # XLA formulation below stays as the exactness oracle
+    pallas_shade: bool = False
+    pallas_interpret: bool = False
 
 
 def onehot_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -285,7 +289,8 @@ def _evaluate_pixel_material(
         use_transmission, use_thickness, use_specular, use_specular_colour,
     ) = tex_slots
 
-    mrow = onehot_rows(mm.table, mid)  # [M, C] — ONE fused fetch
+    with pass_scope("mat_row"):
+        mrow = onehot_rows(mm.table, mid)  # [M, C] — ONE fused fetch
 
     # Bundle-sample cache: slots whose meta block is SHARED (one bundle
     # per material, see build_material_matrix) sample once per COLUMN —
@@ -308,14 +313,15 @@ def _evaluate_pixel_material(
 
         if quad_shape is None:
             if col not in bundle_cache:
-                rows = _meta_rows_from(mrow, col)
-                lod = _mip_lod(
-                    g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3]
-                )
-                bundle_cache[col] = sample_bundle_rows(
-                    scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
-                    fused=fused_trilinear, group=a_group,
-                )
+                with pass_scope("mat_tap"):
+                    rows = _meta_rows_from(mrow, col)
+                    lod = _mip_lod(
+                        g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3]
+                    )
+                    bundle_cache[col] = sample_bundle_rows(
+                        scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
+                        fused=fused_trilinear, group=a_group,
+                    )
             return tid, extract(bundle_cache[col])
         # Quality flag (RenderConfig.quad_material_taps): ONE tap per 2x2
         # pixel quad, shared by its 4 pixels — the quad's first VALID
@@ -343,11 +349,12 @@ def _evaluate_pixel_material(
         if col not in bundle_cache:
             rows = _meta_rows_from(mrow, col)
             lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
-            sample_q = sample_bundle_rows(
-                scene.atlas_texels, rep(rows), rep(g.uv),
-                rep(lod[..., None])[..., 0], WRAP_REPEAT,
-                fused=fused_trilinear, group=a_group,
-            )  # [M/4, L, 4]
+            with pass_scope("mat_tap"):
+                sample_q = sample_bundle_rows(
+                    scene.atlas_texels, rep(rows), rep(g.uv),
+                    rep(lod[..., None])[..., 0], WRAP_REPEAT,
+                    fused=fused_trilinear, group=a_group,
+                )  # [M/4, L, 4]
             bundle_cache[col] = jnp.broadcast_to(
                 sample_q.reshape(h // 2, 1, w // 2, 1, n_layers, 4),
                 (h // 2, 2, w // 2, 2, n_layers, 4),
@@ -407,35 +414,8 @@ def _evaluate_pixel_material(
         jnp.linalg.norm(g.normal, axis=-1, keepdims=True), 1e-12
     )
     if use_normal:
-        tid, map_sample = tex4(2)
-        map_normal = map_sample[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
-        # cotangent frame from dp/dx, dp/dy, duv/dx, duv/dy. The reference
-        # uses -view_vector as 'position' for the derivatives; analytic
-        # world-pos derivatives are equivalent up to the camera offset.
-        dp1 = g.dpos_dx
-        dp2 = g.dpos_dy
-        duv1 = g.duv_dx
-        duv2 = g.duv_dy
-        dp2perp = jnp.cross(dp2, normal)
-        dp1perp = jnp.cross(normal, dp1)
-        t = dp2perp * duv1[..., 0:1] + dp1perp * duv2[..., 0:1]
-        bt = dp2perp * duv1[..., 1:2] + dp1perp * duv2[..., 1:2]
-        invmax = 1.0 / jnp.sqrt(
-            jnp.maximum(
-                jnp.maximum(jnp.sum(t * t, axis=-1), jnp.sum(bt * bt, axis=-1)),
-                1e-20,
-            )
-        )
-        mapped = (
-            t * invmax[..., None] * map_normal[..., 0:1]
-            + bt * invmax[..., None] * map_normal[..., 1:2]
-            + normal * map_normal[..., 2:3]
-        )
-        mapped = mapped / jnp.maximum(
-            jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-12
-        )
-        normal = jnp.where((tid >= 0)[..., None], mapped, normal)
-
+        with pass_scope("mat_normal"):
+            normal = _normal_mapped(g, normal, tex4)
     params = MaterialParams(
         diffuse_colour=diffuse[..., :3],
         metallic=metallic,
@@ -455,6 +435,39 @@ def _evaluate_pixel_material(
         attenuation_colour=mrow[..., 13:16],
         normal=normal,
     )
+
+
+def _normal_mapped(g: GBuffer, normal, tex4):
+    """Normal mapping via the screen-space cotangent frame
+    (shader/src/lighting.rs:243-259), using analytic derivatives."""
+    tid, map_sample = tex4(2)
+    map_normal = map_sample[..., :3] * (255.0 / 127.0) - (128.0 / 127.0)
+    # cotangent frame from dp/dx, dp/dy, duv/dx, duv/dy. The reference
+    # uses -view_vector as 'position' for the derivatives; analytic
+    # world-pos derivatives are equivalent up to the camera offset.
+    dp1 = g.dpos_dx
+    dp2 = g.dpos_dy
+    duv1 = g.duv_dx
+    duv2 = g.duv_dy
+    dp2perp = jnp.cross(dp2, normal)
+    dp1perp = jnp.cross(normal, dp1)
+    t = dp2perp * duv1[..., 0:1] + dp1perp * duv2[..., 0:1]
+    bt = dp2perp * duv1[..., 1:2] + dp1perp * duv2[..., 1:2]
+    invmax = 1.0 / jnp.sqrt(
+        jnp.maximum(
+            jnp.maximum(jnp.sum(t * t, axis=-1), jnp.sum(bt * bt, axis=-1)),
+            1e-20,
+        )
+    )
+    mapped = (
+        t * invmax[..., None] * map_normal[..., 0:1]
+        + bt * invmax[..., None] * map_normal[..., 1:2]
+        + normal * map_normal[..., 2:3]
+    )
+    mapped = mapped / jnp.maximum(
+        jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-12
+    )
+    return jnp.where((tid >= 0)[..., None], mapped, normal)
 
 
 def _cluster_index(ctx: ShadeContext, depth, px, py):
@@ -484,17 +497,18 @@ def _cluster_rows(ctx: ShadeContext, depth, px, py):
     (cluster_light_mask) read it, which is what makes the gate's "factor
     never read for out-of-cluster lights" invariant hold by
     construction."""
-    cluster = _cluster_index(ctx, depth, px, py)
-    max_slots = min(ctx.lights.num, ctx.cluster_light_indices.shape[1])
-    cluster_table = jnp.concatenate(
-        [
-            ctx.cluster_light_counts[:, None].astype(jnp.int32),
-            ctx.cluster_light_indices[:, :max_slots].astype(jnp.int32),
-        ],
-        axis=1,
-    )
-    rows = cluster_table[cluster]  # [..., 1 + S]
-    return cluster, rows, rows[..., 0], max_slots
+    with pass_scope("cluster_fetch"):
+        cluster = _cluster_index(ctx, depth, px, py)
+        max_slots = min(ctx.lights.num, ctx.cluster_light_indices.shape[1])
+        cluster_table = jnp.concatenate(
+            [
+                ctx.cluster_light_counts[:, None].astype(jnp.int32),
+                ctx.cluster_light_indices[:, :max_slots].astype(jnp.int32),
+            ],
+            axis=1,
+        )
+        rows = cluster_table[cluster]  # [..., 1 + S]
+        return cluster, rows, rows[..., 0], max_slots
 
 
 def cluster_light_mask(ctx: ShadeContext, depth, px, py) -> jnp.ndarray:
@@ -606,18 +620,19 @@ def _evaluate_lights_common(
     # bit-identical to the per-light evaluation (same expressions)
     inv_c = material_invariants(material_c)
 
-    sun_intensity = ctx.sun_intensity * sun_factor[..., None]
-    result = _f32(
-        basic_brdf(normal_c, _c(ctx.sun_dir), _c(sun_intensity), view_c,
-                   material_c, inv=inv_c)
-    )
-    transmission = None
-    if with_transmission:
-        transmission = sun_intensity * transmission_btdf(
-            material_c, normal_c, view_c,
-            _c(jnp.broadcast_to(ctx.sun_dir, position.shape)),
-            inv=inv_c,
-        ).astype(jnp.float32)
+    with pass_scope("brdf_sun"):
+        sun_intensity = ctx.sun_intensity * sun_factor[..., None]
+        result = _f32(
+            basic_brdf(normal_c, _c(ctx.sun_dir), _c(sun_intensity), view_c,
+                       material_c, inv=inv_c)
+        )
+        transmission = None
+        if with_transmission:
+            transmission = sun_intensity * transmission_btdf(
+                material_c, normal_c, view_c,
+                _c(jnp.broadcast_to(ctx.sun_dir, position.shape)),
+                inv=inv_c,
+            ).astype(jnp.float32)
 
     lmat = _light_matrix(ctx.lights)
 
@@ -665,11 +680,14 @@ def _evaluate_lights_common(
         return contrib, t_contrib
 
     if max_slots <= _UNROLL_MAX_SLOTS:
-        for slot in range(max_slots):
-            contrib, t_contrib = slot_contrib(slot, cluster_rows[..., 1 + slot])
-            result = result + contrib
-            if with_transmission:
-                transmission = transmission + t_contrib
+        with pass_scope("brdf_slots"):
+            for slot in range(max_slots):
+                contrib, t_contrib = slot_contrib(
+                    slot, cluster_rows[..., 1 + slot]
+                )
+                result = result + contrib
+                if with_transmission:
+                    transmission = transmission + t_contrib
     else:
         t_init = transmission if with_transmission else jnp.zeros(())
 
@@ -737,13 +755,87 @@ def _dense_coords(h: int, w: int):
     return px, py
 
 
+def bundle_tap_samples(
+    scene: Scene, g: GBuffer, tex_slots: tuple, mat_matrix: MaterialMatrix,
+    fused_trilinear: bool,
+):
+    """The material texture taps of ``_evaluate_pixel_material`` WITHOUT
+    the factor application — pre-gathered inputs for the fused shade
+    kernel (render/shade_kernel.py). Returns (samples list — one
+    [M, L, 4] per unique meta block, ok); ok is False when used slots
+    span >1 distinct meta block (the kernel handles a single shared
+    bundle; mixed-image scenes keep the XLA path)."""
+    mm = mat_matrix
+    used_cols = []
+    for name, flag_pos in zip(_MAT_SLOTS, _SLOT_FLAG_POS):
+        if not tex_slots[flag_pos]:
+            continue
+        col = mm.meta_col[name]
+        if col is not None and col not in used_cols:
+            used_cols.append(col)
+    if not used_cols:
+        return [], True
+    if len(used_cols) > 1:
+        return [], False
+    with pass_scope("material_taps"):
+        with pass_scope("mat_row"):
+            mrow = onehot_rows(mm.table, g.material_id)
+        a_group = atlas_group(scene.atlas_meta)
+        col = used_cols[0]
+        with pass_scope("mat_tap"):
+            rows = _meta_rows_from(mrow, col)
+            lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
+            s = sample_bundle_rows(
+                scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
+                fused=fused_trilinear, group=a_group,
+            )
+    return [s], True
+
+
+def _shade_opaque_kernel_path(
+    scene: Scene, g: GBuffer, ctx: ShadeContext, block_py, block_px0,
+) -> jnp.ndarray | None:
+    """Try the fused Pallas deferred-shade kernel; None -> XLA path."""
+    from transmission_renderer_tpu.render.shade_kernel import (
+        pallas_shade_supported,
+        shade_opaque_pallas,
+    )
+
+    if ctx.mat_matrix is None:
+        return None
+    if not pallas_shade_supported(
+        ctx, int(ctx.mat_matrix.table.shape[0]), ctx.framebuffer_size[0]
+    ):
+        return None
+    samples, ok = bundle_tap_samples(
+        scene, g, ctx.tex_slots, ctx.mat_matrix, ctx.fused_trilinear
+    )
+    if not ok:
+        return None
+    with pass_scope("shade_kernel"):
+        return shade_opaque_pallas(
+            scene, g, ctx, block_py, block_px0, samples, ctx.tex_slots,
+            interpret=ctx.pallas_interpret,
+        )
+
+
 def shade_opaque_flat(
     scene: Scene, g: GBuffer, ctx: ShadeContext, px, py,
     quad_shape: tuple | None = None,
+    block_py: jnp.ndarray | None = None,
+    block_px0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The opaque PBR fragment shader (shader/src/lib.rs:164-249) over a
     flat [M] worklist. Returns [M, 3] HDR; invalid pixels are black (the
-    draw pass clears to zero)."""
+    draw pass clears to zero).
+
+    ``block_py``/``block_px0`` ([NB] framebuffer coordinates of each flat
+    128-px block, only valid when blocks are single-row segments) enable
+    the fused Pallas shade kernel when the context allows it."""
+    if ctx.pallas_shade and block_py is not None and quad_shape is None:
+        out = _shade_opaque_kernel_path(scene, g, ctx, block_py, block_px0)
+        if out is not None:
+            return out
     view_vector = ctx.view_position - g.position
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
@@ -775,8 +867,16 @@ def shade_opaque(scene: Scene, g: GBuffer, ctx: ShadeContext) -> jnp.ndarray:
     px, py = _dense_coords(h, w)
     ctx = _flatten_ctx_factors(ctx)
     quad = (h, w) if ctx.quad_taps and h % 2 == 0 and w % 2 == 0 else None
+    block_py = block_px0 = None
+    if w % 128 == 0:
+        # dense flat blocks are single-row segments: kernel-eligible
+        bpr = w // 128
+        bid = jnp.arange((h * w) // 128, dtype=jnp.int32)
+        block_py = bid // bpr
+        block_px0 = (bid % bpr) * 128
     out = shade_opaque_flat(scene, flatten_gbuffer(g), ctx, px, py,
-                            quad_shape=quad)
+                            quad_shape=quad, block_py=block_py,
+                            block_px0=block_px0)
     return out.reshape(h, w, 3)
 
 
@@ -791,6 +891,69 @@ def _flatten_ctx_factors(ctx: ShadeContext) -> ShadeContext:
     return ctx._replace(**rep) if rep else ctx
 
 
+def _shade_transmission_kernel_path(
+    scene: Scene, g: GBuffer, ctx: ShadeContext, pyramid: MipPyramid,
+    block_py, block_px0, level_set,
+) -> jnp.ndarray | None:
+    """Fused-kernel transmission shade: the per-pixel math up to the
+    framebuffer/LUT fetches runs in the Pallas pre-kernel; the gathers
+    and the combine tail below reuse the oracle's own functions
+    (pbr/brdf.py) so the split is exact by construction. None -> XLA."""
+    from transmission_renderer_tpu.pbr.brdf import apply_volume_attenuation
+    from transmission_renderer_tpu.render.shade_kernel import (
+        pallas_shade_supported,
+        shade_transmission_pallas_pre,
+    )
+
+    if ctx.mat_matrix is None:
+        return None
+    if not pallas_shade_supported(
+        ctx, int(ctx.mat_matrix.table.shape[0]), ctx.framebuffer_size[0]
+    ):
+        return None
+    samples, ok = bundle_tap_samples(
+        scene, g, ctx.tex_slots, ctx.mat_matrix, ctx.fused_trilinear
+    )
+    if not ok:
+        return None
+    with pass_scope("shade_kernel"):
+        p = shade_transmission_pallas_pre(
+            scene, g, ctx, block_py, block_px0, samples, ctx.tex_slots,
+            interpret=ctx.pallas_interpret,
+        )
+
+    def v3(a, b, c):
+        return jnp.stack([p[a], p[b], p[c]], axis=-1)
+
+    uv = jnp.stack([p["uv_x"], p["uv_y"]], axis=-1)
+    transmitted = sample_pyramid_lod(
+        pyramid, uv, p["lod"], level_set=level_set
+    )
+    lut_quads = (
+        ctx.ggx_lut_quads
+        if ctx.ggx_lut_quads is not None
+        else quad_lut_2ch(ctx.ggx_lut)
+    )
+    brdf = sample_lut_2ch_quad(
+        lut_quads, ctx.ggx_lut.shape[0], p["nov"], p["rough"]
+    )
+    attenuated = apply_volume_attenuation(
+        transmitted, p["ray_len"], p["att_dist"], v3("att_r", "att_g", "att_b")
+    )
+    specular_colour = (
+        v3("f0_r", "f0_g", "f0_b") * brdf[..., 0:1]
+        + v3("f90_r", "f90_g", "f90_b") * brdf[..., 1:2]
+    )
+    ibl = (1.0 - specular_colour) * attenuated * v3("dc_r", "dc_g", "dc_b")
+    transmission = v3("t_r", "t_g", "t_b") + ibl
+    tf = p["tf"][..., None]
+    real_transmission = tf * transmission
+    d = v3("d_r", "d_g", "d_b")
+    diffuse = d + (real_transmission - d) * tf
+    out = diffuse + v3("s_r", "s_g", "s_b") + v3("em_r", "em_g", "em_b")
+    return jnp.where(g.valid[..., None], out, 0.0)
+
+
 def shade_transmission_flat(
     scene: Scene,
     g: GBuffer,
@@ -800,9 +963,18 @@ def shade_transmission_flat(
     py,
     fb_sampler=None,
     pyramid_level_set: tuple | None = None,
+    block_py: jnp.ndarray | None = None,
+    block_px0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """The transmission fragment shader (shader/src/lib.rs:37-162) over a
     flat [M] worklist. Returns [M, 3] HDR for valid pixels."""
+    if ctx.pallas_shade and block_py is not None and fb_sampler is None:
+        out = _shade_transmission_kernel_path(
+            scene, g, ctx, opaque_pyramid, block_py, block_px0,
+            pyramid_level_set,
+        )
+        if out is not None:
+            return out
     view_vector = ctx.view_position - g.position
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
@@ -868,6 +1040,12 @@ def shade_transmission(
     that supports half_res_refraction, which needs the 2D pixel grid)."""
     h, w = g.depth.shape
     px, py = _dense_coords(h, w)
+    block_py = block_px0 = None
+    if w % 128 == 0 and not ctx.half_res_refraction:
+        bpr = w // 128
+        bid = jnp.arange((h * w) // 128, dtype=jnp.int32)
+        block_py = bid // bpr
+        block_px0 = (bid % bpr) * 128
 
     fb_sampler = None
     if ctx.half_res_refraction:
@@ -883,5 +1061,6 @@ def shade_transmission(
     out = shade_transmission_flat(
         scene, flatten_gbuffer(g), ctx, opaque_pyramid, px, py,
         fb_sampler=fb_sampler, pyramid_level_set=pyramid_level_set,
+        block_py=block_py, block_px0=block_px0,
     )
     return out.reshape(h, w, 3)
