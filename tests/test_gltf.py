@@ -371,15 +371,13 @@ def test_mixed_size_material_disables_bundling_scene_wide(tmp_path):
     auto-bundling for the whole scene (a partial bundle would widen
     every atlas row by L layers while compute_slot_bundles returns (),
     so every tap would pay the L-wide gather with no sharing)."""
-    from transmission_renderer_tpu.ops.texture import atlas_group, atlas_layers
+    from transmission_renderer_tpu.ops.texture import atlas_layers
 
     path = _two_mat_gltf(tmp_path, [4, 4, 4, 8])  # mat 1: 4px + 8px
     b = SceneBuilder()
     load_gltf(path, b)
     scene, dl, flags = b.finish_bundle()
-    assert atlas_layers(
-        scene.atlas_texels, atlas_group(scene.atlas_meta)
-    ) == 1, "mixed-size material must keep the atlas single-layer"
+    assert atlas_layers(scene.atlas_meta) == 1, "mixed-size material must keep the atlas single-layer"
 
 
 def test_same_image_two_slots_reuses_cache_not_bundle(tmp_path):
@@ -389,7 +387,7 @@ def test_same_image_two_slots_reuses_cache_not_bundle(tmp_path):
     duplicate the decoded texels once more for every other material
     loading the image standalone (the >= 2 bundle threshold applies
     AFTER key dedup)."""
-    from transmission_renderer_tpu.ops.texture import atlas_group, atlas_layers
+    from transmission_renderer_tpu.ops.texture import atlas_layers
 
     positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     normals = np.tile(np.array([0, 0, 1], np.float32), (3, 1))
@@ -445,9 +443,7 @@ def test_same_image_two_slots_reuses_cache_not_bundle(tmp_path):
     # one cached atlas entry serves all three references
     assert int(m.tex_diffuse[0]) == int(m.tex_emissive[0])
     assert int(m.tex_diffuse[0]) == int(m.tex_diffuse[1])
-    assert atlas_layers(
-        scene.atlas_texels, atlas_group(scene.atlas_meta)
-    ) == 1
+    assert atlas_layers(scene.atlas_meta) == 1
 
 
 def test_sparse_accessor_substitution(tmp_path):

@@ -118,3 +118,32 @@ def test_planar_downsample_chain_bit_exact(monkeypatch):
     assert base.offsets == planar.offsets
     for a, b in zip(base.level_quads, planar.level_quads):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rows_form_levels_bit_exact(monkeypatch):
+    """Big level_set levels stored in ROW form (the level image + a
+    4-gather tap) must sample bit-identically to their quad tables."""
+    import transmission_renderer_tpu.ops.mipchain as mc
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 4, (96, 160, 3)).astype(np.float32)
+    uv = rng.uniform(-0.2, 1.2, (512, 2)).astype(np.float32)
+    lod = rng.uniform(0.0, 2.0, 512).astype(np.float32)
+    level_set = (0, 1, 2)
+
+    monkeypatch.setattr(mc, "ROWS_FORM_MIN_TEXELS", 1 << 60)
+    pyr_quads = mc.build_pyramid(jnp.asarray(img), level_set=level_set)
+    assert all(r is None for r in pyr_quads.level_rows)
+    a = np.asarray(mc.sample_pyramid_lod(
+        pyr_quads, jnp.asarray(uv), jnp.asarray(lod), level_set=level_set
+    ))
+
+    monkeypatch.setattr(mc, "ROWS_FORM_MIN_TEXELS", 1)
+    pyr_rows = mc.build_pyramid(jnp.asarray(img), level_set=level_set)
+    assert all(
+        pyr_rows.level_rows[k] is not None for k in level_set
+    )
+    b = np.asarray(mc.sample_pyramid_lod(
+        pyr_rows, jnp.asarray(uv), jnp.asarray(lod), level_set=level_set
+    ))
+    np.testing.assert_array_equal(a, b)

@@ -175,10 +175,11 @@ def test_fused_trilinear_matches_two_gather(monkeypatch):
             ab = AtlasBuilder()
             ab.push_image(img, srgb=True, wrap=wrap)
             texels, meta, _ = ab.finish()
-            from transmission_renderer_tpu.ops.texture import atlas_group
-            group = atlas_group(meta)
+            from transmission_renderer_tpu.ops.texture import atlas_classes
+            from transmission_renderer_tpu.scene.textures import META_COLS
+            classes = atlas_classes(meta)
             rows = jnp.asarray(np.broadcast_to(
-                meta[0, : meta.shape[1] - group], (512, meta.shape[1] - group)
+                meta[0, :META_COLS], (512, META_COLS)
             ))
             uv = jnp.asarray(
                 rng.uniform(-1.5, 2.5, (512, 2)).astype(np.float32)
@@ -188,11 +189,11 @@ def test_fused_trilinear_matches_two_gather(monkeypatch):
             )
             plain = sample_bundle_rows(
                 jnp.asarray(texels), rows, uv, lod, wrap, fused=False,
-                group=group,
+                classes=classes,
             )
             fused = sample_bundle_rows(
                 jnp.asarray(texels), rows, uv, lod, wrap, fused=True,
-                group=group,
+                classes=classes,
             )
             np.testing.assert_array_equal(
                 np.asarray(fused), np.asarray(plain),
@@ -211,18 +212,19 @@ def test_fused_trilinear_matches_bundled(monkeypatch):
     ab = AtlasBuilder()
     ab.push_bundle(imgs, [True, False, True])
     texels, meta, _ = ab.finish()
-    from transmission_renderer_tpu.ops.texture import atlas_group
-    group = atlas_group(meta)
+    from transmission_renderer_tpu.ops.texture import atlas_classes
+    from transmission_renderer_tpu.scene.textures import META_COLS
+    classes = atlas_classes(meta)
     rows = jnp.asarray(np.broadcast_to(
-        meta[0, : meta.shape[1] - group], (256, meta.shape[1] - group)
+        meta[0, :META_COLS], (256, META_COLS)
     ))
     uv = jnp.asarray(rng.uniform(-1, 2, (256, 2)).astype(np.float32))
     lod = jnp.asarray(rng.uniform(0, 8.0, (256,)).astype(np.float32))
     plain = sample_bundle_rows(
-        jnp.asarray(texels), rows, uv, lod, fused=False, group=group
+        jnp.asarray(texels), rows, uv, lod, fused=False, classes=classes
     )
     fused = sample_bundle_rows(
-        jnp.asarray(texels), rows, uv, lod, fused=True, group=group
+        jnp.asarray(texels), rows, uv, lod, fused=True, classes=classes
     )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(plain))
 
@@ -243,33 +245,8 @@ def test_frame_ab_knobs_change_layout(monkeypatch):
     t128, m128, _ = build()
     monkeypatch.setattr(tx, "ATLAS_ROW_ELEMS", 512)
     t512, m512, _ = build()
-    from transmission_renderer_tpu.ops.texture import atlas_group
-    assert atlas_group(m512) == 4 * atlas_group(m128)
+    from transmission_renderer_tpu.ops.texture import atlas_classes
+    assert atlas_classes(m512) == atlas_classes(m128) == (1,)
     assert t512.shape[-1] == 4 * t128.shape[-1]
 
 
-def test_auto_row_width_group_selection():
-    """TRTPU_ATLAS_ROW_ELEMS=auto (0): rows widen per scene until the
-    table leaves the row-count-bound gather regime, estimating rows with
-    the pow2-floored group actually used (a raw row_elems//block_elems
-    estimate overestimates ~1.5x for non-pow2 block widths and stops a
-    step early)."""
-    import transmission_renderer_tpu.scene.textures as tx
-
-    saved = tx.ATLAS_ROW_ELEMS
-    try:
-        tx.ATLAS_ROW_ELEMS = 0
-        # single-layer blocks (16 elems): small atlas stays at one tile
-        assert tx.quad_group_for_layers(1, num_blocks=100_000) == 8
-        # helmet-like 5-layer bundle (80-elem blocks), 1M blocks: widen
-        # to the 1024-elem cap -> G=8 (raw estimate at 256 elems would
-        # claim g=3 and could stop early; pow2 floor must keep widening)
-        assert tx.quad_group_for_layers(5, num_blocks=1_048_576) == 8
-        # moderate 5-layer: 90k blocks at G=2 -> 45k rows <= target
-        assert tx.quad_group_for_layers(5, num_blocks=90_000) == 2
-        # default (non-auto) path unchanged
-        tx.ATLAS_ROW_ELEMS = 128
-        assert tx.quad_group_for_layers(1) == 8
-        assert tx.quad_group_for_layers(5) == 1
-    finally:
-        tx.ATLAS_ROW_ELEMS = saved

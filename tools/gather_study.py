@@ -277,6 +277,38 @@ def case_fused_math(n_ops=400):
     print(f"E. fused math {n_ops} ops/px at 2M px: {dt*1e3:8.2f} ms")
 
 
+def case_width_sweep():
+    """SAME table bytes, different (rows x width) factorings — decides
+    whether gather cost is row-count-bound or bytes/locality-bound, i.e.
+    whether a select-free narrow-row atlas ([4.2M, 16] instead of
+    [524k, 128] + in-register sub-block select) is free or 4x worse.
+    Uses frame-like indices; when width shrinks GROUP-fold the index
+    space grows GROUP-fold (same texel locality)."""
+    for n_rows, width in ((524_288, 128), (2_097_152, 32), (4_194_304, 16),
+                          (43_690, 128), (349_520, 16)):
+        table = jnp.asarray(
+            np.random.default_rng(1).standard_normal((n_rows, width)),
+            jnp.bfloat16,
+        )
+        idx = frame_like_indices(n_rows)
+
+        def build(reps):
+            @jax.jit
+            def f():
+                def body(i, acc):
+                    rows = table[(idx + i) % n_rows]
+                    return acc + jnp.sum(rows[:, :1].astype(jnp.float32))
+
+                return jax.lax.fori_loop(0, reps, body, 0.0)
+
+            return f
+
+        dt = slope_time(build)
+        mb = n_rows * width * 2 / 1e6
+        print(f"W. gather rows={n_rows:>8} w={width:>4} ({mb:6.0f} MB): "
+              f"{dt*1e3:8.2f} ms ({dt/M_PAD*1e9:.2f} ns/idx)")
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})")
@@ -308,34 +340,3 @@ def main():
 if __name__ == "__main__":
     main()
 
-
-def case_width_sweep():
-    """SAME table bytes, different (rows x width) factorings — decides
-    whether gather cost is row-count-bound or bytes/locality-bound, i.e.
-    whether a select-free narrow-row atlas ([4.2M, 16] instead of
-    [524k, 128] + in-register sub-block select) is free or 4x worse.
-    Uses frame-like indices; when width shrinks GROUP-fold the index
-    space grows GROUP-fold (same texel locality)."""
-    for n_rows, width in ((524_288, 128), (2_097_152, 32), (4_194_304, 16),
-                          (43_690, 128), (349_520, 16)):
-        table = jnp.asarray(
-            np.random.default_rng(1).standard_normal((n_rows, width)),
-            jnp.bfloat16,
-        )
-        idx = frame_like_indices(n_rows)
-
-        def build(reps):
-            @jax.jit
-            def f():
-                def body(i, acc):
-                    rows = table[(idx + i) % n_rows]
-                    return acc + jnp.sum(rows[:, :1].astype(jnp.float32))
-
-                return jax.lax.fori_loop(0, reps, body, 0.0)
-
-            return f
-
-        dt = slope_time(build)
-        mb = n_rows * width * 2 / 1e6
-        print(f"W. gather rows={n_rows:>8} w={width:>4} ({mb:6.0f} MB): "
-              f"{dt*1e3:8.2f} ms ({dt/M_PAD*1e9:.2f} ns/idx)")

@@ -42,6 +42,12 @@ PASS_SCOPES = (
     "binning",
     "payload",
     "raster_opaque",
+    "clip_round_1",
+    "clip_round_2",
+    "clip_round_3",
+    "clip_round_4",
+    "clip_round_5",
+    "clip_alpha_test",
     "raster_clip_peel",
     "clustering",
     "shadow_rays_opaque",

@@ -71,6 +71,10 @@ _PHASE1_TRIPS = int(os.environ.get("TRTPU_PHASE1_TRIPS", "8"))
 # phase-2 compaction order: "done" (unfinished first, raster-coherent) or
 # "idx" (unfinished grouped by current subtree) — see trace_rays
 _PHASE2_SORT = os.environ.get("TRTPU_PHASE2_SORT", "done")
+# Pallas PACKET walk for occlusion rays (ops/bvh_packet.py): auto on TPU
+# when the unified table fits VMEM; TRTPU_PACKET_WALK=0 forces the XLA
+# bitstack walk everywhere (A/B + fallback knob)
+_PACKET_WALK = os.environ.get("TRTPU_PACKET_WALK", "1") == "1"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -378,6 +382,29 @@ def trace_rays(
     # gathers are the walk's dominant cost (~3-12 ns/lane/gather
     # measured on v5e; see docs/PERFORMANCE.md).
     occlusion_only = any_hit and alpha_test_fn is None
+    if occlusion_only and not return_trips and _PACKET_WALK:
+        from transmission_renderer_tpu.ops.bvh_packet import (
+            packet_walk_supported,
+            trace_occlusion_packets,
+        )
+
+        if jax.default_backend() == "tpu" and packet_walk_supported(bvh):
+            # Pallas packet traversal: one scalar row fetch per 128-ray
+            # packet pop against the VMEM-resident BVH instead of a
+            # per-lane gather — bit-identical hit set (occlusion is an
+            # existence predicate; tests/test_bvh_packet.py)
+            hit = trace_occlusion_packets(
+                bvh, tri_vertices, positions, origins, directions,
+                t_min=t_min, t_max=t_max,
+            )
+            zeros = jnp.zeros(shape, jnp.float32)
+            return (
+                hit,
+                jnp.broadcast_to(t_max_arr.reshape(shape), shape),
+                jnp.where(hit, 0, -1).astype(jnp.int32),
+                zeros,
+                zeros,
+            )
     if not occlusion_only:
         assert bvh.num_tris < (1 << 24), "tri ids exceed exact-f32 range"
         leaf_rows = jnp.concatenate(
@@ -582,14 +609,57 @@ def trace_rays(
     # each chunk is still plenty to saturate the VPU. Large batches run
     # TWO phases: a budgeted sweep (every lane stops at
     # _PHASE1_TRIPS * _UNROLL pops — a p90-ish trip count), then a
-    # compaction sort that packs unfinished rays to the front and an
+    # compaction that packs unfinished rays to the front and an
     # unbounded phase 2 in which all-done chunks exit immediately. The
     # batched loop pays its chunk's WORST lane per iteration, so this
     # bounds the worst-lane waste to the (few) packed heavy chunks.
     # (_RAY_CHUNK is module-level so tests can shrink it to cover the
     # phase path on CPU.)
+    #
+    # PERMUTATION ECONOMICS: a gather costs by INDEX COUNT, so applying
+    # a ray permutation to k separate arrays costs k full-batch gathers
+    # (~26 of them was ~2-3 s/frame at 6.2M rays — the RT pass's entire
+    # "fixed cost", BENCH_r03). Each permutation is therefore applied to
+    # ONE packed row per logical group: rays pack to [N, 9] once, and
+    # walk state packs to a [N, 10] f32 row around each shuffle (ids and
+    # the two trail words are < 2^24, bools are 0/1 — all f32-exact).
     chunk = _RAY_CHUNK
+
     if n > chunk:
+        # State packing for the shuffles: lvl/idx/best_tri/trips are
+        # < 2^24 (f32-exact), t/u/v are floats, done is 0/1 — but the
+        # two trail words are full 32-bit masks, NOT f32-exact: pack
+        # them as two 16-bit halves each.
+        def _pack_state(s):
+            def split16(w):
+                return (
+                    (w & 0xFFFF).astype(jnp.float32),
+                    ((w >> 16) & 0xFFFF).astype(jnp.float32),
+                )
+
+            lo0, lo1 = split16(s[2])
+            hi0, hi1 = split16(s[3])
+            return jnp.stack(
+                [
+                    s[0].astype(jnp.float32), s[1].astype(jnp.float32),
+                    lo0, lo1, hi0, hi1,
+                    s[4], s[5].astype(jnp.float32), s[6], s[7],
+                    s[8].astype(jnp.float32), s[9].astype(jnp.float32),
+                ],
+                axis=1,
+            )
+
+        def _unpack_state(p):
+            def join16(a, b):
+                return a.astype(jnp.int32) | (b.astype(jnp.int32) << 16)
+
+            return (
+                p[:, 0].astype(jnp.int32), p[:, 1].astype(jnp.int32),
+                join16(p[:, 2], p[:, 3]), join16(p[:, 4], p[:, 5]),
+                p[:, 6], p[:, 7].astype(jnp.int32), p[:, 8], p[:, 9],
+                p[:, 10].astype(jnp.int32), p[:, 11] > 0.5,
+            )
+
         pad = (-n) % chunk
         o_p = jnp.pad(o, ((0, pad), (0, 0)))
         inv_p = jnp.pad(inv_d, ((0, pad), (0, 0)), constant_values=1e20)
@@ -599,16 +669,17 @@ def trace_rays(
         # containing the origin would otherwise still pass the slab test
         # and walk its containment path).
         t_p = jnp.pad(t_max_arr, (0, pad))
+        rays_packed = jnp.concatenate([o_p, inv_p, d_p], axis=1)  # [N, 9]
         # LIVENESS pre-compaction: rays dead before the walk
         # (t_max <= 0: invalid pixels, cluster-gated lights, padding)
         # start done and never pop — but a chunk pays its WORST lane, so
         # dead lanes scattered through live chunks save nothing. A stable
-        # pre-sort (live first; raster-coherent within each group)
-        # packs them into all-done chunks that exit phase 1
-        # immediately; the cost is one bool argsort over the batch.
+        # pre-partition (live first; raster-coherent within each group)
+        # packs them into all-done chunks that exit phase 1 immediately.
         live_perm = _stable_partition_perm(t_p <= 0.0)
-        rays = jax.tree.map(
-            lambda a: a[live_perm], (o_p, inv_p, d_p)
+        rays_packed = rays_packed[live_perm]
+        rays = (
+            rays_packed[:, 0:3], rays_packed[:, 3:6], rays_packed[:, 6:9]
         )
         state = run_chunks(rays, init_state(t_p[live_perm]), _PHASE1_TRIPS)
         # compaction: unfinished rays first (stable → raster-coherent
@@ -622,11 +693,14 @@ def trace_rays(
             perm = jnp.argsort(key, stable=True)
         else:
             perm = _stable_partition_perm(state[-1])
-        rays_s = jax.tree.map(lambda a: a[perm], rays)
-        state_s = jax.tree.map(lambda a: a[perm], state)
+        rays_packed = rays_packed[perm]
+        rays_s = (
+            rays_packed[:, 0:3], rays_packed[:, 3:6], rays_packed[:, 6:9]
+        )
+        state_s = _unpack_state(_pack_state(state)[perm])
         final_s = run_chunks(rays_s, state_s, None)
         inv_perm = _inverse_perm(live_perm[perm])
-        final = jax.tree.map(lambda a: a[inv_perm][:n], final_s)
+        final = _unpack_state(_pack_state(final_s)[inv_perm][:n])
         best_t, best_tri, bu, bv = final[4], final[5], final[6], final[7]
         trips = final[8]
     else:

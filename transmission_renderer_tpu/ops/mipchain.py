@@ -28,6 +28,22 @@ import jax.numpy as jnp
 from transmission_renderer_tpu.scene.textures import mip_levels_for_size
 
 
+# Levels at or above this many texels store ROW form ([lw*lh, 3] — the
+# level image itself) instead of a quad table when built with a static
+# level_set: the quad build costs 4 phase copies + transposes of the
+# level (measured 27.7 ms/frame on the stress scene whose roughness-0
+# glass pulls levels 0-1 into the set — ~130 MB of layout shuffling),
+# while the row-form tap is 4 small-table gathers instead of 1, paid
+# only per covered TRANSMISSION pixel (a small screen fraction).
+# Bit-exact: same texels, same lerp expression, same clamp. The
+# threshold admits only level 0 at 1080p: level 1's quad build (~25 MB)
+# measured cheaper than its 4-gather fetch at stress-scene transmission
+# coverage (shade_transmission 21 -> 31 ms when level 1 went row-form).
+ROWS_FORM_MIN_TEXELS = int(
+    os.environ.get("TRTPU_PYR_ROWS_MIN", str(1_500_000))
+)
+
+
 class MipPyramid(NamedTuple):
     # Per-LEVEL quad tables, GROUP quad-blocks per physical row
     # ([ceil(4 * bh_k * bw_k / GROUP), 12 * GROUP] f32 each). Split per
@@ -46,6 +62,10 @@ class MipPyramid(NamedTuple):
     offsets: tuple  # GROUPED-row offset of each level in the concat view
     widths: tuple  # texel sizes
     heights: tuple
+    # ROW-form levels ([lw_k * lh_k, 3] f32 — the level image itself) for
+    # big levels in a static level_set (see ROWS_FORM_MIN_TEXELS); a
+    # level has either its quad table or its row form, never both
+    level_rows: tuple = ()
 
     @property
     def quads(self) -> jnp.ndarray:
@@ -191,17 +211,27 @@ def build_pyramid(
         offsets.append(off)
         off += _grouped_rows(4 * ((lw + 1) // 2) * ((lh + 1) // 2))
     with jax.named_scope("pyr_quads"):
-        level_quads = tuple(
-            _quad_level(levels[k])
-            if (level_set is None or k in level_set) and k <= max_needed
-            else None
-            for k in range(n_levels)
-        )
+        level_quads, level_rows = [], []
+        for k in range(n_levels):
+            needed = (
+                level_set is None or k in level_set
+            ) and k <= max_needed
+            lw, lh = shapes[k]
+            if not needed:
+                level_quads.append(None)
+                level_rows.append(None)
+            elif level_set is not None and lw * lh >= ROWS_FORM_MIN_TEXELS:
+                level_quads.append(None)
+                level_rows.append(levels[k].reshape(-1, 3))
+            else:
+                level_quads.append(_quad_level(levels[k]))
+                level_rows.append(None)
     return MipPyramid(
-        level_quads=level_quads,
+        level_quads=tuple(level_quads),
         offsets=tuple(offsets),
         widths=tuple(s[0] for s in shapes),
         heights=tuple(s[1] for s in shapes),
+        level_rows=tuple(level_rows),
     )
 
 
@@ -249,9 +279,9 @@ def _bilinear_clamp_quad(pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray):
 
 
 def _bilinear_level_static(pyr: MipPyramid, k: int, uv: jnp.ndarray):
-    """Clamp-to-edge bilinear tap at STATIC level k: one gather from that
-    level's own (small) quad table — the cheap-gather path behind
-    ``level_set`` sampling."""
+    """Clamp-to-edge bilinear tap at STATIC level k: one gather from the
+    level's (small) quad table, or four row gathers when the level is in
+    ROW form (big level_set levels — same texels, same lerp, bit-exact)."""
     w, h = pyr.widths[k], pyr.heights[k]
     x = uv[..., 0] * float(w) - 0.5
     y = uv[..., 1] * float(h) - 0.5
@@ -265,12 +295,23 @@ def _bilinear_level_static(pyr: MipPyramid, k: int, uv: jnp.ndarray):
     fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
     x0 = jnp.clip(x0, 0, w - 1)
     y0 = jnp.clip(y0, 0, h - 1)
-    bw = (w + 1) >> 1
-    bh = (h + 1) >> 1
-    phase = (y0 & 1) * 2 + (x0 & 1)
-    qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    q = _fetch_quad(pyr.level_quads[k], 0, qidx)
-    c00, c10, c01, c11 = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
+    if pyr.level_rows and pyr.level_rows[k] is not None:
+        rows = pyr.level_rows[k]  # [w*h, 3]
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        c00 = rows[y0 * w + x0]
+        c10 = rows[y0 * w + x1]
+        c01 = rows[y1 * w + x0]
+        c11 = rows[y1 * w + x1]
+    else:
+        bw = (w + 1) >> 1
+        bh = (h + 1) >> 1
+        phase = (y0 & 1) * 2 + (x0 & 1)
+        qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+        q = _fetch_quad(pyr.level_quads[k], 0, qidx)
+        c00, c10, c01, c11 = (
+            q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
+        )
     top = c00 + (c10 - c00) * fx
     bot = c01 + (c11 - c01) * fx
     return top + (bot - top) * fy

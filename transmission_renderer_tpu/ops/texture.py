@@ -26,6 +26,7 @@ from transmission_renderer_tpu.scene.textures import (  # noqa: F401
     LAYER_SHIFT,
     MAX_MIPS,
     META_COLS,
+    META_LAYERS_COL,
     QUAD_GROUP,
     QUAD_GROUP_SHIFT,
 )
@@ -62,18 +63,32 @@ def _wrap_bilinear_coords(x, y, width, height, wrap_mode):
     return x0, y0, fx, fy
 
 
-def _fetch_block(quads, qoff, width, height, uv, wrap_mode, group=None):
+def _class_geometry(row_elems: int, layers: int):
+    """(group, shift, block_elems) of a layer class in a flat pool."""
+    block_elems = _block_texels() * 4 * layers
+    g = max(1, row_elems // block_elems)
+    g = 1 << max(g.bit_length() - 1, 0)
+    return g, g.bit_length() - 1, block_elems
+
+
+def _fetch_block(quads, qoff, width, height, uv, wrap_mode, classes=None,
+                 layers_pix=None):
     """ONE row gather + sub-block select -> the whole fused quad-block
-    [..., BLOCK_TEXELS * 4L] containing the bilinear footprint, plus the
-    wrapped footprint corner (x0, y0) and blend weights (fx, fy).
+    normalised to [..., BLOCK_TEXELS * 4 * Lmax] (absent layers read 0),
+    plus the wrapped footprint corner (x0, y0) and blend weights (fx, fy).
 
     The footprint {x0, x0+1} x {y0, y0+1} lives entirely in the block of
     phase (y0 & 1, x0 & 1) at (y0 >> 1, x0 >> 1); edge wrap behaviour is
     baked into boundary blocks at build time (scene/textures.py), so the
-    only in-sampler wrap work is folding x0/y0 into range. TPU gather
-    cost scales with table ROW COUNT, near-independent of row width
-    (measured on v5e), hence QUAD_GROUP blocks per physical row with a
-    register sub-block select.
+    only in-sampler wrap work is folding x0/y0 into range.
+
+    Flat pools use PER-IMAGE row groups (scene/textures.py::finish):
+    an image with L layers packs G_L = row_elems // (BLOCK_TEXELS*4*L)
+    blocks per row and its meta offsets are virtual block indices, so
+    row = qidx >> shift_L and sub-block = qidx & (G_L - 1). ``classes``
+    is the pool's STATIC set of distinct layer counts (atlas_classes);
+    ``layers_pix`` the per-pixel layer count from the meta rows — with
+    one class the select chains collapse to the single-group layout.
     """
     wf = width.astype(jnp.float32)
     hf = height.astype(jnp.float32)
@@ -98,24 +113,49 @@ def _fetch_block(quads, qoff, width, height, uv, wrap_mode, group=None):
         for k in range(1, group):
             blk = jnp.where((sub == k)[..., None], grp[..., k, :], blk)
         return blk.astype(jnp.float32), x0, y0, fx, fy
-    # FLAT [R, G * blkw] pool: the minor axis fills whole 128-element
-    # device tiles (scene/textures.py::ATLAS_ROW_ELEMS) — a 3D pool with
-    # a thin last axis pads up to 8x on device. ``group`` comes from the
-    # atlas meta width (static through jit).
-    assert group is not None and group >= 1, "flat atlas needs its group"
-    shift = group.bit_length() - 1
-    blkw = quads.shape[-1] >> shift
-    grp = quads[qidx >> shift]  # [..., G * blkw]
+    # FLAT [R, row_elems] pool with per-image groups.
+    assert classes, "flat atlas pools need their class set (atlas_classes)"
+    row_elems = quads.shape[-1]
+    l_max = max(classes)
+    if len(classes) == 1:
+        layer_sets = [(classes[0], None)]
+    else:
+        assert layers_pix is not None, "multi-class pools need layers_pix"
+        layer_sets = [(lc, layers_pix == lc) for lc in classes]
+    # per-pixel row index (select over the small static class set)
+    row_idx = None
+    for lc, pick in layer_sets:
+        _, shift, _ = _class_geometry(row_elems, lc)
+        r = qidx >> shift
+        row_idx = r if row_idx is None else jnp.where(pick, r, row_idx)
+    grp = quads[row_idx]  # [..., row_elems]
     grp = jax.lax.optimization_barrier(grp)
-    sub = qidx & (group - 1)
-    blk = grp[..., :blkw]
-    for k in range(1, group):
-        blk = jnp.where(
-            (sub == k)[..., None], grp[..., k * blkw : (k + 1) * blkw], blk
-        )
+    # per-class sub-block extraction, normalised to the max layer width
+    # (texel-major layout: texel t's layer l channel c at
+    # t*4*L + 4*l + c; absent layers zero-fill — the semantics the old
+    # globally-layer-padded pool stored physically)
+    bt = _block_texels()
+    out = None
+    for lc, pick in layer_sets:
+        g, _, blkw = _class_geometry(row_elems, lc)
+        sub = qidx & (g - 1)
+        blk = grp[..., :blkw]
+        for k in range(1, g):
+            blk = jnp.where(
+                (sub == k)[..., None], grp[..., k * blkw : (k + 1) * blkw],
+                blk,
+            )
+        if lc < l_max:
+            zeros = jnp.zeros(blk.shape[:-1] + (4 * (l_max - lc),), blk.dtype)
+            parts = []
+            for t in range(bt):
+                parts.append(blk[..., t * 4 * lc : (t + 1) * 4 * lc])
+                parts.append(zeros)
+            blk = jnp.concatenate(parts, axis=-1)
+        out = blk if out is None else jnp.where(pick[..., None], blk, out)
     # texels store half-width (scene/textures.py::ATLAS_DTYPE, bf16) —
     # convert AFTER the narrow sub-block select, lerp in f32
-    return blk.astype(jnp.float32), x0, y0, fx, fy
+    return out.astype(jnp.float32), x0, y0, fx, fy
 
 
 def _lerp4(c00, c10, c01, c11, fx, fy):
@@ -125,20 +165,22 @@ def _lerp4(c00, c10, c01, c11, fx, fy):
 
 
 def _bilinear_level_quad(
-    quads: jnp.ndarray,  # [R, QUAD_GROUP * BLOCK_TEXELS * 4L] f32 pool
-    qoff: jnp.ndarray,  # [...] int32 level block offset
+    quads: jnp.ndarray,  # [R, row_elems] flat f32/bf16 pool
+    qoff: jnp.ndarray,  # [...] int32 level block offset (virtual index)
     width: jnp.ndarray,  # [...] int32 level size in texels
     height: jnp.ndarray,  # [...] int32
     uv: jnp.ndarray,  # [..., 2]
     wrap_mode: int,
-    group: int | None = None,
+    classes: tuple | None = None,
+    layers_pix: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One bilinear tap (ALL layers) at a single mip level -> [..., 4*L].
     ONE gather; texels are pre-decoded linear float (scene/textures.py),
     so the tap is gather + sub-block select + lerp — no u8 unpack and no
     per-sample sRGB pow chain."""
     blk, _, _, fx, fy = _fetch_block(
-        quads, qoff, width, height, uv, wrap_mode, group=group
+        quads, qoff, width, height, uv, wrap_mode, classes=classes,
+        layers_pix=layers_pix,
     )
     c = blk.shape[-1] // _block_texels()  # 4L
     q = blk[..., : 4 * c].reshape(blk.shape[:-1] + (4, c))
@@ -187,31 +229,29 @@ def sample_texture(
     layer = texture_id >> LAYER_SHIFT
     # ONE meta-row gather per sample (sRGB decode is pre-baked into the
     # float atlas; srgb_table is accepted for API compatibility only).
-    g = atlas_group(meta) if quads.ndim == 2 else 1
+    classes = atlas_classes(meta) if quads.ndim == 2 else (1,)
     rows = meta[img][..., :META_COLS]
     return sample_texture_rows(
         quads, rows, uv, lod, wrap_mode, trilinear,
-        layer=layer if atlas_layers(quads, g) > 1 else None,
-        group=g if quads.ndim == 2 else None,
+        layer=layer if max(classes) > 1 else None,
+        classes=classes if quads.ndim == 2 else None,
     )
 
 
-def atlas_group(meta: jnp.ndarray) -> int:
-    """Static atlas group encoded in the FULL meta width
-    (scene/textures.py::AtlasBuilder.finish: META_COLS + group). Pass
-    scene.atlas_meta, not row slices (the material matrix stores
-    META_COLS-wide blocks without the tag)."""
-    g = meta.shape[-1] - META_COLS
-    assert g >= 1, "atlas meta missing its group tag"
-    return g
+def atlas_classes(meta: jnp.ndarray) -> tuple:
+    """STATIC set of distinct per-image layer counts, decoded from the
+    meta WIDTH (scene/textures.py::AtlasBuilder.finish pads the meta by
+    a bitmask with bit L-1 set when some image has L layers) — the class
+    info travels with the scene through jit without pytree aux plumbing.
+    Pass scene.atlas_meta, not row slices."""
+    mask = meta.shape[-1] - META_COLS
+    assert mask >= 1, "atlas meta missing its layer-class tag"
+    return tuple(l + 1 for l in range(mask.bit_length()) if (mask >> l) & 1)
 
 
-def atlas_layers(quads: jnp.ndarray, group: int = 1) -> int:
-    """Static layer count L of an atlas pool (flat [R, G*BLOCK_TEXELS*4L],
-    or legacy 3D [R, G, BLOCK_TEXELS*4L] with group=1 semantics)."""
-    if quads.ndim == 3:
-        return quads.shape[-1] // (4 * _block_texels())
-    return quads.shape[-1] // (4 * _block_texels() * group)
+def atlas_layers(meta: jnp.ndarray) -> int:
+    """Static MAX layer count of a pool (the bundle-sample width)."""
+    return max(atlas_classes(meta))
 
 
 def sample_bundle_rows(
@@ -222,11 +262,15 @@ def sample_bundle_rows(
     wrap_mode: int = WRAP_REPEAT,
     trilinear: bool = True,
     fused: bool = False,
-    group: int | None = None,
+    classes: tuple | None = None,
 ) -> jnp.ndarray:
-    """Explicit-LOD sample of ALL bundle layers -> [..., L, 4]. The whole
-    bundle costs the same gathers as one texture; every layer of a 2x2
-    block shares the physical row.
+    """Explicit-LOD sample of ALL bundle layers -> [..., Lmax, 4]. The
+    whole bundle costs the same gathers as one texture; every layer of a
+    2x2 block shares the physical row (absent layers of smaller-class
+    images read 0).
+
+    ``classes`` is the pool's static layer-class set (atlas_classes);
+    per-pixel layer counts come from the meta rows' layers column.
 
     ``fused=True`` (valid only when every atlas image has power-of-two
     dimensions — callers gate on the scene-static flag) makes a
@@ -235,8 +279,10 @@ def sample_bundle_rows(
     footprint, located in registers. With ``fused=False`` trilinear is
     the classic 2-gather two-level blend (exact for any image size)."""
     lod = jnp.maximum(lod, 0.0)
-    assert (group is not None) == (quads.ndim == 2), \
-        "flat atlas pools need their static group (ops.texture.atlas_group)"
+    assert (classes is not None) == (quads.ndim == 2), \
+        "flat atlas pools need their class set (ops.texture.atlas_classes)"
+    layers_pix = rows[..., META_LAYERS_COL] if quads.ndim == 2 else None
+    l_max = max(classes) if classes else 1
     if fused and trilinear:
         # clamp to the real mip range so the last level's self-patch
         # (whose coordinates don't correspond) always has weight 0
@@ -244,7 +290,8 @@ def sample_bundle_rows(
         l0 = jnp.floor(lod).astype(jnp.int32)
         o0, w0, h0 = _level_meta_from_rows(rows, l0)
         blk, x0, y0, fx, fy = _fetch_block(
-            quads, o0, w0, h0, uv, wrap_mode, group=group
+            quads, o0, w0, h0, uv, wrap_mode, classes=classes,
+            layers_pix=layers_pix,
         )
         c = blk.shape[-1] // _block_texels()  # 4L
         q = blk[..., : 4 * c].reshape(blk.shape[:-1] + (4, c))
@@ -280,17 +327,23 @@ def sample_bundle_rows(
         c1 = _lerp4(p00, p10, p01, p11, fx1, fy1)
         frac = (lod - l0.astype(jnp.float32))[..., None]
         c0 = c0 + (c1 - c0) * frac
-        return c0.reshape(c0.shape[:-1] + (atlas_layers(quads, group or 1), 4))
+        return c0.reshape(c0.shape[:-1] + (l_max, 4))
 
     l0 = jnp.floor(lod).astype(jnp.int32)
     o0, w0, h0 = _level_meta_from_rows(rows, l0)
-    c0 = _bilinear_level_quad(quads, o0, w0, h0, uv, wrap_mode, group=group)
+    c0 = _bilinear_level_quad(
+        quads, o0, w0, h0, uv, wrap_mode, classes=classes,
+        layers_pix=layers_pix,
+    )
     if trilinear:
         o1, w1, h1 = _level_meta_from_rows(rows, l0 + 1)
-        c1 = _bilinear_level_quad(quads, o1, w1, h1, uv, wrap_mode, group=group)
+        c1 = _bilinear_level_quad(
+            quads, o1, w1, h1, uv, wrap_mode, classes=classes,
+            layers_pix=layers_pix,
+        )
         frac = (lod - l0.astype(jnp.float32))[..., None]
         c0 = c0 + (c1 - c0) * frac
-    return c0.reshape(c0.shape[:-1] + (atlas_layers(quads, group or 1), 4))
+    return c0.reshape(c0.shape[:-1] + (l_max, 4))
 
 
 def select_layer(samples: jnp.ndarray, layer: jnp.ndarray) -> jnp.ndarray:
@@ -311,7 +364,7 @@ def sample_texture_rows(
     wrap_mode: int = WRAP_REPEAT,
     trilinear: bool = True,
     layer: jnp.ndarray | None = None,
-    group: int | None = None,
+    classes: tuple | None = None,
 ) -> jnp.ndarray:
     """Like sample_texture but with the per-pixel meta rows already
     fetched — callers that also need level-0 sizes (for LOD computation)
@@ -319,7 +372,7 @@ def sample_texture_rows(
     render/shading.py). ``layer`` selects a bundle layer per pixel
     (default: layer 0, exact for single-texture entries)."""
     s = sample_bundle_rows(
-        quads, rows, uv, lod, wrap_mode, trilinear, group=group
+        quads, rows, uv, lod, wrap_mode, trilinear, classes=classes
     )
     if layer is None:
         return s[..., 0, :]

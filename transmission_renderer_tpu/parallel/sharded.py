@@ -283,16 +283,26 @@ def render_frame_sharded(
     ggx_lut: jnp.ndarray | None = None,
     flags: SceneFlags | None = None,
     return_diagnostics: bool = False,
+    bvh=None,  # ops.bvh.BVH | None — enables --ray-tracing shadows
 ):
     """Sharded equivalent of render_frame. Call under jit with the mesh's
     devices available; returns the tonemapped [H, W, 3] frame (row-sharded
     on the first axis), plus a cross-band-reduced FrameDiagnostics when
-    ``return_diagnostics`` is set."""
-    if config.ray_traced_shadows:
-        raise NotImplementedError(
-            "ray-traced shadows are unsupported on the sharded path: "
-            "band-local BVH traversal would need cross-band geometry "
-            "replication; render single-chip with --ray-tracing instead"
+    ``return_diagnostics`` is set.
+
+    Ray-traced shadows (``config.ray_traced_shadows`` + ``bvh``) run
+    BAND-LOCALLY: scene geometry is already replicated per band, so each
+    band refits the (replicated) BVH and traces shadow rays for its own
+    pixels only — zero cross-band communication, and per-chip ray count
+    scales 1/n_bands. Results are bit-identical to the single-chip path
+    (each ray's walk is independent of batch composition). The
+    half-res-shadow-rays quality flag is single-chip-only (its bilinear
+    upsample would need a cross-band halo); full-res rays are traced."""
+    use_rt = config.ray_traced_shadows and bvh is not None
+    if config.ray_traced_shadows and bvh is None:
+        raise ValueError(
+            "config.ray_traced_shadows requires a BVH "
+            "(SceneBuilder.build_rt_bvh())"
         )
     if flags is None:
         flags = SceneFlags(has_alpha_clip=True, has_transmission=True)
@@ -322,7 +332,7 @@ def render_frame_sharded(
         w, h, band_h, n_bands, config.sharded_refraction_halo_px
     )
 
-    def band_body(scene, dl, params, lights, ggx_lut):
+    def band_body(scene, dl, params, lights, ggx_lut, bvh):
         band = jax.lax.axis_index("band")
 
         # ---- replicated prefix: vertex transform + cull + clusters --------
@@ -383,6 +393,12 @@ def render_frame_sharded(
             ggx_lut_quads=lut_quads,
             fused_trilinear=flags.atlas_pot and _tx.ATLAS_FUSED,
             bf16_lights=config.bf16_light_math,
+            pallas_shade=(
+                use_pallas
+                if config.pallas_shade is None
+                else config.pallas_shade
+            ),
+            pallas_interpret=config.pallas_interpret,
         )
 
         t0 = band * rows_per_band * tiles_x
@@ -390,11 +406,55 @@ def render_frame_sharded(
         band_tiles = t0 + jnp.arange(k_tiles, dtype=jnp.int32)
         row0_px = band * band_h
 
+        # band-local ray-traced shadows: per-frame AABB refit (replicated
+        # work, like binning) + shadow rays for THIS band's pixels
+        if use_rt:
+            from transmission_renderer_tpu.ops.bvh import refit_bvh
+            from transmission_renderer_tpu.render.raytrace import (
+                shadow_factors,
+            )
+            from transmission_renderer_tpu.render.shading import (
+                cluster_light_mask,
+            )
+
+            bvh_f = refit_bvh(bvh, dl.tri_vtx, world_pos)
+
+            def band_shadow_factors(c, g_band):
+                px, py = _dense_coords(band_h, w)
+                mask = (
+                    cluster_light_mask(
+                        c, g_band.depth.reshape(-1), px, py + row0_px
+                    ).reshape(band_h, w, lights.num)
+                    if lights.num
+                    else None
+                )
+                return shadow_factors(
+                    bvh_f, dl.tri_vtx, world_pos, g_band, params.sun_dir,
+                    lights, light_active=mask,
+                )
+
+        def band_block_meta():
+            """Global (py, px0) of the band's flat 128-px blocks — the
+            fused shade kernel's per-block cluster-candidate meta (valid
+            because band rows are single-row segments at w % 128 == 0)."""
+            if w % 128:
+                return None, None
+            bpr = w // 128
+            bid = jnp.arange((band_h * w) // 128, dtype=jnp.int32)
+            return row0_px + bid // bpr, (bid % bpr) * 128
+
         def shade_band(g_band, shade_fn, ctx, *extra):
             px, py = _dense_coords(band_h, w)
+            if use_rt:
+                sun_f, light_f = band_shadow_factors(ctx, g_band)
+                ctx = ctx._replace(
+                    sun_shadow_factor=sun_f.reshape(-1),
+                    light_shadow_factors=light_f.reshape(-1, lights.num),
+                )
+            bk_py, bk_px0 = band_block_meta()
             out = shade_fn(
                 scene, flatten_gbuffer(g_band), ctx, *extra, px,
-                py + row0_px,
+                py + row0_px, block_py=bk_py, block_px0=bk_px0,
             )
             return out.reshape(band_h, w, 3)
 
@@ -626,9 +686,16 @@ def render_frame_sharded(
             # identical FLOPs per pass regardless of where the glass sits
             # (the imbalance concern only applies to sparse formulations).
             px, py = _dense_coords(band_h, w)
+            if use_rt:
+                sun_f_t, light_f_t = band_shadow_factors(ctx_t, g_t)
+                ctx_t = ctx_t._replace(
+                    sun_shadow_factor=sun_f_t.reshape(-1),
+                    light_shadow_factors=light_f_t.reshape(-1, lights.num),
+                )
+            bk_py, bk_px0 = band_block_meta()
             hdr_t = shade_transmission_flat(
                 scene, flatten_gbuffer(g_t), ctx_t, None, px, py + row0_px,
-                fb_sampler=fb_sampler,
+                fb_sampler=fb_sampler, block_py=bk_py, block_px0=bk_px0,
             ).reshape(band_h, w, 3)
             hdr_band = jnp.where(g_t.valid[..., None], hdr_t, hdr_band)
 
@@ -647,11 +714,11 @@ def render_frame_sharded(
     shard = jax.shard_map(
         band_body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P("band"), P()),
         check_vma=False,
     )
-    ldr_padded, diag_vec = shard(scene, dl, params, lights, ggx_lut)
+    ldr_padded, diag_vec = shard(scene, dl, params, lights, ggx_lut, bvh)
     if return_diagnostics:
         diags = FrameDiagnostics(
             max_bin_count=diag_vec[3],

@@ -495,14 +495,18 @@ def _gather_gbuffer(wk, g):
 
 
 def _clip_alpha_ok_tiles(scene: Scene, ch: dict) -> jnp.ndarray:
+    with pass_scope("clip_alpha_test"):
+        return _clip_alpha_ok_tiles_inner(scene, ch)
+
+
+def _clip_alpha_ok_tiles_inner(scene: Scene, ch: dict) -> jnp.ndarray:
     """Alpha test of the clip race's current winners (the fragment kill of
     depth_pre_pass_alpha_clip, shader/src/lib.rs:270-295), on the kernel's
     tiled channel dict. Implicit-LOD sampling from the analytic
     derivatives (the reference's ``texture_sampler.sample``). True where
     the winner passes (or there is no winner)."""
     from transmission_renderer_tpu.ops.texture import (
-        atlas_group,
-        atlas_layers,
+        atlas_classes,
         sample_texture_rows,
     )
     from transmission_renderer_tpu.render.shading import _mip_lod
@@ -516,20 +520,18 @@ def _clip_alpha_ok_tiles(scene: Scene, ch: dict) -> jnp.ndarray:
     safe = jnp.maximum(ch["material"], 0)
     tid = m.tex_diffuse[safe]
     packed = jnp.maximum(tid, 0)
-    rows = scene.atlas_meta[packed & IMAGE_MASK][..., : 4 + MAX_MIPS]
+    from transmission_renderer_tpu.scene.textures import META_COLS
+
+    rows = scene.atlas_meta[packed & IMAGE_MASK][..., :META_COLS]
     uv = jnp.stack([ch["uv_u"], ch["uv_v"]], -1)
     duvdx = jnp.stack([ch["duvdx_u"], ch["duvdx_v"]], -1)
     duvdy = jnp.stack([ch["duvdy_u"], ch["duvdy_v"]], -1)
     lod = _mip_lod(duvdx, duvdy, rows[..., 2], rows[..., 3])
+    classes = atlas_classes(scene.atlas_meta)
     s = sample_texture_rows(
         scene.atlas_texels, rows, uv, lod, WRAP_REPEAT,
-        layer=(
-            packed >> LAYER_SHIFT
-            if atlas_layers(scene.atlas_texels, atlas_group(scene.atlas_meta))
-            > 1
-            else None
-        ),
-        group=atlas_group(scene.atlas_meta),
+        layer=(packed >> LAYER_SHIFT) if max(classes) > 1 else None,
+        classes=classes,
     )
     alpha = m.diffuse_factor[safe, 3] * jnp.where(tid >= 0, s[..., 3], 1.0)
     return (~valid) | (alpha >= m.alpha_clipping_cutoff[safe])
@@ -712,39 +714,42 @@ def _rasterize_clip_peeled(
         # reruns on [cap] tiles and scatters back into ``ok``.
         ok = _clip_alpha_ok_tiles(scene, ch)
     cap = max(int(np.ceil(n_tiles * config.clip_retile_cap_frac)), 1)
-    for _ in range(1, max(config.alpha_clip_rounds, 1)):
-        failed = (ch["tri"] >= 0) & ~ok
-        ft = jnp.any(failed.reshape(n_tiles, -1), axis=1)
-        pos = jnp.cumsum(ft.astype(jnp.int32)) - 1
-        tgt = jnp.where(ft & (pos < cap), pos, cap)
-        ids = (
-            jnp.full((cap,), n_tiles, jnp.int32)
-            .at[tgt]
-            .set(all_ids, mode="drop")
-        )
-        safe_ids = jnp.minimum(ids, n_tiles - 1)
-        maxd = jnp.where(failed, ch["depth"], jnp.inf)
-        new = rasterize_gbuffer_tiles(
-            payload, safe_ids, bins.tile_start, big_count, w, h,
-            init_depth_tiles=init_tiles[safe_ids],
-            max_depth_tiles=maxd[safe_ids], pass_class=pass_class,
-            interpret=config.pallas_interpret, pos_derivs=pos_derivs,
-        )
-        failed_sel = failed[safe_ids]
-        sub = {}
-        for name in ch:
-            merged = jnp.where(failed_sel, new[name], ch[name][safe_ids])
-            sub[name] = merged
-            padded = jnp.concatenate(
-                [ch[name], jnp.zeros_like(ch[name][:1])], axis=0
+    for rnd in range(1, max(config.alpha_clip_rounds, 1)):
+        with pass_scope(f"clip_round_{rnd}"):
+            failed = (ch["tri"] >= 0) & ~ok
+            ft = jnp.any(failed.reshape(n_tiles, -1), axis=1)
+            pos = jnp.cumsum(ft.astype(jnp.int32)) - 1
+            tgt = jnp.where(ft & (pos < cap), pos, cap)
+            ids = (
+                jnp.full((cap,), n_tiles, jnp.int32)
+                .at[tgt]
+                .set(all_ids, mode="drop")
             )
-            ch[name] = padded.at[ids].set(merged, mode="drop")[:n_tiles]
-        ok_sub = _clip_alpha_ok_tiles(scene, sub)
-        ok = (
-            jnp.concatenate([ok, jnp.ones_like(ok[:1])], axis=0)
-            .at[ids]
-            .set(ok_sub, mode="drop")[:n_tiles]
-        )
+            safe_ids = jnp.minimum(ids, n_tiles - 1)
+            maxd = jnp.where(failed, ch["depth"], jnp.inf)
+            new = rasterize_gbuffer_tiles(
+                payload, safe_ids, bins.tile_start, big_count, w, h,
+                init_depth_tiles=init_tiles[safe_ids],
+                max_depth_tiles=maxd[safe_ids], pass_class=pass_class,
+                interpret=config.pallas_interpret, pos_derivs=pos_derivs,
+            )
+            failed_sel = failed[safe_ids]
+            sub = {}
+            for name in ch:
+                merged = jnp.where(
+                    failed_sel, new[name], ch[name][safe_ids]
+                )
+                sub[name] = merged
+                padded = jnp.concatenate(
+                    [ch[name], jnp.zeros_like(ch[name][:1])], axis=0
+                )
+                ch[name] = padded.at[ids].set(merged, mode="drop")[:n_tiles]
+            ok_sub = _clip_alpha_ok_tiles(scene, sub)
+            ok = (
+                jnp.concatenate([ok, jnp.ones_like(ok[:1])], axis=0)
+                .at[ids]
+                .set(ok_sub, mode="drop")[:n_tiles]
+            )
 
     failed = (ch["tri"] >= 0) & ~ok
     unresolved = jnp.sum(failed.astype(jnp.int32))

@@ -30,7 +30,7 @@ import numpy as np
 from transmission_renderer_tpu.ops.mipchain import MipPyramid, sample_pyramid_lod
 from transmission_renderer_tpu.ops.texture import (
     WRAP_REPEAT,
-    atlas_group,
+    atlas_classes,
     atlas_layers,
     quad_lut_2ch,
     sample_bundle_rows,
@@ -145,9 +145,10 @@ _MAT_SLOTS = (
 )
 # tex_slots tuple positions for each _MAT_SLOTS entry
 _SLOT_FLAG_POS = (0, 1, 2, 3, 5, 6, 7, 8)
-_META_BLOCK = 4 + 2 * MAX_MIPS  # num_mips, srgb, w0, h0, off_hi*13, off_lo*13
-_META_W = 4 + MAX_MIPS  # true meta columns (the atlas meta's trailing
-# columns are the flat-row group tag, ops/texture.py::atlas_group)
+# num_mips, srgb, w0, h0, off_hi*13, off_lo*13, layers
+_META_BLOCK = 5 + 2 * MAX_MIPS
+_META_W = 5 + MAX_MIPS  # true meta columns (the atlas meta's trailing
+# columns are the layer-class tag, ops/texture.py::atlas_classes)
 
 
 class MaterialMatrix(NamedTuple):
@@ -222,12 +223,15 @@ def build_material_matrix(
         for other in group:
             tid = jnp.maximum(tid, getattr(m, other))
         img = jnp.maximum(tid, 0) & IMAGE_MASK
-        rows = scene.atlas_meta[img][:, :_META_W].astype(jnp.int32)  # [n_mat, 4+13]
+        rows = scene.atlas_meta[img][:, :_META_W].astype(jnp.int32)
         head = rows[:, :4].astype(jnp.float32)
-        offs = rows[:, 4:]
+        offs = rows[:, 4 : 4 + MAX_MIPS]
         off_hi = (offs >> 12).astype(jnp.float32)
         off_lo = (offs & 0xFFF).astype(jnp.float32)
-        cols.append(jnp.concatenate([head, off_hi, off_lo], axis=1))
+        layers_col = rows[:, 4 + MAX_MIPS :].astype(jnp.float32)
+        cols.append(
+            jnp.concatenate([head, off_hi, off_lo, layers_col], axis=1)
+        )
         for member in group:
             if member in _MAT_SLOTS:
                 meta_col[member] = c
@@ -236,12 +240,15 @@ def build_material_matrix(
 
 
 def _meta_rows_from(mrow: jnp.ndarray, col: int) -> jnp.ndarray:
-    """Decode a 30-col meta block back to int32 [..., 4 + MAX_MIPS] rows
-    in the atlas META layout (num_mips, srgb, w0, h0, quad offsets)."""
+    """Decode a meta block back to int32 [..., META_COLS] rows in the
+    atlas META layout (num_mips, srgb, w0, h0, quad offsets, layers)."""
     head = mrow[..., col : col + 4].astype(jnp.int32)
     hi = mrow[..., col + 4 : col + 4 + MAX_MIPS].astype(jnp.int32)
     lo = mrow[..., col + 4 + MAX_MIPS : col + 4 + 2 * MAX_MIPS].astype(jnp.int32)
-    return jnp.concatenate([head, (hi << 12) | lo], axis=-1)
+    layers = mrow[..., col + 4 + 2 * MAX_MIPS : col + _META_BLOCK].astype(
+        jnp.int32
+    )
+    return jnp.concatenate([head, (hi << 12) | lo, layers], axis=-1)
 
 
 class PixelMaterial(NamedTuple):
@@ -296,8 +303,8 @@ def _evaluate_pixel_material(
     # per material, see build_material_matrix) sample once per COLUMN —
     # one gather pair serves every slot in the group; per-slot extraction
     # is a register layer select.
-    a_group = atlas_group(scene.atlas_meta)
-    n_layers = atlas_layers(scene.atlas_texels, a_group)
+    a_classes = atlas_classes(scene.atlas_meta)
+    n_layers = max(a_classes)
     bundle_cache: dict = {}
 
     def tex4(slot_idx):
@@ -320,7 +327,7 @@ def _evaluate_pixel_material(
                     )
                     bundle_cache[col] = sample_bundle_rows(
                         scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
-                        fused=fused_trilinear, group=a_group,
+                        fused=fused_trilinear, classes=a_classes,
                     )
             return tid, extract(bundle_cache[col])
         # Quality flag (RenderConfig.quad_material_taps): ONE tap per 2x2
@@ -353,7 +360,7 @@ def _evaluate_pixel_material(
                 sample_q = sample_bundle_rows(
                     scene.atlas_texels, rep(rows), rep(g.uv),
                     rep(lod[..., None])[..., 0], WRAP_REPEAT,
-                    fused=fused_trilinear, group=a_group,
+                    fused=fused_trilinear, classes=a_classes,
                 )  # [M/4, L, 4]
             bundle_cache[col] = jnp.broadcast_to(
                 sample_q.reshape(h // 2, 1, w // 2, 1, n_layers, 4),
@@ -780,14 +787,14 @@ def bundle_tap_samples(
     with pass_scope("material_taps"):
         with pass_scope("mat_row"):
             mrow = onehot_rows(mm.table, g.material_id)
-        a_group = atlas_group(scene.atlas_meta)
         col = used_cols[0]
         with pass_scope("mat_tap"):
             rows = _meta_rows_from(mrow, col)
             lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
             s = sample_bundle_rows(
                 scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
-                fused=fused_trilinear, group=a_group,
+                fused=fused_trilinear,
+                classes=atlas_classes(scene.atlas_meta),
             )
     return [s], True
 
@@ -893,7 +900,7 @@ def _flatten_ctx_factors(ctx: ShadeContext) -> ShadeContext:
 
 def _shade_transmission_kernel_path(
     scene: Scene, g: GBuffer, ctx: ShadeContext, pyramid: MipPyramid,
-    block_py, block_px0, level_set,
+    block_py, block_px0, level_set, fb_sampler=None,
 ) -> jnp.ndarray | None:
     """Fused-kernel transmission shade: the per-pixel math up to the
     framebuffer/LUT fetches runs in the Pallas pre-kernel; the gathers
@@ -926,9 +933,14 @@ def _shade_transmission_kernel_path(
         return jnp.stack([p[a], p[b], p[c]], axis=-1)
 
     uv = jnp.stack([p["uv_x"], p["uv_y"]], axis=-1)
-    transmitted = sample_pyramid_lod(
-        pyramid, uv, p["lod"], level_set=level_set
-    )
+    if fb_sampler is not None:
+        # caller-supplied framebuffer sampler operating on flat arrays
+        # (the sharded path's distributed band pyramid)
+        transmitted = fb_sampler(uv, p["lod"])
+    else:
+        transmitted = sample_pyramid_lod(
+            pyramid, uv, p["lod"], level_set=level_set
+        )
     lut_quads = (
         ctx.ggx_lut_quads
         if ctx.ggx_lut_quads is not None
@@ -968,10 +980,10 @@ def shade_transmission_flat(
 ) -> jnp.ndarray:
     """The transmission fragment shader (shader/src/lib.rs:37-162) over a
     flat [M] worklist. Returns [M, 3] HDR for valid pixels."""
-    if ctx.pallas_shade and block_py is not None and fb_sampler is None:
+    if ctx.pallas_shade and block_py is not None:
         out = _shade_transmission_kernel_path(
             scene, g, ctx, opaque_pyramid, block_py, block_px0,
-            pyramid_level_set,
+            pyramid_level_set, fb_sampler=fb_sampler,
         )
         if out is not None:
             return out

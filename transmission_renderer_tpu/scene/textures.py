@@ -40,10 +40,12 @@ import numpy as np
 
 # Metadata layout per image row:
 #   [0] num_mips, [1] srgb flag, [2] level-0 width, [3] level-0 height,
-#   [4 + m] quad-block row offset of mip m (m < MAX_MIPS).
+#   [4 + m] quad-block offset of mip m (m < MAX_MIPS),
+#   [4 + MAX_MIPS] the image's LAYER count (per-image block width).
 # Level-m sizes are max(size0 >> m, 1) (floor(n/2) chain == shift chain).
 MAX_MIPS = 13  # up to 4096x4096
-META_COLS = 4 + MAX_MIPS
+META_LAYERS_COL = 4 + MAX_MIPS
+META_COLS = 5 + MAX_MIPS
 
 # Quad-blocks packed per physical atlas row: TPU gather cost scales with
 # table ROW COUNT, nearly independent of row width (measured on v5e —
@@ -88,41 +90,10 @@ if ATLAS_DTYPE is None:  # numpy bfloat16 rides ml_dtypes
 ATLAS_ROW_ELEMS = int(
     os.environ.get("TRTPU_ATLAS_ROW_ELEMS", "128").replace("auto", "0")
 )
-# "auto" (ATLAS_ROW_ELEMS = 0): widen rows per scene until the table
-# drops into the near-free gather regime (docs/PERFORMANCE.md: gather
-# cost steps with table ROW count — <= ~32-48k rows is close to the
-# 3.3 ns/idx floor; the helmet's 5-slot bundle atlas at 128-elem rows
-# is 524k rows, deep in the row-count-bound regime). Row width itself
-# is nearly free to a gather; the cap bounds bytes-per-tap.
-AUTO_TARGET_ROWS = 48_000
-AUTO_MAX_ROW_ELEMS = 1024
+# ("auto" parses to 0 and is treated as the 128-element default: the
+# row-widening sweep measured strictly worse on pad-free tables —
+# docs/PERFORMANCE.md "row widening".)
 
-
-def quad_group_for_layers(layers: int, num_blocks: int | None = None) -> int:
-    """Blocks per physical (flat) atlas row: fill ATLAS_ROW_ELEMS
-    (one 128-element device tile by default — zero layout padding for
-    any dtype, since tiling is in ELEMENTS, not bytes), power-of-two so
-    the sampler's qidx>>shift / & (G-1) addressing holds. Wide blocks
-    (many layers / fused) get G=1. ATLAS_ROW_ELEMS == 0 selects the
-    row width adaptively from ``num_blocks`` (see AUTO_TARGET_ROWS)."""
-    block_elems = BLOCK_TEXELS * 4 * layers
-    def pow2_group(row_elems: int) -> int:
-        g = max(1, row_elems // block_elems)
-        return 1 << max(g.bit_length() - 1, 0)
-
-    row_elems = ATLAS_ROW_ELEMS
-    if row_elems == 0:
-        row_elems = 128
-        # estimate rows with the pow2-floored group actually used below
-        # (raw row_elems // block_elems can overestimate it ~1.5x for
-        # non-pow2 block widths, stopping the widening one step early)
-        while (
-            row_elems < AUTO_MAX_ROW_ELEMS
-            and num_blocks is not None
-            and num_blocks // pow2_group(row_elems) > AUTO_TARGET_ROWS
-        ):
-            row_elems *= 2
-    return pow2_group(row_elems)
 
 WRAP_REPEAT = 0
 WRAP_CLAMP = 1
@@ -330,9 +301,9 @@ class AtlasBuilder:
             self._offset += 4 * bh * bw
             if m + 1 < levels:
                 level_imgs = [_box_downsample(im) for im in level_imgs]
-        # Unused mip slots alias the last level so out-of-range LOD clamps
-        # are just index clamps.
-        row[4 + levels :] = row[4 + levels - 1]
+        # Unused mip slots alias the last level so out-of-range LOD
+        # clamps are just index clamps (re-derived in finish()).
+        row[4 + levels : META_LAYERS_COL] = row[4 + levels - 1]
         self._meta.append(row)
         self._srgb.append(bool(srgbs[0]))
         self._images.append((chains, wrap))
@@ -360,49 +331,82 @@ class AtlasBuilder:
         )
 
     def finish(self):
+        """-> (quads [R, W] flat rows, meta, srgb).
+
+        PER-IMAGE row groups: every image packs its own blocks at its own
+        group G_i = the number of its (BLOCK_TEXELS*4*L_i-element) blocks
+        that fill a row, so single-layer images never pay a multi-layer
+        bundle's block width. (The previous design padded EVERY image to
+        the pool max layer count: the helmet scene's checker + occlusion
+        carried 3 dead layers each — 2/3 of its 524k-row table was zero
+        padding, and gather cost scales with table rows/bytes.) Each
+        image starts at a fresh physical row; meta mip offsets are
+        VIRTUAL block indices (row_base * G_i + local block), so samplers
+        address row = off >> shift_i, sub-block = off & (G_i - 1) with
+        the per-image group derived from the meta layers column
+        (ops/texture.py::image_groups). Images whose block width exceeds
+        the row width get G_i = 1 and set the row width."""
         if not self._meta:
             # 1x1 white dummy so the pools are never empty.
             self.push_image(np.full((1, 1, 4), 255, np.uint8), srgb=False)
-        layers = self.layers
-        chunks = []
-        for chains, wrap in self._images:
-
-            def padded(dec):
-                if dec.shape[-1] < 4 * layers:
-                    dec = np.concatenate(
-                        [
-                            dec,
-                            np.zeros(
-                                dec.shape[:2] + (4 * layers - dec.shape[-1],),
-                                np.float32,
-                            ),
-                        ],
-                        axis=-1,
-                    )
-                return dec
-
-            chain = [padded(dec) for dec in chains]
-            for m, dec in enumerate(chain):
-                # level m's blocks carry the 3x3 level-(m+1) patch for the
-                # fused single-gather trilinear tap; the chain's last
-                # level stores itself (its patch is weight-0 at sample
-                # time — the fused path clamps lod to the mip count)
-                parent = chain[m + 1] if m + 1 < len(chain) else dec
-                chunks.append(_quad_blocks(dec, wrap, parent))
-        quads = np.concatenate(chunks).astype(ATLAS_DTYPE)
-        group = quad_group_for_layers(layers, num_blocks=len(quads))
-        pad = (-len(quads)) % group
-        # FLAT [R, G * blk] rows: a 3D [R, G, blk] array tiles its minor
-        # axis to 128 elements on device (see ATLAS_ROW_ELEMS), so thin
-        # blocks would pad up to 8x; one flat row per group is tight.
-        quads = np.concatenate(
-            [quads, np.zeros((pad, quads.shape[1]), ATLAS_DTYPE)]
-        ).reshape(-1, group * BLOCK_TEXELS * 4 * layers)
-        meta = np.stack(self._meta)
-        # the sampler needs the STATIC group to address flat rows; encode
-        # it in the meta width (meta.shape[-1] - META_COLS = group) so it
-        # travels with the scene through jit without a pytree aux field
-        meta = np.pad(meta, ((0, 0), (0, group)))
+        row_elems = max(
+            ATLAS_ROW_ELEMS if ATLAS_ROW_ELEMS else 128,
+            max(
+                BLOCK_TEXELS * 4 * (c[0].shape[-1] // 4)
+                for c, _ in self._images
+            ),
+        )
+        rows_out = []
+        metas = []
+        row_base = 0
+        for (chains, wrap), meta_row in zip(self._images, self._meta):
+            layers = chains[0].shape[-1] // 4
+            block_elems = BLOCK_TEXELS * 4 * layers
+            g = max(1, row_elems // block_elems)
+            g = 1 << max(g.bit_length() - 1, 0)
+            blocks = []
+            row = meta_row.copy()
+            levels = int(row[0])
+            local = 0
+            for m, dec in enumerate(chains):
+                # rebase mip offsets into this image's virtual block
+                # index space (the push-time global offsets are unused)
+                row[4 + m] = row_base * g + local
+                # level m's blocks carry the 3x3 level-(m+1) patch for
+                # the fused single-gather trilinear tap; the chain's last
+                # level stores itself (weight-0 at sample time)
+                parent = chains[m + 1] if m + 1 < len(chains) else dec
+                blk = _quad_blocks(dec, wrap, parent)
+                blocks.append(blk)
+                local += len(blk)
+            # unused mip slots alias the last level (LOD clamp = index
+            # clamp), re-derived after the rebase
+            row[4 + levels : META_LAYERS_COL] = row[4 + levels - 1]
+            row[META_LAYERS_COL] = layers
+            q = np.concatenate(blocks)  # [N_i, block_elems]
+            pad = (-len(q)) % g
+            if pad:
+                q = np.concatenate(
+                    [q, np.zeros((pad, block_elems), np.float32)]
+                )
+            q = q.reshape(-1, g * block_elems)
+            if q.shape[1] < row_elems:
+                q = np.pad(q, ((0, 0), (0, row_elems - q.shape[1])))
+            rows_out.append(q)
+            metas.append(row)
+            row_base += len(q)
+            assert row_base * g < (1 << 24), "atlas offsets exceed f32 range"
+        quads = np.concatenate(rows_out).astype(ATLAS_DTYPE)
+        meta = np.stack(metas)
+        # STATIC class tag: the set of distinct layer counts rides the
+        # meta WIDTH as a bitmask (bit L-1 set when some image has L
+        # layers), so samplers recover it through jit without any pytree
+        # aux plumbing (ops/texture.py::atlas_classes). Row width comes
+        # from the pool array itself.
+        mask = 0
+        for row in metas:
+            mask |= 1 << (int(row[META_LAYERS_COL]) - 1)
+        meta = np.pad(meta, ((0, 0), (0, mask)))
         srgb = np.array(self._srgb, bool)
         return quads, meta, srgb
 
