@@ -515,14 +515,43 @@ def _clip_alpha_ok_tiles_inner(scene: Scene, ch: dict) -> jnp.ndarray:
         LAYER_SHIFT,
     )
 
+    from transmission_renderer_tpu.render.shading import onehot_rows
+    from transmission_renderer_tpu.scene.textures import META_COLS, MAX_MIPS
+
     m = scene.materials
     valid = ch["tri"] >= 0
     safe = jnp.maximum(ch["material"], 0)
-    tid = m.tex_diffuse[safe]
+    # ONE fused one-hot MXU fetch for every per-material column the test
+    # reads (tid, alpha factor, cutoff, the diffuse image's meta row) —
+    # the per-pixel small-table gathers this replaces cost ~2.3 ns/idx
+    # EACH, and the test runs on several million clip-tile lanes per
+    # frame. Offsets split into 12-bit halves for f32 exactness
+    # (render/shading.py::build_material_matrix does the same).
+    img = jnp.maximum(m.tex_diffuse, 0) & IMAGE_MASK
+    meta_i = scene.atlas_meta[img][:, :META_COLS].astype(jnp.int32)
+    offs = meta_i[:, 4 : 4 + MAX_MIPS]
+    table = jnp.concatenate(
+        [
+            m.tex_diffuse[:, None].astype(jnp.float32),
+            m.diffuse_factor[:, 3:4],
+            m.alpha_clipping_cutoff[:, None],
+            meta_i[:, :4].astype(jnp.float32),
+            (offs >> 12).astype(jnp.float32),
+            (offs & 0xFFF).astype(jnp.float32),
+            meta_i[:, 4 + MAX_MIPS :].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    mrow = onehot_rows(table, safe.reshape(-1)).reshape(
+        safe.shape + (table.shape[1],)
+    )
+    tid = mrow[..., 0].astype(jnp.int32)
     packed = jnp.maximum(tid, 0)
-    from transmission_renderer_tpu.scene.textures import META_COLS
-
-    rows = scene.atlas_meta[packed & IMAGE_MASK][..., :META_COLS]
+    head = mrow[..., 3:7].astype(jnp.int32)
+    hi = mrow[..., 7 : 7 + MAX_MIPS].astype(jnp.int32)
+    lo = mrow[..., 7 + MAX_MIPS : 7 + 2 * MAX_MIPS].astype(jnp.int32)
+    layers_c = mrow[..., 7 + 2 * MAX_MIPS :].astype(jnp.int32)
+    rows = jnp.concatenate([head, (hi << 12) | lo, layers_c], axis=-1)
     uv = jnp.stack([ch["uv_u"], ch["uv_v"]], -1)
     duvdx = jnp.stack([ch["duvdx_u"], ch["duvdx_v"]], -1)
     duvdy = jnp.stack([ch["duvdy_u"], ch["duvdy_v"]], -1)
@@ -533,8 +562,8 @@ def _clip_alpha_ok_tiles_inner(scene: Scene, ch: dict) -> jnp.ndarray:
         layer=(packed >> LAYER_SHIFT) if max(classes) > 1 else None,
         classes=classes,
     )
-    alpha = m.diffuse_factor[safe, 3] * jnp.where(tid >= 0, s[..., 3], 1.0)
-    return (~valid) | (alpha >= m.alpha_clipping_cutoff[safe])
+    alpha = mrow[..., 1] * jnp.where(tid >= 0, s[..., 3], 1.0)
+    return (~valid) | (alpha >= mrow[..., 2])
 
 
 def _merge_gbuffers(base, top):
@@ -561,9 +590,15 @@ def _class_tile_worklist(
     ``cls`` into a static-size worklist (the raster analogue of
     render/sparse.py's block compaction). Per-tile class counts are free:
     they are the class-split ``tile_start`` runs (ops/raster.py). Returns
-    (ids [cap] padded with n_tiles, active_count)."""
+    (ids [cap] padded with n_tiles, active_count, pad_tile) —
+    ``pad_tile`` is a tile with the FEWEST records of this class: callers
+    must aim empty slots at it, NOT clamp to n_tiles - 1 (the last tile
+    can hold many records, and every empty slot re-walks its record run
+    in the kernel — measured as a real sparse-raster cost)."""
     base = jnp.arange(n_tiles, dtype=jnp.int32) * num_classes + cls
-    active = (tile_start[base + 1] - tile_start[base]) > 0
+    counts = tile_start[base + 1] - tile_start[base]
+    active = counts > 0
+    pad_tile = jnp.argmin(counts).astype(jnp.int32)
     pos = jnp.cumsum(active.astype(jnp.int32)) - 1
     count = jnp.sum(active.astype(jnp.int32))
     tgt = jnp.where(active & (pos < cap), pos, cap)
@@ -572,7 +607,7 @@ def _class_tile_worklist(
         .at[tgt]
         .set(jnp.arange(n_tiles, dtype=jnp.int32))[:cap]
     )
-    return ids, count
+    return ids, count, pad_tile
 
 
 def _default_gbuf_channels(
@@ -631,10 +666,10 @@ def _rasterize_class_sparse(
     tiles_y = -(-h // TILE_H)
     n_tiles = tiles_x * tiles_y
     num_classes = (tile_start.shape[0] - 1) // n_tiles
-    ids, count = _class_tile_worklist(
+    ids, count, pad_tile = _class_tile_worklist(
         tile_start, n_tiles, num_classes, pass_class, cap
     )
-    safe_ids = jnp.minimum(ids, n_tiles - 1)
+    safe_ids = jnp.where(ids >= n_tiles, pad_tile, ids)
     sub = rasterize_gbuffer_tiles(
         payload, safe_ids, tile_start, big_count, w, h,
         init_depth_tiles=init_tiles[safe_ids],
@@ -714,6 +749,11 @@ def _rasterize_clip_peeled(
         # reruns on [cap] tiles and scatters back into ``ok``.
         ok = _clip_alpha_ok_tiles(scene, ch)
     cap = max(int(np.ceil(n_tiles * config.clip_retile_cap_frac)), 1)
+    nc_peel = (bins.tile_start.shape[0] - 1) // n_tiles
+    peel_base = jnp.arange(n_tiles, dtype=jnp.int32) * nc_peel + pass_class
+    peel_pad_tile = jnp.argmin(
+        bins.tile_start[peel_base + 1] - bins.tile_start[peel_base]
+    ).astype(jnp.int32)
     for rnd in range(1, max(config.alpha_clip_rounds, 1)):
         with pass_scope(f"clip_round_{rnd}"):
             failed = (ch["tri"] >= 0) & ~ok
@@ -725,7 +765,9 @@ def _rasterize_clip_peeled(
                 .at[tgt]
                 .set(all_ids, mode="drop")
             )
-            safe_ids = jnp.minimum(ids, n_tiles - 1)
+            # empty slots aim at the class's emptiest tile, not the last
+            # one (whose record run every empty slot would re-walk)
+            safe_ids = jnp.where(ids >= n_tiles, peel_pad_tile, ids)
             maxd = jnp.where(failed, ch["depth"], jnp.inf)
             new = rasterize_gbuffer_tiles(
                 payload, safe_ids, bins.tile_start, big_count, w, h,
@@ -1267,11 +1309,11 @@ def render_frame(
 
                 init_tiles = tile_image(g_o.depth, TILE_W, TILE_H)
                 nc = (bins_all.tile_start.shape[0] - 1) // n_tiles
-                ids_t, t_count = _class_tile_worklist(
+                ids_t, t_count, pad_t = _class_tile_worklist(
                     bins_all.tile_start, n_tiles, nc, 1, cap_rt
                 )
                 transmission_tiles = t_count
-                safe_t = jnp.minimum(ids_t, n_tiles - 1)
+                safe_t = jnp.where(ids_t >= n_tiles, pad_t, ids_t)
                 with pass_scope("raster_transmission"):
                     sub_t = rasterize_gbuffer_tiles(
                         gpayload, safe_t, bins_all.tile_start, big_cnt, w, h,
