@@ -59,13 +59,19 @@ def apply_knobs(spec: str) -> dict:
     import transmission_renderer_tpu.scene.textures as tx
 
     # reset to shipped defaults first
+    import transmission_renderer_tpu.render.shade_kernel as sk
+
     tx.ATLAS_FUSED = False
     tx.BLOCK_TEXELS = 4
     tx.ATLAS_ROW_ELEMS = 128
     mip.GROUP = 4
     mip._GSHIFT = 2
     mip.PLANAR = False
+    mip.ROWS_FORM_MIN_TEXELS = 1_500_000
+    mip.ROW_GROUP = 16
+    mip._RGSHIFT = 4
     rg.PAYLOAD_PAIRED = False
+    sk.ROWS_PER_STEP = 64
     applied = {}
     if spec != "base":
         for kv in spec.split(","):
@@ -83,6 +89,15 @@ def apply_knobs(spec: str) -> dict:
                 mip.PLANAR = bool(v)
             elif k == "paired":
                 rg.PAYLOAD_PAIRED = bool(v)
+            elif k == "shade_rows":
+                import transmission_renderer_tpu.render.shade_kernel as sk
+
+                sk.ROWS_PER_STEP = v
+            elif k == "pyr_rows_min":
+                mip.ROWS_FORM_MIN_TEXELS = v
+            elif k == "pyr_row_group":
+                mip.ROW_GROUP = v
+                mip._RGSHIFT = v.bit_length() - 1
             elif k in ("bf16", "k_pairs", "cap_t16", "peel", "retile16"):
                 pass  # handled at config level in main()
             else:

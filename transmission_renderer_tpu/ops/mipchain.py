@@ -43,6 +43,17 @@ ROWS_FORM_MIN_TEXELS = int(
     os.environ.get("TRTPU_PYR_ROWS_MIN", str(1_500_000))
 )
 
+# Texels per physical row in ROW-form levels ([ceil(wh/G), 3*G] instead
+# of [wh, 3]): TPU gather cost is dominated by table ROW COUNT (see
+# MipPyramid.level_quads), so packing G texels per row cuts the 4-gather
+# tap's per-index cost ~(row-count regime) x while the build stays a
+# contiguous reshape (no phase-copy shuffles — the reason ROW form exists).
+# G=16 puts 1080p level 0 at ~130k rows (the ~2.3 ns/idx regime) at
+# 192 B/row; the sub-texel select is G-1 cheap wheres per tap.
+ROW_GROUP = int(os.environ.get("TRTPU_PYR_ROW_GROUP", "16"))
+assert ROW_GROUP & (ROW_GROUP - 1) == 0 and ROW_GROUP >= 1
+_RGSHIFT = ROW_GROUP.bit_length() - 1
+
 
 class MipPyramid(NamedTuple):
     # Per-LEVEL quad tables, GROUP quad-blocks per physical row
@@ -222,7 +233,11 @@ def build_pyramid(
                 level_rows.append(None)
             elif level_set is not None and lw * lh >= ROWS_FORM_MIN_TEXELS:
                 level_quads.append(None)
-                level_rows.append(levels[k].reshape(-1, 3))
+                rows = levels[k].reshape(-1, 3)
+                pad = (-rows.shape[0]) % ROW_GROUP
+                if pad:
+                    rows = jnp.pad(rows, ((0, pad), (0, 0)))
+                level_rows.append(rows.reshape(-1, 3 * ROW_GROUP))
             else:
                 level_quads.append(_quad_level(levels[k]))
                 level_rows.append(None)
@@ -296,13 +311,26 @@ def _bilinear_level_static(pyr: MipPyramid, k: int, uv: jnp.ndarray):
     x0 = jnp.clip(x0, 0, w - 1)
     y0 = jnp.clip(y0, 0, h - 1)
     if pyr.level_rows and pyr.level_rows[k] is not None:
-        rows = pyr.level_rows[k]  # [w*h, 3]
+        rows = pyr.level_rows[k]  # [ceil(w*h/G), 3*G] grouped texels
         x1 = jnp.minimum(x0 + 1, w - 1)
         y1 = jnp.minimum(y0 + 1, h - 1)
-        c00 = rows[y0 * w + x0]
-        c10 = rows[y0 * w + x1]
-        c01 = rows[y1 * w + x0]
-        c11 = rows[y1 * w + x1]
+
+        def tap(idx):
+            grp = rows[idx >> _RGSHIFT]
+            # keep the wide row gather intact (see _fetch_quad)
+            grp = jax.lax.optimization_barrier(grp)
+            sub = idx & (ROW_GROUP - 1)
+            out = grp[..., 0:3]
+            for j in range(1, ROW_GROUP):
+                out = jnp.where(
+                    (sub == j)[..., None], grp[..., 3 * j : 3 * j + 3], out
+                )
+            return out
+
+        c00 = tap(y0 * w + x0)
+        c10 = tap(y0 * w + x1)
+        c01 = tap(y1 * w + x0)
+        c11 = tap(y1 * w + x1)
     else:
         bw = (w + 1) >> 1
         bh = (h + 1) >> 1

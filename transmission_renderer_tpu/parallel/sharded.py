@@ -37,17 +37,17 @@ FrameDiagnostics reduced across bands (max for capacities, sum for
 unresolved pixels), so capacity overflows are visible exactly like the
 single-chip path.
 
-KNOWN LAYOUT COST (future work): the distributed pyramid pool is a flat
-[N, 3] f32 table — on device the 3-element minor axis tiles to 128
-elements (~42x the logical bytes, docs/PERFORMANCE.md "device-tile
-padding") and a trilinear fetch pays 8 row gathers at full-table row
-count, where the single-chip path pays 2 grouped quad-block gathers
-(ops/mipchain.py). The fix is to quad-blockify each stored slice in
-slice-local coordinates (band slice + halo for local levels, the
-gathered level for replicated ones) and mirror mipchain's 1-gather
-bilinear tap; deferred because multi-chip perf is unmeasurable in this
-environment (virtual CPU mesh only) and the rewrite risks the
-bit-match contract this path is tested by.
+PYRAMID POOL LAYOUT: the distributed pyramid pool stores GROUPED rows
+([ceil(N/G), 3*G] f32, G = 16 — ops/mipchain.py's ROW-form layout):
+row count (the dominant TPU gather-cost axis) drops G x and device-tile
+padding drops ~42x -> ~2.7x vs the round-3 flat [N, 3] table, while the
+stored texels are byte-identical (virtual texel addressing over the
+same flat concatenation), preserving the bit-match contract this path
+is tested by. A trilinear fetch still pays 8 gathers vs the
+single-chip path's 2 quad-block gathers (a quad-blockified slice-local
+layout remains future work — it changes tap geometry at band/halo
+boundaries and therefore risks the bit-match contract, and multi-chip
+perf is unmeasurable in this environment's virtual CPU mesh).
 """
 
 from __future__ import annotations
@@ -68,6 +68,11 @@ from transmission_renderer_tpu.config import (
 )
 from transmission_renderer_tpu.ops.cull import bucket_triangle_masks, cull_instances
 from transmission_renderer_tpu.ops.mipchain import _downsample2x, pyramid_shapes
+
+# texels per physical pool row (see _build_band_pyramid); mirrors
+# ops/mipchain.py::ROW_GROUP
+_PYR_ROW_GROUP = 16
+_PYR_RGSHIFT = 4
 from transmission_renderer_tpu.ops.raster import (
     VisibilityBuffer,
     bin_triangles,
@@ -177,7 +182,15 @@ class _BandPyramidSpec:
 def _build_band_pyramid(hdr_band: jnp.ndarray, spec: _BandPyramidSpec,
                         n_bands: int):
     """Band-local downsample chain + halo exchange + one coarse gather.
-    Returns the band's flat [total, 3] texel pool."""
+    Returns the band's texel pool, GROUPED ``_PYR_ROW_GROUP`` texels per
+    physical row ([ceil(total/G), 3*G] — ops/mipchain.py's ROW-form
+    layout): TPU gather cost rides the table's ROW count and a [*, 3]
+    table device-tiles to 128 lanes (~42x padding, docs/PERFORMANCE.md);
+    grouping cuts rows G x and padding to ~2.7x. Texel addressing is
+    VIRTUAL (group = idx >> shift, texel = idx & (G-1)) over the same
+    flat concatenation, so level offsets need no alignment and the
+    stored texels — hence the bit-match contract with the single-chip
+    frame — are unchanged."""
     fine = []
     cur = hdr_band
     for _ in range(spec.l_local):
@@ -201,7 +214,11 @@ def _build_band_pyramid(hdr_band: jnp.ndarray, spec: _BandPyramidSpec,
         parts.append(jnp.concatenate([above, lvl, below], axis=0).reshape(-1, 3))
     for l, lvl in enumerate(coarse):
         parts.append(lvl[:, : spec.widths[spec.l_local + l]].reshape(-1, 3))
-    return jnp.concatenate(parts, axis=0)
+    flat = jnp.concatenate(parts, axis=0)
+    pad = (-flat.shape[0]) % _PYR_ROW_GROUP
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    return flat.reshape(-1, 3 * _PYR_ROW_GROUP)
 
 
 def _sample_band_pyramid(pool, spec: _BandPyramidSpec, band, uv, lod):
@@ -256,7 +273,17 @@ def _sample_band_pyramid(pool, spec: _BandPyramidSpec, band, uv, lod):
                 yi - (band * brows - halo), 0, brows + 2 * halo - 1
             )
             row = jnp.where(local, local_r, yi)
-            return pool[off + row * w + xi]
+            idx = off + row * w + xi
+            grp = pool[idx >> _PYR_RGSHIFT]
+            # keep the wide row gather intact (ops/texture.py)
+            grp = jax.lax.optimization_barrier(grp)
+            sub = idx & (_PYR_ROW_GROUP - 1)
+            out = grp[..., 0:3]
+            for j in range(1, _PYR_ROW_GROUP):
+                out = jnp.where(
+                    (sub == j)[..., None], grp[..., 3 * j : 3 * j + 3], out
+                )
+            return out
 
         c00 = tap(x0, y0)
         c10 = tap(x0 + 1, y0)

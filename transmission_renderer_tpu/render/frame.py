@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -754,9 +755,35 @@ def _rasterize_clip_peeled(
     peel_pad_tile = jnp.argmin(
         bins.tile_start[peel_base + 1] - bins.tile_start[peel_base]
     ).astype(jnp.int32)
+    # The per-round channel state lives as ONE padded stacked array
+    # [n_tiles + 1, C, TILE_H, TILE_W] (i32 channels bitcast to f32 —
+    # pure data movement, exact): the rounds' full-size updates become a
+    # single gather + a single scatter per round instead of one
+    # concatenate + dynamic-update-slice per CHANNEL per round (the two
+    # 1.6 ms `constant_dynamic-update-slice` fusions in the stress pass
+    # table). Row n_tiles is the empty-slot write target, sliced off at
+    # the end.
+    names = sorted(ch)
+    dtypes = {n: ch[n].dtype for n in names}
+    ci = {n: i for i, n in enumerate(names)}
+
+    def _to_f32(a):
+        if a.dtype == jnp.int32:
+            return jax.lax.bitcast_convert_type(a, jnp.float32)
+        return a
+
+    def _of(a, dtype):
+        if dtype == jnp.int32:
+            return jax.lax.bitcast_convert_type(a, jnp.int32)
+        return a
+
+    stk = jnp.stack([_to_f32(ch[n]) for n in names], axis=1)
+    stk = jnp.concatenate([stk, jnp.zeros_like(stk[:1])], axis=0)
+    ok_p = jnp.concatenate([ok, jnp.ones_like(ok[:1])], axis=0)
     for rnd in range(1, max(config.alpha_clip_rounds, 1)):
         with pass_scope(f"clip_round_{rnd}"):
-            failed = (ch["tri"] >= 0) & ~ok
+            tri_full = _of(stk[:n_tiles, ci["tri"]], jnp.int32)
+            failed = (tri_full >= 0) & ~ok_p[:n_tiles]
             ft = jnp.any(failed.reshape(n_tiles, -1), axis=1)
             pos = jnp.cumsum(ft.astype(jnp.int32)) - 1
             tgt = jnp.where(ft & (pos < cap), pos, cap)
@@ -768,30 +795,28 @@ def _rasterize_clip_peeled(
             # empty slots aim at the class's emptiest tile, not the last
             # one (whose record run every empty slot would re-walk)
             safe_ids = jnp.where(ids >= n_tiles, peel_pad_tile, ids)
-            maxd = jnp.where(failed, ch["depth"], jnp.inf)
+            sub_stk = stk[safe_ids]
+            sub_prev = {
+                n: _of(sub_stk[:, ci[n]], dtypes[n]) for n in names
+            }
+            failed_sel = failed[safe_ids]
+            maxd_sub = jnp.where(failed_sel, sub_prev["depth"], jnp.inf)
             new = rasterize_gbuffer_tiles(
                 payload, safe_ids, bins.tile_start, big_count, w, h,
                 init_depth_tiles=init_tiles[safe_ids],
-                max_depth_tiles=maxd[safe_ids], pass_class=pass_class,
+                max_depth_tiles=maxd_sub, pass_class=pass_class,
                 interpret=config.pallas_interpret, pos_derivs=pos_derivs,
             )
-            failed_sel = failed[safe_ids]
-            sub = {}
-            for name in ch:
-                merged = jnp.where(
-                    failed_sel, new[name], ch[name][safe_ids]
-                )
-                sub[name] = merged
-                padded = jnp.concatenate(
-                    [ch[name], jnp.zeros_like(ch[name][:1])], axis=0
-                )
-                ch[name] = padded.at[ids].set(merged, mode="drop")[:n_tiles]
+            sub = {
+                n: jnp.where(failed_sel, new[n], sub_prev[n])
+                for n in names
+            }
+            merged_stk = jnp.stack([_to_f32(sub[n]) for n in names], axis=1)
+            stk = stk.at[ids].set(merged_stk, mode="drop")
             ok_sub = _clip_alpha_ok_tiles(scene, sub)
-            ok = (
-                jnp.concatenate([ok, jnp.ones_like(ok[:1])], axis=0)
-                .at[ids]
-                .set(ok_sub, mode="drop")[:n_tiles]
-            )
+            ok_p = ok_p.at[ids].set(ok_sub, mode="drop")
+    ch = {n: _of(stk[:n_tiles, ci[n]], dtypes[n]) for n in names}
+    ok = ok_p[:n_tiles]
 
     failed = (ch["tri"] >= 0) & ~ok
     unresolved = jnp.sum(failed.astype(jnp.int32))
