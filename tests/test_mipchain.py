@@ -147,3 +147,44 @@ def test_rows_form_levels_bit_exact(monkeypatch):
         pyr_rows, jnp.asarray(uv), jnp.asarray(lod), level_set=level_set
     ))
     np.testing.assert_array_equal(a, b)
+
+
+def test_wide_level_set_two_tap_bit_exact():
+    """Sets wider than 3 levels fetch only the two bracketing levels per
+    pixel (_bilinear_level_set_dynamic); the result must be BIT-identical
+    to the straight per-level tent sum (the skipped taps carry exact 0.0
+    weight), including with a ROW-form level 0 in the set and lods
+    pinned exactly on level integers and the set's ends."""
+    import transmission_renderer_tpu.ops.mipchain as mc
+
+    rng = np.random.default_rng(13)
+    img = rng.uniform(0, 4, (96, 160, 3)).astype(np.float32)
+    uv = jnp.asarray(rng.uniform(-0.2, 1.2, (512, 2)).astype(np.float32))
+    lod_vals = np.concatenate([
+        rng.uniform(0.0, 4.0, 504).astype(np.float32),
+        np.array([0.0, 1.0, 2.0, 3.0, 4.0, 3.9999998, 0.0000001, 2.5],
+                 np.float32),
+    ])
+    lod = jnp.asarray(lod_vals)
+    level_set = (0, 1, 2, 3, 4)
+
+    orig_min = mc.ROWS_FORM_MIN_TEXELS
+    try:
+        for rows_min in (1 << 60, 4000):  # all-quad, and level-0 ROW form
+            mc.ROWS_FORM_MIN_TEXELS = rows_min
+            pyr = mc.build_pyramid(jnp.asarray(img), level_set=level_set)
+            got = np.asarray(mc.sample_pyramid_lod(
+                pyr, uv, lod, level_set=level_set
+            ))
+            # reference: the per-level tent sum (the <=3-level form)
+            lodc = jnp.clip(lod, 0.0, 4.0)
+            ref = None
+            for k in level_set:
+                wk = jnp.clip(1.0 - jnp.abs(lodc - float(k)), 0.0, 1.0)[
+                    ..., None
+                ]
+                ck = mc._bilinear_level_static(pyr, k, uv) * wk
+                ref = ck if ref is None else ref + ck
+            np.testing.assert_array_equal(got, np.asarray(ref))
+    finally:
+        mc.ROWS_FORM_MIN_TEXELS = orig_min

@@ -40,21 +40,26 @@ def main():
     scene, dl, flags = build_stress_scene().finish_bundle()
 
     for spec in specs:
-        rounds, frac16 = (int(x) for x in spec.split(":"))
+        parts = spec.split(":")
+        rounds = int(parts[0])
+        # "rounds:f1" or a per-round cap schedule "rounds:f1,f2,f3" (/16)
+        fr = tuple(int(x) / 16.0 for x in parts[1].split(","))
         cfg = dataclasses.replace(
             cfg0, alpha_clip_rounds=rounds,
-            clip_retile_cap_frac=frac16 / 16.0,
+            clip_retile_cap_frac=fr if len(fr) > 1 else fr[0],
         )
         render = jax.jit(partial(
             render_frame, config=cfg, flags=flags, return_diagnostics=True
         ))
         img, diag = render(scene, dl, params, lights)
         img.block_until_ready()
+        demand = [int(d) for d in diag.clip_round_demand]
         print(
-            f"rounds={rounds} retile_frac={frac16}/16: "
+            f"rounds={rounds} retile_frac={parts[1]}/16: "
             f"clip_unresolved={int(diag.clip_unresolved)} "
             f"clip_tiles={int(diag.clip_tiles)}/"
-            f"{diag.clip_tile_capacity}",
+            f"{diag.clip_tile_capacity} "
+            f"round_demand={demand} caps={list(diag.clip_round_caps)}",
             flush=True,
         )
 

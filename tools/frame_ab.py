@@ -22,6 +22,7 @@ setattr + scene rebuild takes effect):
                  cap_t16=3 -> 0.1875; 4 -> 0.25)
   peel        -> RenderConfig.alpha_clip_rounds (stress depth peel)
   retile16    -> RenderConfig.clip_retile_cap_frac * 16 (int)
+  ocap16      -> RenderConfig.opaque_block_cap_frac * 16 (int; 0 = dense)
 
 Usage:
     python tools/frame_ab.py dragon "base" "row_elems=256" "pyr_group=8" \
@@ -66,7 +67,7 @@ def apply_knobs(spec: str) -> dict:
     tx.ATLAS_ROW_ELEMS = 128
     mip.GROUP = 4
     mip._GSHIFT = 2
-    mip.PLANAR = False
+    mip.PLANAR = True
     mip.ROWS_FORM_MIN_TEXELS = 1_500_000
     mip.ROW_GROUP = 16
     mip._RGSHIFT = 4
@@ -98,7 +99,8 @@ def apply_knobs(spec: str) -> dict:
             elif k == "pyr_row_group":
                 mip.ROW_GROUP = v
                 mip._RGSHIFT = v.bit_length() - 1
-            elif k in ("bf16", "k_pairs", "cap_t16", "peel", "retile16"):
+            elif k in ("bf16", "k_pairs", "cap_t16", "peel", "retile16",
+                       "ocap16"):
                 pass  # handled at config level in main()
             else:
                 raise SystemExit(f"unknown knob {k}")
@@ -165,6 +167,11 @@ def main():
             cfg_kw["alpha_clip_rounds"] = applied["peel"]
         if "retile16" in applied:
             cfg_kw["clip_retile_cap_frac"] = applied["retile16"] / 16.0
+        if "ocap16" in applied:
+            # 0 -> None (dense); N -> N/16 block-sparse opaque cap
+            cfg_kw["opaque_block_cap_frac"] = (
+                applied["ocap16"] / 16.0 if applied["ocap16"] else None
+            )
         cfg_v = dataclasses.replace(cfg, **cfg_kw)
         scene, dl, flags = builders[scene_name]().finish_bundle()
         render = jax.jit(partial(render_frame, config=cfg_v, flags=flags))

@@ -10,7 +10,11 @@
 set -u
 LOG=$1; shift
 TRIES=${TPU_RETRY_TRIES:-3}
-GRACE=${TPU_RETRY_GRACE:-150}
+# GRACE must exceed the ~264 s FLAT first device->host readback of a
+# fresh tunnel process (verify skill / docs): during it the process sits
+# at ~0 CPU and is indistinguishable from an init hang. 150 s killed
+# healthy runs as "hung" three times in a row.
+GRACE=${TPU_RETRY_GRACE:-420}
 
 for attempt in $(seq 1 "$TRIES"); do
   "$@" > "$LOG" 2>&1 &

@@ -165,11 +165,20 @@ class RenderConfig:
     # on the Pallas path. Exact while the number of alpha-rejected layers
     # in front of the true winner stays below this; leftovers fall through
     # to the layer below and are counted in FrameDiagnostics.
-    alpha_clip_rounds: int = 3
+    # 4 rounds + the shrinking cap schedule below measure exact
+    # (clip_unresolved = 0) on the stress scene's foliage stacks with
+    # demand collapsing 553 -> 122 -> 16 -> 0 failing tiles per round
+    # (tools/clip_probe.py); the last rounds run at small caps nearly
+    # for free
+    alpha_clip_rounds: int = 4
     # Static capacity of the failing-tile re-race list, as a fraction of
     # the tile grid (overflowing tiles keep their previous winner and are
-    # caught by the unresolved-pixel diagnostic).
-    clip_retile_cap_frac: float = 0.25
+    # caught by the unresolved-pixel diagnostic). A tuple schedules
+    # per-round caps (round r uses entry min(r-1, last)): demand
+    # collapses after the first peels, so late rounds can run at small
+    # caps nearly for free. FrameDiagnostics.clip_round_demand reports
+    # the actual per-round failing-tile counts against these caps.
+    clip_retile_cap_frac: float | tuple = (0.30, 0.08, 0.02)
 
     # --- multi-chip (parallel/sharded.py) -----------------------------------
     # Row halo exchanged between neighbour bands for the distributed mip

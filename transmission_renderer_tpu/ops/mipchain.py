@@ -102,8 +102,11 @@ _GSHIFT = GROUP.bit_length() - 1
 # planes and box-filter each (identical adds per element -> bit-exact;
 # pinned by tests/test_mipchain.py). The interleaved chain reduces over
 # a 3-wide minor axis, which maps to mostly-empty 128-lane VPU registers
-# on device — hardware A/B knob (tools/frame_ab.py: planar_pyr).
-PLANAR = os.environ.get("TRTPU_PLANAR_PYR", "0") == "1"
+# on device. DEFAULT ON since round 4: -3.4 ms on the stress scene
+# (whose set reaches level 0, the biggest chain) and neutral-to-noise on
+# scenes with coarse-only sets (round-3 dragon sweep) — hardware A/B
+# knob (tools/frame_ab.py: planar_pyr).
+PLANAR = os.environ.get("TRTPU_PLANAR_PYR", "1") == "1"
 
 
 def pyramid_shapes(width: int, height: int) -> list[tuple[int, int]]:
@@ -345,6 +348,75 @@ def _bilinear_level_static(pyr: MipPyramid, k: int, uv: jnp.ndarray):
     return top + (bot - top) * fy
 
 
+def _bilinear_level_set_dynamic(
+    pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray, lmin: int, hi: int
+):
+    """Clamp-to-edge bilinear tap at a PER-PIXEL level inside the static
+    range [lmin, hi] (``lmin`` is the smallest level this tap can hit:
+    the set's floor for the lod-floor tap, one above it for the lod-ceil
+    tap — which spares the ceil tap the floor level's ROW-form gathers):
+    one gather from the range's concatenated quad tables (+ the row-form
+    taps where a range level stores ROW form, selected per pixel).
+    Value-identical to ``_bilinear_level_static`` at the same level:
+    identical coordinate math on the per-pixel-selected level size,
+    identical fetch expressions."""
+    quad_levels = [
+        k for k in range(lmin, hi + 1) if pyr.level_quads[k] is not None
+    ]
+    row_levels = [
+        k
+        for k in range(lmin, hi + 1)
+        if pyr.level_rows and pyr.level_rows[k] is not None
+    ]
+    # per-pixel level geometry (static select chain over the range)
+    w = jnp.full(level.shape, pyr.widths[lmin], jnp.int32)
+    h = jnp.full(level.shape, pyr.heights[lmin], jnp.int32)
+    for k in range(lmin + 1, hi + 1):
+        pick = level == k
+        w = jnp.where(pick, pyr.widths[k], w)
+        h = jnp.where(pick, pyr.heights[k], h)
+    x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+    fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+    x0 = jnp.clip(x0, 0, w - 1)
+    y0 = jnp.clip(y0, 0, h - 1)
+
+    out = None
+    if quad_levels:
+        quads_set = jnp.concatenate(
+            [pyr.level_quads[k] for k in quad_levels], axis=0
+        )
+        goffs, go = {}, 0
+        for k in quad_levels:
+            goffs[k] = go
+            go += pyr.level_quads[k].shape[0]
+        goff = jnp.full(level.shape, goffs[quad_levels[0]], jnp.int32)
+        for k in quad_levels[1:]:
+            goff = jnp.where(level == k, goffs[k], goff)
+        bw = (w + 1) >> 1
+        bh = (h + 1) >> 1
+        phase = (y0 & 1) * 2 + (x0 & 1)
+        qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+        q = _fetch_quad(quads_set, goff, qidx)
+        c00, c10, c01, c11 = (
+            q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
+        )
+        top = c00 + (c10 - c00) * fx
+        bot = c01 + (c11 - c01) * fx
+        out = top + (bot - top) * fy
+    for k in row_levels:
+        ck = _bilinear_level_static(pyr, k, uv)
+        out = ck if out is None else jnp.where((level == k)[..., None], ck, out)
+    return out
+
+
 def sample_pyramid_lod(
     pyr: MipPyramid,
     uv: jnp.ndarray,
@@ -355,15 +427,20 @@ def sample_pyramid_lod(
     of the transmission shader (shader/src/lib.rs:135-138).
 
     ``level_set`` (a static, contiguous tuple of level indices) restricts
-    the fetch to those levels: the lod is clamped into the set's range and
-    each level in the set contributes one tent-weighted bilinear tap from
-    its own small quad table. Callers must guarantee every lod that
-    survives to the image lies inside the set (render_frame derives it
-    from static per-material ior-adjusted roughness — see
-    SceneFlags.transmission_ior_roughness); out-of-set lods (e.g. on
-    pixels that are masked away afterwards) clamp harmlessly. Sums
-    tent-weighted taps, which equals the two-level lerp up to fp
-    reassociation.
+    the fetch to those levels: the lod is clamped into the set's range.
+    Small sets (<= 3 levels) sum one tent-weighted bilinear tap per level
+    from that level's own small quad table; wider sets tap only the TWO
+    levels bracketing each pixel's lod through a per-pixel dynamic fetch
+    (``_bilinear_level_set_dynamic``) — a 9-level set (e.g. a scene
+    whose glass spans roughness 0..0.4) costs 2 gathers/px instead of 9+.
+    Both forms produce BIT-identical results: the skipped taps carry
+    exact tent weight 0.0, and 0.0 * finite-texel terms add exactly
+    nothing to the ascending-level sum the small-set form computes.
+    Callers must guarantee every lod that survives to the image lies
+    inside the set (render_frame derives it from static per-material
+    ior-adjusted roughness — see SceneFlags.transmission_ior_roughness);
+    out-of-set lods (e.g. on pixels that are masked away afterwards)
+    clamp harmlessly. Equals the two-level lerp up to fp reassociation.
     """
     max_level = pyr.num_levels - 1
     if level_set is not None:
@@ -372,12 +449,29 @@ def sample_pyramid_lod(
             "level_set must be contiguous"
         )
         lod = jnp.clip(lod, float(lo), float(hi))
-        out = None
-        for k in range(lo, hi + 1):
-            wk = jnp.clip(1.0 - jnp.abs(lod - float(k)), 0.0, 1.0)[..., None]
-            ck = _bilinear_level_static(pyr, k, uv) * wk
-            out = ck if out is None else out + ck
-        return out
+        if hi - lo + 1 <= 3:
+            out = None
+            for k in range(lo, hi + 1):
+                wk = jnp.clip(
+                    1.0 - jnp.abs(lod - float(k)), 0.0, 1.0
+                )[..., None]
+                ck = _bilinear_level_static(pyr, k, uv) * wk
+                out = ck if out is None else out + ck
+            return out
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, hi)
+        c0 = _bilinear_level_set_dynamic(pyr, l0, uv, lo, hi)
+        c1 = _bilinear_level_set_dynamic(pyr, l1, uv, min(lo + 1, hi), hi)
+        l0f = l0.astype(jnp.float32)
+        # the SAME tent expression the per-level loop evaluates, so the
+        # two bracketing terms match it bit-for-bit; the l1 == l0 edge
+        # (lod exactly at the set's top) would double-count level hi —
+        # its tent weight is forced to the exact 0.0 every other level
+        # contributes there
+        w0 = jnp.clip(1.0 - jnp.abs(lod - l0f), 0.0, 1.0)[..., None]
+        w1 = jnp.clip(1.0 - jnp.abs(lod - (l0f + 1.0)), 0.0, 1.0)[..., None]
+        w1 = jnp.where((l1 == l0)[..., None], 0.0, w1)
+        return c0 * w0 + c1 * w1
     lod = jnp.clip(lod, 0.0, float(max_level))
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level)

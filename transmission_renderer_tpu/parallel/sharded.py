@@ -574,11 +574,14 @@ def render_frame_sharded(
                 ch = band_channels(pass_class, band_tiles,
                                    init_tiles=init_tiles)
                 ok = _clip_alpha_ok_tiles(scene, ch)
-                cap = max(
-                    int(np.ceil(k_tiles * config.clip_retile_cap_frac)), 1
-                )
+                # scalar frac or per-round schedule (render/frame.py)
+                fracs = config.clip_retile_cap_frac
+                if not isinstance(fracs, (tuple, list)):
+                    fracs = (fracs,)
+                caps = [max(int(np.ceil(k_tiles * f)), 1) for f in fracs]
                 local_ids = jnp.arange(k_tiles, dtype=jnp.int32)
-                for _ in range(1, max(config.alpha_clip_rounds, 1)):
+                for rnd in range(1, max(config.alpha_clip_rounds, 1)):
+                    cap = caps[min(rnd - 1, len(caps) - 1)]
                     failed = (ch["tri"] >= 0) & ~ok
                     ft = jnp.any(failed.reshape(k_tiles, -1), axis=1)
                     pos = jnp.cumsum(ft.astype(jnp.int32)) - 1

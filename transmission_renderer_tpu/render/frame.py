@@ -400,6 +400,12 @@ class FrameDiagnostics(NamedTuple):
     # worst demotion-tier rung overflow (Pallas tier ladder,
     # config.pallas_tiers): demand minus slots, > 0 = dropped draws
     tier_overflow: jnp.ndarray | int = 0
+    # per-PEEL-ROUND failing-tile demand (max across clip classes) and
+    # the static per-round re-race caps — convergence visibility for the
+    # alpha-clip depth peel (a round whose demand exceeds its cap leaves
+    # unresolved pixels no later round can recover)
+    clip_round_demand: tuple = ()
+    clip_round_caps: tuple = ()
 
     def overflowed(self) -> bool:
         """Host-side check (call outside jit on fetched values)."""
@@ -749,7 +755,16 @@ def _rasterize_clip_peeled(
         # subset, so the test (an atlas tap per pixel — the expensive part)
         # reruns on [cap] tiles and scatters back into ``ok``.
         ok = _clip_alpha_ok_tiles(scene, ch)
-    cap = max(int(np.ceil(n_tiles * config.clip_retile_cap_frac)), 1)
+    # per-round re-race caps: a scalar frac applies to every round; a
+    # tuple schedules SHRINKING caps (round r uses entry min(r-1, last)) —
+    # failing-tile demand collapses after the first peels, so late rounds
+    # can be near-free while early ones cover the full active-tile set
+    fracs = config.clip_retile_cap_frac
+    if not isinstance(fracs, (tuple, list)):
+        fracs = (fracs,)
+    caps = [
+        max(int(np.ceil(n_tiles * f)), 1) for f in fracs
+    ]
     nc_peel = (bins.tile_start.shape[0] - 1) // n_tiles
     peel_base = jnp.arange(n_tiles, dtype=jnp.int32) * nc_peel + pass_class
     peel_pad_tile = jnp.argmin(
@@ -780,11 +795,15 @@ def _rasterize_clip_peeled(
     stk = jnp.stack([_to_f32(ch[n]) for n in names], axis=1)
     stk = jnp.concatenate([stk, jnp.zeros_like(stk[:1])], axis=0)
     ok_p = jnp.concatenate([ok, jnp.ones_like(ok[:1])], axis=0)
+    round_demand, round_caps = [], []
     for rnd in range(1, max(config.alpha_clip_rounds, 1)):
+        cap = caps[min(rnd - 1, len(caps) - 1)]
+        round_caps.append(cap)
         with pass_scope(f"clip_round_{rnd}"):
             tri_full = _of(stk[:n_tiles, ci["tri"]], jnp.int32)
             failed = (tri_full >= 0) & ~ok_p[:n_tiles]
             ft = jnp.any(failed.reshape(n_tiles, -1), axis=1)
+            round_demand.append(jnp.sum(ft.astype(jnp.int32)))
             pos = jnp.cumsum(ft.astype(jnp.int32)) - 1
             tgt = jnp.where(ft & (pos < cap), pos, cap)
             ids = (
@@ -826,7 +845,10 @@ def _rasterize_clip_peeled(
         return untile_image(a, tiles_x, tiles_y, TILE_W, TILE_H, w, h)
 
     g_clip = gbuffer_from_channels({k: ut(v) for k, v in ch.items()})
-    return _merge_gbuffers(base, g_clip), unresolved, clip_tiles
+    return (
+        _merge_gbuffers(base, g_clip), unresolved, clip_tiles,
+        (tuple(round_demand), tuple(round_caps)),
+    )
 
 
 def _make_alpha_fn(
@@ -1013,6 +1035,7 @@ def render_frame(
     # bin caps remain in the hot path.
     use_gbuf_kernel = use_pallas
     clip_unresolved = jnp.int32(0)
+    clip_rounds = None  # (per-round failing-tile demand, per-round caps)
     if use_pallas:
         from transmission_renderer_tpu.ops.raster_pallas_gbuf import (
             gather_gbuf_payload,
@@ -1090,7 +1113,7 @@ def render_frame(
             )
         if flags.has_alpha_clip:
             with pass_scope("raster_clip_peel"):
-                g_o, miss, ct = _rasterize_clip_peeled(
+                g_o, miss, ct, clip_rounds = _rasterize_clip_peeled(
                     scene, gpayload, bins_all, big_cnt, 2, g_o, config, w, h,
                     pos_derivs=pos_derivs_o,
                 )
@@ -1388,12 +1411,23 @@ def render_frame(
                     pos_derivs=pos_derivs_t, uv_channels=uv_t,
                 )
             if flags.has_alpha_clip:
-                g_t, miss, ct = _rasterize_clip_peeled(
+                g_t, miss, ct, clip_rounds_t = _rasterize_clip_peeled(
                     scene, gpayload, bins_all, big_cnt, 3, g_t, config, w, h,
                     pos_derivs=pos_derivs_t,
                 )
                 clip_unresolved = clip_unresolved + miss
                 clip_tiles = jnp.maximum(clip_tiles, ct)
+                if clip_rounds is not None:
+                    clip_rounds = (
+                        tuple(
+                            jnp.maximum(a, b) for a, b in zip(
+                                clip_rounds[0], clip_rounds_t[0]
+                            )
+                        ),
+                        clip_rounds[1],
+                    )
+                else:
+                    clip_rounds = clip_rounds_t
         else:
             setup_t = setup_triangles(clip, dl.tri_vtx, mask_t, w, h, tw, th)
             vis_t = jax_raster_pass(setup_t, init_depth=vis_o.depth)
@@ -1548,6 +1582,8 @@ def render_frame(
             clip_tiles=clip_tiles,
             clip_tile_capacity=cap_clip,
             tier_overflow=tier_overflow,
+            clip_round_demand=clip_rounds[0] if clip_rounds else (),
+            clip_round_caps=clip_rounds[1] if clip_rounds else (),
         )
         if return_hdr:
             return ldr, hdr, diags
