@@ -29,16 +29,19 @@ from golden_defs import (  # noqa: E402
     GOLDENS,
     render_as_debug_golden,
     render_golden,
+    render_hd_golden,
 )
 from transmission_renderer_tpu.utils import save_png  # noqa: E402
 
 
 def main():
-    names = sys.argv[1:] or (sorted(GOLDENS) + ["as_debug"])
+    names = sys.argv[1:] or (sorted(GOLDENS) + ["as_debug", "dragon_hd"])
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in names:
         if name == "as_debug":
             img = render_as_debug_golden()
+        elif name == "dragon_hd":
+            img = render_hd_golden()  # ~90 s CPU (full 1920x1080 frame)
         else:
             img = render_golden(name)
         path = os.path.join(GOLDEN_DIR, f"{name}.png")
