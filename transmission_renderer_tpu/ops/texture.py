@@ -71,25 +71,13 @@ def _class_geometry(row_elems: int, layers: int):
     return g, g.bit_length() - 1, block_elems
 
 
-def _fetch_block(quads, qoff, width, height, uv, wrap_mode, classes=None,
-                 layers_pix=None):
-    """ONE row gather + sub-block select -> the whole fused quad-block
-    normalised to [..., BLOCK_TEXELS * 4 * Lmax] (absent layers read 0),
-    plus the wrapped footprint corner (x0, y0) and blend weights (fx, fy).
+def _tap_footprint(qoff, width, height, uv, wrap_mode):
+    """Shared bilinear-footprint math -> (qidx, fx, fy, x0, y0).
 
     The footprint {x0, x0+1} x {y0, y0+1} lives entirely in the block of
     phase (y0 & 1, x0 & 1) at (y0 >> 1, x0 >> 1); edge wrap behaviour is
     baked into boundary blocks at build time (scene/textures.py), so the
-    only in-sampler wrap work is folding x0/y0 into range.
-
-    Flat pools use PER-IMAGE row groups (scene/textures.py::finish):
-    an image with L layers packs G_L = row_elems // (BLOCK_TEXELS*4*L)
-    blocks per row and its meta offsets are virtual block indices, so
-    row = qidx >> shift_L and sub-block = qidx & (G_L - 1). ``classes``
-    is the pool's STATIC set of distinct layer counts (atlas_classes);
-    ``layers_pix`` the per-pixel layer count from the meta rows — with
-    one class the select chains collapse to the single-group layout.
-    """
+    only in-sampler wrap work is folding x0/y0 into range."""
     wf = width.astype(jnp.float32)
     hf = height.astype(jnp.float32)
     x = uv[..., 0] * wf - 0.5
@@ -99,6 +87,40 @@ def _fetch_block(quads, qoff, width, height, uv, wrap_mode, classes=None,
     bh = (height + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = qoff + phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+    return qidx, fx, fy, x0, y0
+
+
+def _flat_row_index(qidx, row_elems, classes, layers_pix):
+    """Physical row of a virtual block index in a flat per-image-group
+    pool (select over the small static class set)."""
+    if len(classes) == 1:
+        layer_sets = [(classes[0], None)]
+    else:
+        assert layers_pix is not None, "multi-class pools need layers_pix"
+        layer_sets = [(lc, layers_pix == lc) for lc in classes]
+    row_idx = None
+    for lc, pick in layer_sets:
+        _, shift, _ = _class_geometry(row_elems, lc)
+        r = qidx >> shift
+        row_idx = r if row_idx is None else jnp.where(pick, r, row_idx)
+    return row_idx
+
+
+def _fetch_block(quads, qoff, width, height, uv, wrap_mode, classes=None,
+                 layers_pix=None):
+    """ONE row gather + sub-block select -> the whole fused quad-block
+    normalised to [..., BLOCK_TEXELS * 4 * Lmax] (absent layers read 0),
+    plus the wrapped footprint corner (x0, y0) and blend weights (fx, fy).
+
+    Flat pools use PER-IMAGE row groups (scene/textures.py::finish):
+    an image with L layers packs G_L = row_elems // (BLOCK_TEXELS*4*L)
+    blocks per row and its meta offsets are virtual block indices, so
+    row = qidx >> shift_L and sub-block = qidx & (G_L - 1). ``classes``
+    is the pool's STATIC set of distinct layer counts (atlas_classes);
+    ``layers_pix`` the per-pixel layer count from the meta rows — with
+    one class the select chains collapse to the single-group layout.
+    """
+    qidx, fx, fy, x0, y0 = _tap_footprint(qoff, width, height, uv, wrap_mode)
     if quads.ndim == 3:
         # legacy [R, G, blkw] pool (LUT pools keep this shape)
         group = quads.shape[1]
@@ -122,12 +144,7 @@ def _fetch_block(quads, qoff, width, height, uv, wrap_mode, classes=None,
     else:
         assert layers_pix is not None, "multi-class pools need layers_pix"
         layer_sets = [(lc, layers_pix == lc) for lc in classes]
-    # per-pixel row index (select over the small static class set)
-    row_idx = None
-    for lc, pick in layer_sets:
-        _, shift, _ = _class_geometry(row_elems, lc)
-        r = qidx >> shift
-        row_idx = r if row_idx is None else jnp.where(pick, r, row_idx)
+    row_idx = _flat_row_index(qidx, row_elems, classes, layers_pix)
     grp = quads[row_idx]  # [..., row_elems]
     grp = jax.lax.optimization_barrier(grp)
     # per-class sub-block extraction, normalised to the max layer width

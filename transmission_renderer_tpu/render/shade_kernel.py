@@ -734,11 +734,18 @@ def _call_shade_kernel(
     nb = m_pixels // 128
     assert nb * 128 == m_pixels
 
+    from transmission_renderer_tpu.ops.tap_finish import PlanarBundle
+
     cand, S, wc, nxc = build_cluster_candidates(ctx, block_py, block_px0)
     coeffs = ctx.cluster_coeffs
     n_mat = int(ctx.mat_matrix.table.shape[0])
     L = int(ctx.lights.num)
-    n_layers = sample_list[0].shape[-2] if sample_list else 0
+    n_layers = 0
+    if sample_list:
+        s0 = sample_list[0]
+        n_layers = (
+            s0.n_layers if isinstance(s0, PlanarBundle) else s0.shape[-2]
+        )
 
     spec = OpaqueShadeSpec(
         n_mat=n_mat,
@@ -824,6 +831,13 @@ def _call_shade_kernel(
 
     n_sample_planes = 0
     for smp in sample_list:
+        if isinstance(smp, PlanarBundle):
+            # tap-finish planes feed straight through — (layer, channel)
+            # order matches slot_sample's samples[4*k + c] indexing
+            for ch in smp.chans:
+                add(_plane(ch))
+                n_sample_planes += 1
+            continue
         for layer in range(smp.shape[-2]):
             for c in range(4):
                 add(_plane(smp[:, layer, c]))

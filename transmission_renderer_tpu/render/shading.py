@@ -765,13 +765,27 @@ def _dense_coords(h: int, w: int):
 def bundle_tap_samples(
     scene: Scene, g: GBuffer, tex_slots: tuple, mat_matrix: MaterialMatrix,
     fused_trilinear: bool,
+    pallas_finish: bool = False,
+    interpret: bool = False,
 ):
     """The material texture taps of ``_evaluate_pixel_material`` WITHOUT
     the factor application — pre-gathered inputs for the fused shade
     kernel (render/shade_kernel.py). Returns (samples list — one
-    [M, L, 4] per unique meta block, ok); ok is False when used slots
-    span >1 distinct meta block (the kernel handles a single shared
-    bundle; mixed-image scenes keep the XLA path)."""
+    [M, L, 4] array or PlanarBundle per unique meta block, ok); ok is
+    False when used slots span >1 distinct meta block (the kernel
+    handles a single shared bundle; mixed-image scenes keep the XLA
+    path).
+
+    ``pallas_finish`` routes the post-gather select/lerp work through
+    the tap-finish kernel (ops/tap_finish.py) — bit-exact, and the
+    gathered rows feed the kernel in their natural layout instead of
+    paying XLA's full-array transpose copies."""
+    from transmission_renderer_tpu.ops.tap_finish import (
+        PlanarBundle,
+        finish_supported,
+        sample_bundle_planes,
+    )
+
     mm = mat_matrix
     used_cols = []
     for name, flag_pos in zip(_MAT_SLOTS, _SLOT_FLAG_POS):
@@ -784,6 +798,10 @@ def bundle_tap_samples(
         return [], True
     if len(used_cols) > 1:
         return [], False
+    a_classes = atlas_classes(scene.atlas_meta)
+    use_finish = pallas_finish and finish_supported(
+        scene.atlas_texels, g.uv.shape[0], fused_trilinear, True
+    )
     with pass_scope("material_taps"):
         with pass_scope("mat_row"):
             mrow = onehot_rows(mm.table, g.material_id)
@@ -791,11 +809,19 @@ def bundle_tap_samples(
         with pass_scope("mat_tap"):
             rows = _meta_rows_from(mrow, col)
             lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
-            s = sample_bundle_rows(
-                scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
-                fused=fused_trilinear,
-                classes=atlas_classes(scene.atlas_meta),
-            )
+            if use_finish:
+                s = PlanarBundle(
+                    sample_bundle_planes(
+                        scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
+                        classes=a_classes, interpret=interpret,
+                    ),
+                    n_layers=max(a_classes),
+                )
+            else:
+                s = sample_bundle_rows(
+                    scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
+                    fused=fused_trilinear, classes=a_classes,
+                )
     return [s], True
 
 
@@ -815,7 +841,8 @@ def _shade_opaque_kernel_path(
     ):
         return None
     samples, ok = bundle_tap_samples(
-        scene, g, ctx.tex_slots, ctx.mat_matrix, ctx.fused_trilinear
+        scene, g, ctx.tex_slots, ctx.mat_matrix, ctx.fused_trilinear,
+        pallas_finish=True, interpret=ctx.pallas_interpret,
     )
     if not ok:
         return None
@@ -919,7 +946,8 @@ def _shade_transmission_kernel_path(
     ):
         return None
     samples, ok = bundle_tap_samples(
-        scene, g, ctx.tex_slots, ctx.mat_matrix, ctx.fused_trilinear
+        scene, g, ctx.tex_slots, ctx.mat_matrix, ctx.fused_trilinear,
+        pallas_finish=True, interpret=ctx.pallas_interpret,
     )
     if not ok:
         return None
