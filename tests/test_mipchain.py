@@ -188,3 +188,33 @@ def test_wide_level_set_two_tap_bit_exact():
             np.testing.assert_array_equal(got, np.asarray(ref))
     finally:
         mc.ROWS_FORM_MIN_TEXELS = orig_min
+
+
+def test_mxu_downsample_bit_exact():
+    """The MXU 0/1-matrix downsample == the explicit-adds oracle, bit
+    for bit (CPU: two nonzero exact products per output, same
+    (a+b)+(c+d) association), including odd-edge drops."""
+    import transmission_renderer_tpu.ops.mipchain as mc
+
+    rng = np.random.default_rng(11)
+    for h, w in ((96, 160), (97, 161), (2, 2), (3, 5), (1, 8), (8, 1)):
+        img = rng.uniform(-4, 4, (h, w)).astype(np.float32)
+        a = np.asarray(mc._downsample2x(jnp.asarray(img)))
+        b = np.asarray(mc._downsample2x_plane_mxu(jnp.asarray(img)))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_build_pyramid_planes_input():
+    """build_pyramid((r, g, b) planes) == build_pyramid([H, W, 3])."""
+    import transmission_renderer_tpu.ops.mipchain as mc
+
+    rng = np.random.default_rng(12)
+    img = rng.uniform(0, 4, (64, 96, 3)).astype(np.float32)
+    a = mc.build_pyramid(jnp.asarray(img), level_set=(1, 2))
+    b = mc.build_pyramid(
+        tuple(jnp.asarray(img[..., c]) for c in range(3)), level_set=(1, 2)
+    )
+    for qa, qb in zip(a.level_quads, b.level_quads):
+        assert (qa is None) == (qb is None)
+        if qa is not None:
+            np.testing.assert_array_equal(np.asarray(qa), np.asarray(qb))

@@ -149,6 +149,43 @@ def _downsample2x(img: jnp.ndarray) -> jnp.ndarray:
 _downsample2x_plane = _downsample2x
 
 
+def _pair_matrix(n: int) -> jnp.ndarray:
+    """[n, max(n//2, 1)] 0/1 f32 matrix pairing element 2j, 2j+1 -> j
+    (rows beyond 2*(n//2) are zero — the floor(n/2) odd-edge drop)."""
+    m = max(n // 2, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    return jnp.asarray((rows >> 1) == cols, jnp.float32) * jnp.asarray(
+        rows < 2 * m, jnp.float32
+    )
+
+
+def _downsample2x_plane_mxu(plane: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample of ONE [H, W] channel plane via two MXU
+    matmuls with 0/1 pairing matrices.
+
+    Why: the reshape-based ``_downsample2x`` materialises [nh, 2, nw, 2]
+    intermediates whose trailing size-2 axis pads to 128 device lanes
+    (64x physical bytes — measured 9.2 ms of the dragon frame's
+    pyr_down); a dot against a 0/1 matrix keeps every tensor in natural
+    [rows, lanes] layout and runs on the MXU.
+
+    Exactness: horizontal-pair-add first, then vertical — the SAME
+    association ``(a+b) + (c+d)`` as ``_downsample2x`` (top-row sum plus
+    bottom-row sum, then * 0.25). Each output accumulates exactly two
+    nonzero products of exact 1.0 coefficients, so on CPU the result is
+    BIT-identical to the explicit adds (pinned by tests/test_mipchain.py
+    ::test_mxu_downsample_bit_exact); the TPU MXU's split-mantissa f32
+    passes may differ by <= 2 ulp, far inside the 1e-3 fidelity budget.
+    """
+    h, w = plane.shape
+    if h <= 1 or w <= 1:
+        return _downsample2x(plane)
+    t = plane @ _pair_matrix(w)  # [h, w//2]: img[i,2j] + img[i,2j+1]
+    out = _pair_matrix(h).T @ t  # [h//2, w//2]: top + bottom
+    return out * 0.25
+
+
 def _quad_level(img: jnp.ndarray) -> jnp.ndarray:
     """[H, W, 3] -> [ceil(4 * bh * bw / GROUP), 12 * GROUP] phase-shifted
     2x2 blocks, GROUP per row, CLAMP edges baked (the framebuffer sampler
@@ -190,9 +227,10 @@ def _fetch_quad(table: jnp.ndarray, grouped_off, qidx: jnp.ndarray):
 
 
 def build_pyramid(
-    framebuffer: jnp.ndarray, level_set: tuple | None = None
+    framebuffer, level_set: tuple | None = None
 ) -> MipPyramid:
-    """[H, W, 3] -> quad-block mip pyramid (level 0 included).
+    """[H, W, 3] (or a (r, g, b) tuple of [H, W] planes) -> quad-block
+    mip pyramid (level 0 included).
 
     ``level_set`` (static level indices, see
     render/frame.py::refraction_level_set) restricts the build: the
@@ -201,25 +239,31 @@ def build_pyramid(
     reference regenerates its full chain every frame
     (src/main.rs:2054-2063); with an untextured transmissive roughness
     the fetch provably touches only the set, so matching its work would
-    be pure waste."""
-    h, w = framebuffer.shape[:2]
+    be pure waste.
+
+    Planes input is the fast path: the downsample chain runs per
+    channel plane on the MXU (``_downsample2x_plane_mxu``) and channels
+    interleave only for the (small) per-level quad/ROW tables — an
+    interleaved [H, W, 3] frame pays a lane-padded channel split first."""
+    if isinstance(framebuffer, (tuple, list)):
+        in_planes = tuple(framebuffer)
+        h, w = in_planes[0].shape
+    else:
+        h, w = framebuffer.shape[:2]
+        in_planes = tuple(framebuffer[..., c] for c in range(3))
     shapes = pyramid_shapes(w, h)
     n_levels = len(shapes)
     max_needed = n_levels - 1 if level_set is None else min(
         max(level_set), n_levels - 1
     )
     with jax.named_scope("pyr_down"):
-        if PLANAR:
-            planes = [
-                [framebuffer[..., c] for c in range(3)]
-            ]
-            for _ in range(max_needed):
-                planes.append([_downsample2x_plane(p) for p in planes[-1]])
-            levels = [jnp.stack(ps, axis=-1) for ps in planes]
-        else:
-            levels = [framebuffer]
-            for _ in range(max_needed):
-                levels.append(_downsample2x(levels[-1]))
+        planes = [list(in_planes)]
+        for _ in range(max_needed):
+            planes.append([_downsample2x_plane_mxu(p) for p in planes[-1]])
+
+    def interleave(k):
+        return jnp.stack(planes[k], axis=-1)
+
     offsets, off = [], 0
     for lw, lh in shapes:
         offsets.append(off)
@@ -236,13 +280,13 @@ def build_pyramid(
                 level_rows.append(None)
             elif level_set is not None and lw * lh >= ROWS_FORM_MIN_TEXELS:
                 level_quads.append(None)
-                rows = levels[k].reshape(-1, 3)
+                rows = interleave(k).reshape(-1, 3)
                 pad = (-rows.shape[0]) % ROW_GROUP
                 if pad:
                     rows = jnp.pad(rows, ((0, pad), (0, 0)))
                 level_rows.append(rows.reshape(-1, 3 * ROW_GROUP))
             else:
-                level_quads.append(_quad_level(levels[k]))
+                level_quads.append(_quad_level(interleave(k)))
                 level_rows.append(None)
     return MipPyramid(
         level_quads=tuple(level_quads),

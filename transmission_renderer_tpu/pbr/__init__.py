@@ -31,6 +31,7 @@ from transmission_renderer_tpu.pbr.tonemap import (  # noqa: F401
     BakedLottesParams,
     bake_lottes_params,
     lottes_tonemap,
+    lottes_tonemap_planes,
 )
 from transmission_renderer_tpu.pbr.clustering import (  # noqa: F401
     ClusterCoefficients,

@@ -110,3 +110,24 @@ def lottes_tonemap(colour: jnp.ndarray, p: BakedLottesParams) -> jnp.ndarray:
     ratio = ratio**p.cross_saturation
 
     return jnp.clip(ratio * tonemapped_max, 0.0, 1.0)
+
+
+def lottes_tonemap_planes(planes: tuple, p: BakedLottesParams) -> tuple:
+    """``lottes_tonemap`` over (r, g, b) channel PLANES — the same ops in
+    the same order per channel (max over 3 elements is rounding-free, so
+    the nested maximum equals the axis reduce bit-for-bit); keeps the
+    frame's planar back half free of [..., 3] interleaves."""
+    r, g, b = (jnp.maximum(c, 0.0) for c in planes)
+    max_c = jnp.maximum(jnp.maximum(r, g), b)
+    safe_max = jnp.maximum(max_c, 1e-30)
+    tonemapped_max = _tonemap_inner(max_c, p)
+    crosstalk_t = tonemapped_max**p.crosstalk
+
+    def chan(c):
+        ratio = c / safe_max
+        ratio = ratio ** (p.saturation / p.cross_saturation)
+        ratio = ratio + (1.0 - ratio) * crosstalk_t
+        ratio = ratio**p.cross_saturation
+        return jnp.clip(ratio * tonemapped_max, 0.0, 1.0)
+
+    return (chan(r), chan(g), chan(b))

@@ -50,6 +50,7 @@ from transmission_renderer_tpu.pbr import (
     bake_lottes_params,
     cluster_coefficients,
     lottes_tonemap,
+    lottes_tonemap_planes,
 )
 from transmission_renderer_tpu.pbr.clustering import (
     assign_lights_to_clusters,
@@ -1293,10 +1294,19 @@ def render_frame(
                 bk_py = bid // bpr
                 bk_px0 = (bid % bpr) * 128
             hdr_flat = shade_opaque_flat(scene, g_of, ctx_f, px, py,
-                                         block_py=bk_py, block_px0=bk_px0)
-            hdr = block_scatter(wk_o, hdr_flat, jnp.zeros((h, w, 3), jnp.float32))
+                                         block_py=bk_py, block_px0=bk_px0,
+                                         return_planes=True)
+            # HDR stays PLANAR ((r, g, b) [H, W] planes) through the
+            # pyramid/merge/tonemap back half: interleaved [H, W, 3]
+            # relayouts (lane-padded trailing axes) measured ~9 ms of
+            # the dragon frame (see ops/mipchain.py::_downsample2x_plane_mxu)
+            hdr_planes = tuple(
+                block_scatter(wk_o, p, jnp.zeros((h, w), jnp.float32))
+                for p in hdr_flat
+            )
         else:
-            hdr = shade_opaque(scene, g_o, ctx)
+            hdr_d = shade_opaque(scene, g_o, ctx)
+            hdr_planes = tuple(hdr_d[..., c] for c in range(3))
 
     transmission_blocks = jnp.int32(0)
     cap_t = 0
@@ -1313,7 +1323,7 @@ def render_frame(
 
         level_set = refraction_level_set(flags, w, mip_levels_for_size(w, h))
         with pass_scope("mip_pyramid"):
-            pyramid = build_pyramid(hdr, level_set=level_set)
+            pyramid = build_pyramid(hdr_planes, level_set=level_set)
 
         # ---- 6-7. transmissive raster + shade ------------------------------
         fused_sparse = False
@@ -1485,10 +1495,17 @@ def render_frame(
                     pyramid_level_set=level_set,
                     block_py=bk_py_t, block_px0=bk_px0_t,
                 )
-                merged = jnp.where(
-                    g_tf.valid[..., None], hdr_t_flat, block_gather(wk_t, hdr)
+                hdr_planes = tuple(
+                    block_scatter(
+                        wk_t,
+                        jnp.where(
+                            g_tf.valid, hdr_t_flat[:, c],
+                            block_gather(wk_t, hp),
+                        ),
+                        hp,
+                    )
+                    for c, hp in enumerate(hdr_planes)
                 )
-                hdr = block_scatter(wk_t, merged, hdr)
             elif cap_t:
                 wk_t = compact_blocks(g_t.valid, cap_t)
                 transmission_blocks = wk_t.count
@@ -1524,10 +1541,17 @@ def render_frame(
                 )
                 # transmission replaces covered pixels (the reference's
                 # blend-disabled transmission pipeline)
-                merged = jnp.where(
-                    g_tf.valid[..., None], hdr_t_flat, block_gather(wk_t, hdr)
+                hdr_planes = tuple(
+                    block_scatter(
+                        wk_t,
+                        jnp.where(
+                            g_tf.valid, hdr_t_flat[:, c],
+                            block_gather(wk_t, hp),
+                        ),
+                        hp,
+                    )
+                    for c, hp in enumerate(hdr_planes)
                 )
-                hdr = block_scatter(wk_t, merged, hdr)
             else:
                 if use_rt:
                     px_td = jnp.broadcast_to(
@@ -1549,11 +1573,16 @@ def render_frame(
                 hdr_t = shade_transmission(
                     scene, g_t, ctx_t, pyramid, pyramid_level_set=level_set
                 )
-                hdr = jnp.where(g_t.valid[..., None], hdr_t, hdr)
+                hdr_planes = tuple(
+                    jnp.where(g_t.valid, hdr_t[..., c], hp)
+                    for c, hp in enumerate(hdr_planes)
+                )
 
     # ---- 8. tonemap ---------------------------------------------------------
     with pass_scope("tonemap"):
-        ldr = lottes_tonemap(hdr, bake_lottes_params())
+        ldr = jnp.stack(
+            lottes_tonemap_planes(hdr_planes, bake_lottes_params()), axis=-1
+        )
     if return_diagnostics:
         cap_clip = (
             _tile_cap(config.clip_tile_cap_frac, tiles_x * tiles_y,
@@ -1586,8 +1615,8 @@ def render_frame(
             clip_round_caps=clip_rounds[1] if clip_rounds else (),
         )
         if return_hdr:
-            return ldr, hdr, diags
+            return ldr, jnp.stack(hdr_planes, axis=-1), diags
         return ldr, diags
     if return_hdr:
-        return ldr, hdr
+        return ldr, jnp.stack(hdr_planes, axis=-1)
     return ldr

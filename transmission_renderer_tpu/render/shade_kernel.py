@@ -884,11 +884,34 @@ def shade_opaque_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """The fused opaque shade -> [M, 3] HDR (oracle: shade_opaque_flat)."""
-    r, gg, b = _call_shade_kernel(
-        scene, g, ctx, block_py, block_px0, sample_list, tex_slots,
-        transmission=False, interpret=interpret,
+    return jnp.stack(
+        shade_opaque_pallas_planes(
+            scene, g, ctx, block_py, block_px0, sample_list, tex_slots,
+            interpret=interpret,
+        ),
+        axis=-1,
     )
-    return jnp.stack([r, gg, b], axis=-1)
+
+
+def shade_opaque_pallas_planes(
+    scene,
+    g,  # flat GBuffer [M]
+    ctx,
+    block_py: jnp.ndarray,
+    block_px0: jnp.ndarray,
+    sample_list: list,
+    tex_slots: tuple,
+    interpret: bool = False,
+) -> tuple:
+    """The fused opaque shade in its native output form: (r, g, b) [M]
+    channel planes — no [M, 3] interleave (the frame's back half stays
+    planar, see shade_opaque_flat(return_planes=True))."""
+    return tuple(
+        _call_shade_kernel(
+            scene, g, ctx, block_py, block_px0, sample_list, tex_slots,
+            transmission=False, interpret=interpret,
+        )
+    )
 
 
 def shade_transmission_pallas_pre(

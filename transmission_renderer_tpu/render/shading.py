@@ -827,11 +827,12 @@ def bundle_tap_samples(
 
 def _shade_opaque_kernel_path(
     scene: Scene, g: GBuffer, ctx: ShadeContext, block_py, block_px0,
-) -> jnp.ndarray | None:
-    """Try the fused Pallas deferred-shade kernel; None -> XLA path."""
+) -> tuple | None:
+    """Try the fused Pallas deferred-shade kernel; None -> XLA path.
+    Returns the (r, g, b) [M] channel planes the kernel writes."""
     from transmission_renderer_tpu.render.shade_kernel import (
         pallas_shade_supported,
-        shade_opaque_pallas,
+        shade_opaque_pallas_planes,
     )
 
     if ctx.mat_matrix is None:
@@ -847,7 +848,7 @@ def _shade_opaque_kernel_path(
     if not ok:
         return None
     with pass_scope("shade_kernel"):
-        return shade_opaque_pallas(
+        return shade_opaque_pallas_planes(
             scene, g, ctx, block_py, block_px0, samples, ctx.tex_slots,
             interpret=ctx.pallas_interpret,
         )
@@ -858,18 +859,26 @@ def shade_opaque_flat(
     quad_shape: tuple | None = None,
     block_py: jnp.ndarray | None = None,
     block_px0: jnp.ndarray | None = None,
-) -> jnp.ndarray:
+    return_planes: bool = False,
+) -> jnp.ndarray | tuple:
     """The opaque PBR fragment shader (shader/src/lib.rs:164-249) over a
     flat [M] worklist. Returns [M, 3] HDR; invalid pixels are black (the
     draw pass clears to zero).
 
     ``block_py``/``block_px0`` ([NB] framebuffer coordinates of each flat
     128-px block, only valid when blocks are single-row segments) enable
-    the fused Pallas shade kernel when the context allows it."""
+    the fused Pallas shade kernel when the context allows it.
+
+    ``return_planes`` returns (r, g, b) [M] channel planes instead — the
+    kernel path's NATIVE output form (the frame keeps HDR planar through
+    the pyramid/merge/tonemap back half to avoid interleaved-layout
+    relayouts; see ops/mipchain.py::_downsample2x_plane_mxu)."""
     if ctx.pallas_shade and block_py is not None and quad_shape is None:
         out = _shade_opaque_kernel_path(scene, g, ctx, block_py, block_px0)
         if out is not None:
-            return out
+            if return_planes:
+                return tuple(out)
+            return jnp.stack(out, axis=-1)
     view_vector = ctx.view_position - g.position
     view = view_vector / jnp.maximum(
         jnp.linalg.norm(view_vector, axis=-1, keepdims=True), 1e-12
@@ -892,7 +901,10 @@ def shade_opaque_flat(
         c2 = colours[cluster % 15]
         out = c1 + (c2 - 0.5) * 0.025
 
-    return jnp.where(g.valid[..., None], out, 0.0)
+    out = jnp.where(g.valid[..., None], out, 0.0)
+    if return_planes:
+        return tuple(out[:, c] for c in range(3))
+    return out
 
 
 def shade_opaque(scene: Scene, g: GBuffer, ctx: ShadeContext) -> jnp.ndarray:
