@@ -203,9 +203,25 @@ def bench_scene(name, builder, config, round_trip, n_frames=10,
                 render_frame, config=config, flags=flags, bvh=bvh,
                 return_diagnostics=True,
             ))
-            _, diag = rd(scene, dl, params, lights)
+            # guard BOTH ends of the timed sweep: the fps frames render
+            # at yaws up to 0.02*(n-1), and a cap overflow at a swept
+            # angle would silently drop work inside the timed frames
+            # (advisor r4) — check the initial camera AND the extreme
+            rig.target_yaw = 0.02 * (n_frames - 1)
+            rig.update()
+            p_ext = make_frame_params(
+                config, rig.camera.view_matrix(), rig.camera.position,
+                rig.sun_dir(),
+            )
+            worst = None
+            for p_chk in (params, p_ext):
+                _, diag = rd(scene, dl, p_chk, lights)
+                if worst is None or bool(diag.overflowed()):
+                    worst = diag
+            diag = worst
             log(
-                f"    caps: overflowed={bool(diag.overflowed())} "
+                f"    caps (init+extreme yaw): "
+                f"overflowed={bool(diag.overflowed())} "
                 f"opaque_blocks={int(diag.opaque_blocks)}"
             )
             if flags.has_alpha_clip:
@@ -273,7 +289,7 @@ def main():
         ("bindless_many_lights",
          build_bindless_scene(),
          dataclasses.replace(config, opaque_block_cap_frac=0.8125),
-         {"lights": pack_lights(bindless_lights())}),
+         {"lights": pack_lights(bindless_lights()), "pass_timing": True}),
         ("dragon_attenuation",
          build_dragon_scene(roughness_override=0.25), config,
          {"report_sensitivity": True, "pass_timing": True}),
@@ -283,7 +299,7 @@ def main():
         # is emitted either way)
         ("dragon_rt_shadows",
          build_dragon_scene(roughness_override=0.25), config_rt,
-         {"n_frames": 1}),
+         {"n_frames": 1, "pass_timing": True}),
         # the opt-in quality flag's speed, reported alongside exact
         # (docs/FIDELITY.md lists its error bound)
         ("dragon_rt_halfres",

@@ -62,3 +62,45 @@ def test_oob_gather_is_reported():
         )
     )(jnp.arange(8.0), jnp.int32(11))
     assert err.get() is not None and "out-of-bounds" in err.get()
+
+
+def test_bitcast_int32_state_survives_data_movement():
+    """The stacked clip-peel state (render/frame.py::_rasterize_clip_peeled)
+    bitcasts int32 channels to f32 and relies on stack/concat/gather/
+    select/scatter being PURE data movement: denormal and NaN bit
+    patterns (tri=-1 is 0xFFFFFFFF = a quiet-NaN pattern; small tri ids
+    are f32 denormals) must round-trip unchanged. Pins the invariant the
+    advisor flagged as easy to break in a later edit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    vals = np.array(
+        [
+            -1,  # 0xFFFFFFFF: NaN pattern (the invalid-tri marker)
+            0, 1, 7, 12345,  # f32 denormal patterns (real tri ids)
+            2**31 - 1,  # NaN pattern
+            -(2**31),  # -0.0 pattern
+            0x7F800000,  # +inf pattern
+            0x00800001,  # smallest normal + 1
+        ],
+        np.int32,
+    )
+    a = jnp.asarray(np.tile(vals, 16).reshape(16, len(vals)))
+
+    def roundtrip(a):
+        # the exact op set the peel loop uses — stack, concat, gather,
+        # where-select, scatter — with NO arithmetic anywhere (even
+        # `f + 0 * f` would flush the denormal patterns to zero)
+        f = jax.lax.bitcast_convert_type(a, jnp.float32)
+        stk = jnp.stack([f, jnp.flip(f, axis=0)], axis=1)
+        stk = jnp.concatenate([stk, jnp.zeros_like(stk[:1])], axis=0)
+        ids = jnp.asarray([3, 1, 16, 0], jnp.int32)  # incl. the pad row
+        sub = stk[ids]
+        sel = jnp.where(jnp.asarray([True, False, True, True])[:, None, None],
+                        sub, jnp.flip(sub, axis=1)[:, ::-1])
+        stk = stk.at[ids].set(sel, mode="drop")
+        return jax.lax.bitcast_convert_type(stk[:16, 0], jnp.int32)
+
+    out = np.asarray(jax.jit(roundtrip)(a))
+    np.testing.assert_array_equal(out, np.asarray(a))

@@ -47,7 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-leaks", action="store_true",
                    help="Accepted for parity; JAX buffers are GC-managed")
     # TPU-build extensions
-    p.add_argument("--procedural", choices=["test", "helmet", "dragon", "attenuation", "stress"],
+    p.add_argument("--procedural",
+                   choices=["test", "helmet", "dragon", "attenuation",
+                            "stress", "bindless"],
                    default=None, help="Render a built-in procedural scene")
     p.add_argument("--detail", type=float, default=1.0,
                    help="Geometry detail multiplier for procedural scenes "
@@ -142,7 +144,9 @@ def main(argv=None) -> int:
 
     from transmission_renderer_tpu.config import RenderConfig
     from transmission_renderer_tpu.models import (
+        bindless_lights,
         build_attenuation_scene,
+        build_bindless_scene,
         build_dragon_scene,
         build_opaque_scene,
         build_stress_scene,
@@ -187,6 +191,9 @@ def main(argv=None) -> int:
             ),
             "attenuation": build_attenuation_scene,
             "stress": lambda: build_stress_scene(grid=max(int(5 * d), 2)),
+            # bindless-texture/many-lights stress (72 images, 82
+            # materials, 48 lights — MAX_IMAGES=193 scale, src/main.rs:59)
+            "bindless": build_bindless_scene,
         }[args.procedural]()
     elif args.gltf_sample_model_name:
         from transmission_renderer_tpu.scene.gltf import load_gltf, path_for_gltf_model
@@ -226,10 +233,15 @@ def main(argv=None) -> int:
     )
 
     # ---- lights (src/main.rs:450-472) ---------------------------------------
-    light_list = [
-        point_light([0.0, 0.8, 0.0], [1.0, 0.0, 0.0], 5.0),
-        point_light([8.0, 0.8, 0.0], [0.0, 1.0, 0.0], 10.0),
-    ]
+    if args.procedural == "bindless":
+        # the bindless scene ships its own 48-light rig (the 128-lights-
+        # per-cluster scale probe, shared-structs/src/lib.rs:322)
+        light_list = bindless_lights()
+    else:
+        light_list = [
+            point_light([0.0, 0.8, 0.0], [1.0, 0.0, 0.0], 5.0),
+            point_light([8.0, 0.8, 0.0], [0.0, 1.0, 0.0], 10.0),
+        ]
     if args.spotlights:
         light_list += [
             spot_light([0.0, 4.0, 0.0], [1.0, 1.0, 0.5], 50.0, [0.0, 0.0, 1.0], 0.7, 0.8),

@@ -448,6 +448,12 @@ def _bilinear_level_set_dynamic(
         bh = (h + 1) >> 1
         phase = (y0 & 1) * 2 + (x0 & 1)
         qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+        # pixels on a ROW-form level would compute qidx from that level's
+        # LARGE geometry (far past the concatenated quad tables) before
+        # the row-level where below overwrites their value — zero their
+        # index instead of relying on XLA's clamp-mode gather semantics
+        for k in row_levels:
+            qidx = jnp.where(level == k, 0, qidx)
         q = _fetch_quad(quads_set, goff, qidx)
         c00, c10, c01, c11 = (
             q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]

@@ -69,10 +69,12 @@ from transmission_renderer_tpu.config import (
 from transmission_renderer_tpu.ops.cull import bucket_triangle_masks, cull_instances
 from transmission_renderer_tpu.ops.mipchain import _downsample2x, pyramid_shapes
 
-# texels per physical pool row (see _build_band_pyramid); mirrors
-# ops/mipchain.py::ROW_GROUP
+# texels per physical pool row (see _build_band_pyramid). Intentionally
+# NOT read from ops/mipchain.py::ROW_GROUP: the band pool is independent
+# and self-consistent, and must not silently follow the single-chip
+# TRTPU_PYR_ROW_GROUP env knob during A/B sweeps.
 _PYR_ROW_GROUP = 16
-_PYR_RGSHIFT = 4
+_PYR_RGSHIFT = _PYR_ROW_GROUP.bit_length() - 1
 from transmission_renderer_tpu.ops.raster import (
     VisibilityBuffer,
     bin_triangles,
