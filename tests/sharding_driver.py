@@ -69,6 +69,14 @@ def main(n_devices: int) -> int:
         ("rt-shadows", build_test_scene,
          dataclasses.replace(cfg, ray_traced_shadows=True),
          (0.0, 2.0, 2.0, -0.4)),
+        # half-res shadow rays (VERDICT r4 missing #3): band-local half
+        # grids + the one-row upsample halo must reproduce the
+        # single-chip half-res frame (band_h = 32 rows at n=2, 64/8/2=4
+        # tile rows per band -> even half grids everywhere)
+        ("rt-half-res", build_test_scene,
+         dataclasses.replace(
+             cfg, ray_traced_shadows=True, half_res_shadow_rays=True),
+         (0.0, 2.0, 2.0, -0.4)),
     ]:
         builder = builder_fn()
         scene, dl, flags = builder.finish_bundle()

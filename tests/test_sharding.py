@@ -53,14 +53,14 @@ def _run_inproc(n):
 
 
 def test_band_pyramid_spec_layout_consistency():
-    """_BandPyramidSpec's static offsets must match the rows the build
-    chain actually stores, for every level — including deep levels of
-    WIDE frames where (band_h * n_bands) >> l underflows to 0 while the
-    downsample chain sticks at 1 row, and odd band_h where a per-band
-    floor-halve would diverge from the global pyramid (must replicate
-    from level 0 instead: l_local == 0)."""
+    """_BandPyramidSpec's static quad-table offsets must match the rows
+    the build chain actually stores, for every level — including deep
+    levels of WIDE frames where the padded gathered height underflows
+    while the downsample chain sticks at 1 row, and odd band_h where a
+    per-band floor-halve would diverge from the global pyramid (must
+    replicate from level 0 instead: l_local == 0)."""
+    from transmission_renderer_tpu.ops.mipchain import _grouped_rows
     from transmission_renderer_tpu.parallel.sharded import _BandPyramidSpec
-    from transmission_renderer_tpu.ops.mipchain import pyramid_shapes
 
     def check(width, height, band_h, n_bands, halo):
         spec = _BandPyramidSpec(width, height, band_h, n_bands, halo)
@@ -68,20 +68,25 @@ def test_band_pyramid_spec_layout_consistency():
         # FIRST replicated level is per-band downsampled before its
         # all_gather — so 2^l_local must divide band_h
         assert band_h % (1 << spec.l_local) == 0
-        # simulate the stored pool: local levels band_rows + 2*halos,
-        # replicated levels floor-halved (sticking at 1) from the
-        # gathered level
+        # simulate the stored pool: local levels quad-build their haloed
+        # slice, replicated levels their true-height image; each level's
+        # quad table is independently GROUP-padded (_quad_level)
         off = 0
         g = (band_h >> spec.l_local) * n_bands
         for l in range(spec.num_levels):
-            assert spec.offsets[l] == off, (l, width, height, band_h)
+            assert spec.quad_offsets[l] == off, (l, width, height, band_h)
             if l < spec.l_local:
                 rows = spec.band_rows[l] + 2 * spec.halos[l]
             else:
-                rows = max(g >> (l - spec.l_local), 1)
-                assert spec.pad_rows[l] == rows, (l, width, height, band_h)
-            off += rows * spec.widths[l]
-        assert spec.total == off
+                rows = spec.heights[l]
+                # the gathered padded height must COVER the true height
+                # (the build slices [: heights[l]] before the quad pack)
+                assert max(g >> (l - spec.l_local), 1) >= rows or rows == 1
+            assert rows == spec.slice_rows[l]
+            bw = (spec.widths[l] + 1) // 2
+            bh = (rows + 1) // 2
+            off += _grouped_rows(4 * bw * bh)
+        assert spec.total_qrows == off
 
     check(1920, 1080, 136, 8, 64)   # production shape
     check(1920, 400, 52, 8, 16)     # wide: deep levels outlive the height

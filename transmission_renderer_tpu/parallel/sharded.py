@@ -37,17 +37,18 @@ FrameDiagnostics reduced across bands (max for capacities, sum for
 unresolved pixels), so capacity overflows are visible exactly like the
 single-chip path.
 
-PYRAMID POOL LAYOUT: the distributed pyramid pool stores GROUPED rows
-([ceil(N/G), 3*G] f32, G = 16 — ops/mipchain.py's ROW-form layout):
-row count (the dominant TPU gather-cost axis) drops G x and device-tile
-padding drops ~42x -> ~2.7x vs the round-3 flat [N, 3] table, while the
-stored texels are byte-identical (virtual texel addressing over the
-same flat concatenation), preserving the bit-match contract this path
-is tested by. A trilinear fetch still pays 8 gathers vs the
-single-chip path's 2 quad-block gathers (a quad-blockified slice-local
-layout remains future work — it changes tap geometry at band/halo
-boundaries and therefore risks the bit-match contract, and multi-chip
-perf is unmeasurable in this environment's virtual CPU mesh).
+PYRAMID POOL LAYOUT: the distributed pyramid pool stores QUAD-BLOCK
+rows (ops/mipchain.py::_quad_level — 4 phase-shifted 2x2 blocks per
+level, GROUP blocks per physical row), built PER SLICE in slice-local
+coordinates: a band-local level's slice is [halo + band_rows + halo, w]
+(its ppermute'd halos included), so block geometry never crosses the
+exchange boundary, and replicated levels quad-build their true-height
+image exactly like the single-chip pyramid. A trilinear fetch is 2 row
+gathers (one 2x2 block per level) instead of the round-4 ROW-form's 8.
+Slice-edge semantics match the old per-tap clamps exactly (see
+_sample_band_pyramid: the global clamp runs before the slice remap, and
+fy is forced 0 wherever the old path double-tapped one row), keeping
+the in-halo bit-match contract with the single-chip renderer.
 """
 
 from __future__ import annotations
@@ -69,12 +70,14 @@ from transmission_renderer_tpu.config import (
 from transmission_renderer_tpu.ops.cull import bucket_triangle_masks, cull_instances
 from transmission_renderer_tpu.ops.mipchain import _downsample2x, pyramid_shapes
 
-# texels per physical pool row (see _build_band_pyramid). Intentionally
-# NOT read from ops/mipchain.py::ROW_GROUP: the band pool is independent
-# and self-consistent, and must not silently follow the single-chip
-# TRTPU_PYR_ROW_GROUP env knob during A/B sweeps.
-_PYR_ROW_GROUP = 16
-_PYR_RGSHIFT = _PYR_ROW_GROUP.bit_length() - 1
+# quad-blocks per physical pool row — shared with the single-chip quad
+# tables (ops/mipchain.py::_quad_level builds both)
+from transmission_renderer_tpu.ops.mipchain import (  # noqa: E402
+    GROUP as _QGROUP,
+    _fetch_quad,
+    _grouped_rows,
+    _quad_level,
+)
 from transmission_renderer_tpu.ops.raster import (
     VisibilityBuffer,
     bin_triangles,
@@ -98,6 +101,7 @@ from transmission_renderer_tpu.render.frame import (
     _make_alpha_fn,
     _merge_gbuffers,
     _static_cluster_data,
+    _up2 as _frame_up2,
 )
 from transmission_renderer_tpu.render.gbuffer import interpolate_gbuffer
 from transmission_renderer_tpu.render.shading import (
@@ -166,33 +170,35 @@ class _BandPyramidSpec:
         # downsample chain sticks at max(h // 2, 1), so a wide frame
         # whose deep levels outlive the padded height (num_levels is set
         # by max(w, h)) still stores one row per level
-        self.pad_rows = [
-            max((band_h * n_bands) >> l, 1) for l in range(self.num_levels)
+        # per-level quad-table geometry over the STORED slice: local
+        # levels quad-build their haloed band slice, replicated levels
+        # their true-height image (identical to the single-chip build)
+        self.slice_rows = [
+            self.band_rows[l] + 2 * self.halos[l]
+            if l < self.l_local
+            else self.heights[l]
+            for l in range(self.num_levels)
         ]
-        offsets, off = [], 0
+        qoffs, qoff = [], 0
         for l in range(self.num_levels):
-            if l < self.l_local:
-                rows = self.band_rows[l] + 2 * self.halos[l]
-            else:
-                rows = self.pad_rows[l]
-            offsets.append(off)
-            off += rows * self.widths[l]
-        self.offsets = offsets
-        self.total = off
+            bw = (self.widths[l] + 1) // 2
+            bh = (self.slice_rows[l] + 1) // 2
+            qoffs.append(qoff)
+            qoff += _grouped_rows(4 * bw * bh)
+        self.quad_offsets = qoffs
+        self.total_qrows = qoff
 
 
 def _build_band_pyramid(hdr_band: jnp.ndarray, spec: _BandPyramidSpec,
                         n_bands: int):
     """Band-local downsample chain + halo exchange + one coarse gather.
-    Returns the band's texel pool, GROUPED ``_PYR_ROW_GROUP`` texels per
-    physical row ([ceil(total/G), 3*G] — ops/mipchain.py's ROW-form
-    layout): TPU gather cost rides the table's ROW count and a [*, 3]
-    table device-tiles to 128 lanes (~42x padding, docs/PERFORMANCE.md);
-    grouping cuts rows G x and padding to ~2.7x. Texel addressing is
-    VIRTUAL (group = idx >> shift, texel = idx & (G-1)) over the same
-    flat concatenation, so level offsets need no alignment and the
-    stored texels — hence the bit-match contract with the single-chip
-    frame — are unchanged."""
+    Returns the band's QUAD-BLOCK pool ([spec.total_qrows, 12 * GROUP]):
+    each band-local level's haloed slice and each replicated level's
+    true-height image run the single-chip quad build
+    (ops/mipchain.py::_quad_level), so a bilinear tap is ONE row gather.
+    Edge duplication baked by the quad build happens at SLICE edges,
+    which _sample_band_pyramid makes semantically identical to the old
+    per-tap clamps (global clamp before slice remap + forced fy)."""
     fine = []
     cur = hdr_band
     for _ in range(spec.l_local):
@@ -210,22 +216,33 @@ def _build_band_pyramid(hdr_band: jnp.ndarray, spec: _BandPyramidSpec,
     for l in range(spec.l_local):
         lvl = fine[l][:, : spec.widths[l]]
         r = spec.halos[l]
-        # halo from the band above = its BOTTOM r rows sent forward
+        # halo from the band above = its BOTTOM r rows sent forward.
+        # Edge bands receive ppermute ZEROS in the unpaired halo; the
+        # sampler's global clamp + forced-fy rules keep every read
+        # footprint inside real rows (see _sample_band_pyramid).
         above = jax.lax.ppermute(lvl[-r:], "band", fwd)
         below = jax.lax.ppermute(lvl[:r], "band", bwd)
-        parts.append(jnp.concatenate([above, lvl, below], axis=0).reshape(-1, 3))
+        parts.append(
+            _quad_level(jnp.concatenate([above, lvl, below], axis=0))
+        )
     for l, lvl in enumerate(coarse):
-        parts.append(lvl[:, : spec.widths[spec.l_local + l]].reshape(-1, 3))
-    flat = jnp.concatenate(parts, axis=0)
-    pad = (-flat.shape[0]) % _PYR_ROW_GROUP
-    if pad:
-        flat = jnp.pad(flat, ((0, pad), (0, 0)))
-    return flat.reshape(-1, 3 * _PYR_ROW_GROUP)
+        k = spec.l_local + l
+        parts.append(_quad_level(lvl[: spec.heights[k], : spec.widths[k]]))
+    return jnp.concatenate(parts, axis=0)
 
 
 def _sample_band_pyramid(pool, spec: _BandPyramidSpec, band, uv, lod):
-    """Trilinear clamp fetch against the distributed pyramid; exact for
-    fetches within the halo, halo-edge-clamped beyond it."""
+    """Trilinear clamp fetch against the distributed pyramid — 2 row
+    gathers (one quad-block per mip level); exact for fetches within the
+    halo, halo-edge-clamped beyond it.
+
+    Exactness at slice edges (the in-halo bit-match contract): the
+    global CLAMP_TO_EDGE runs BEFORE the slice remap so edge-band halo
+    zeros are never addressed, and fy is forced to 0 wherever the old
+    8-gather path double-tapped one row (footprint above the slice, or
+    at the true image bottom where the last band's slice continues into
+    ppermute zeros) — in both cases the old lerp was between identical
+    rows, which equals the fy = 0 single tap."""
     max_level = spec.num_levels - 1
     lod = jnp.clip(lod, 0.0, float(max_level))
     l0 = jnp.floor(lod).astype(jnp.int32)
@@ -233,9 +250,10 @@ def _sample_band_pyramid(pool, spec: _BandPyramidSpec, band, uv, lod):
 
     def level_meta(lvl):
         has_local = spec.l_local > 0
-        off = jnp.full(lvl.shape, spec.offsets[0], jnp.int32)
+        qoff = jnp.full(lvl.shape, spec.quad_offsets[0], jnp.int32)
         w = jnp.full(lvl.shape, spec.widths[0], jnp.int32)
         h = jnp.full(lvl.shape, spec.heights[0], jnp.int32)
+        srows = jnp.full(lvl.shape, spec.slice_rows[0], jnp.int32)
         brows = jnp.full(
             lvl.shape, spec.band_rows[0] if has_local else 1, jnp.int32
         )
@@ -243,18 +261,19 @@ def _sample_band_pyramid(pool, spec: _BandPyramidSpec, band, uv, lod):
         local = jnp.full(lvl.shape, has_local)
         for k in range(1, spec.num_levels):
             pick = lvl == k
-            off = jnp.where(pick, spec.offsets[k], off)
+            qoff = jnp.where(pick, spec.quad_offsets[k], qoff)
             w = jnp.where(pick, spec.widths[k], w)
             h = jnp.where(pick, spec.heights[k], h)
+            srows = jnp.where(pick, spec.slice_rows[k], srows)
             if k < spec.l_local:
                 brows = jnp.where(pick, spec.band_rows[k], brows)
                 halo = jnp.where(pick, spec.halos[k], halo)
             else:
                 local = jnp.where(pick, False, local)
-        return off, w, h, brows, halo, local
+        return qoff, w, h, srows, brows, halo, local
 
     def fetch(lvl):
-        off, w, h, brows, halo, local = level_meta(lvl)
+        qoff, w, h, srows, brows, halo, local = level_meta(lvl)
         x = uv[..., 0] * w.astype(jnp.float32) - 0.5
         y = uv[..., 1] * h.astype(jnp.float32) - 0.5
         x0 = jnp.floor(x)
@@ -265,32 +284,22 @@ def _sample_band_pyramid(pool, spec: _BandPyramidSpec, band, uv, lod):
         y0 = y0.astype(jnp.int32)
         fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
         fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
-
-        def tap(xi, yi):
-            xi = jnp.clip(xi, 0, w - 1)
-            yi = jnp.clip(yi, 0, h - 1)  # global CLAMP_TO_EDGE
-            # band-local levels: remap to the haloed slice (clamping to
-            # the halo edge approximates farther-than-halo fetches)
-            local_r = jnp.clip(
-                yi - (band * brows - halo), 0, brows + 2 * halo - 1
-            )
-            row = jnp.where(local, local_r, yi)
-            idx = off + row * w + xi
-            grp = pool[idx >> _PYR_RGSHIFT]
-            # keep the wide row gather intact (ops/texture.py)
-            grp = jax.lax.optimization_barrier(grp)
-            sub = idx & (_PYR_ROW_GROUP - 1)
-            out = grp[..., 0:3]
-            for j in range(1, _PYR_ROW_GROUP):
-                out = jnp.where(
-                    (sub == j)[..., None], grp[..., 3 * j : 3 * j + 3], out
-                )
-            return out
-
-        c00 = tap(x0, y0)
-        c10 = tap(x0 + 1, y0)
-        c01 = tap(x0, y0 + 1)
-        c11 = tap(x0 + 1, y0 + 1)
+        x0 = jnp.clip(x0, 0, w - 1)
+        # global clamp FIRST (CLAMP_TO_EDGE at true image rows), then
+        # the band-local slice remap; forced fy where the footprint's
+        # two rows resolved to the same source row in the old path
+        y0g = jnp.clip(y0, 0, h - 1)
+        y_raw = jnp.where(local, y0g - (band * brows - halo), y0g)
+        fy = jnp.where((y_raw < 0)[..., None], 0.0, fy)
+        fy = jnp.where((y0g >= h - 1)[..., None], 0.0, fy)
+        y0s = jnp.clip(y_raw, 0, srows - 1)
+        bw = (w + 1) >> 1
+        bh = (srows + 1) >> 1
+        phase = (y0s & 1) * 2 + (x0 & 1)
+        qidx = phase * (bw * bh) + (y0s >> 1) * bw + (x0 >> 1)
+        q = _fetch_quad(pool, qoff, qidx)
+        c00, c10 = q[..., 0, :], q[..., 1, :]
+        c01, c11 = q[..., 2, :], q[..., 3, :]
         top = c00 + (c10 - c00) * fx
         bot = c01 + (c11 - c01) * fx
         return top + (bot - top) * fy
@@ -325,8 +334,14 @@ def render_frame_sharded(
     pixels only — zero cross-band communication, and per-chip ray count
     scales 1/n_bands. Results are bit-identical to the single-chip path
     (each ray's walk is independent of batch composition). The
-    half-res-shadow-rays quality flag is single-chip-only (its bilinear
-    upsample would need a cross-band halo); full-res rays are traced."""
+    half-res-shadow-rays quality flag traces each band's half grid
+    (band_h even keeps the global (2i, 2j) sample set) and upsamples
+    with a ONE-row ppermute halo: an odd output row at a band's bottom
+    edge averages across the boundary exactly like the single-chip
+    upsample; the true image bottom clamps to the last TRUE half row
+    even when it sits above band padding (see _band_half_res_factors).
+    Requires band_h even as well — odd band_h falls back to full-res
+    rays (warned, like the odd-framebuffer single-chip fallback)."""
     use_rt = config.ray_traced_shadows and bvh is not None
     if config.ray_traced_shadows and bvh is None:
         raise ValueError(
@@ -447,8 +462,57 @@ def render_frame_sharded(
             )
 
             bvh_f = refit_bvh(bvh, dl.tri_vtx, world_pos)
+            use_half_rays = (
+                config.half_res_shadow_rays
+                and band_h % 2 == 0
+                and w % 2 == 0
+                and h % 2 == 0
+            )
+            if config.half_res_shadow_rays and not use_half_rays:
+                import warnings
+
+                warnings.warn(
+                    f"half_res_shadow_rays requires even band height and "
+                    f"framebuffer dims; band_h={band_h} {w}x{h} traces "
+                    f"FULL-res shadow rays",
+                    stacklevel=2,
+                )
+
+            def _band_half_up_y(a):
+                """Vertical 2x upsample of a band's half-res factor grid
+                with the cross-band neighbour row: odd outputs average
+                rows (i, i+1) where row band_h/2 is ppermute'd from the
+                band below; rows at/after the TRUE image bottom clamp to
+                the last true half row (matching the single-chip
+                edge-clamped _up2 on the unpadded frame — the last
+                band's padding rows must not bleed upward)."""
+                bh2 = band_h // 2
+                bwd = [(i + 1, i) for i in range(n_bands - 1)]
+                below = jax.lax.ppermute(a[:1], "band", bwd)  # [1, ...]
+                nxt = jnp.concatenate([a[1:], below], axis=0)
+                # single-chip nxt index = min(global + 1, h//2 - 1)
+                glob = band * bh2 + jnp.arange(bh2, dtype=jnp.int32)
+                need_clamp = glob + 1 > (h // 2 - 1)
+                last_local = jnp.clip((h // 2 - 1) - band * bh2, 0, bh2 - 1)
+                clamp_row = jax.lax.dynamic_slice_in_dim(a, last_local, 1, 0)
+                shape = (bh2,) + (1,) * (a.ndim - 1)
+                nxt = jnp.where(need_clamp.reshape(shape), clamp_row, nxt)
+                return _frame_up2(a, 0, nxt_override=nxt)
 
             def band_shadow_factors(c, g_band):
+                if use_half_rays:
+                    # no cluster gating at half res (the upsample blends
+                    # factors across pixels — render_frame's rule)
+                    g_half = jax.tree_util.tree_map(
+                        lambda a: a[::2, ::2], g_band
+                    )
+                    sun_h, light_h = shadow_factors(
+                        bvh_f, dl.tri_vtx, world_pos, g_half,
+                        params.sun_dir, lights,
+                    )
+                    sun_f = _frame_up2(_band_half_up_y(sun_h), 1)
+                    light_f = _frame_up2(_band_half_up_y(light_h), 1)
+                    return sun_f, light_f
                 px, py = _dense_coords(band_h, w)
                 mask = (
                     cluster_light_mask(

@@ -373,6 +373,32 @@ def refraction_level_set(
     return tuple(range(min(levels), max(levels) + 1))
 
 
+def _up2(a, axis, nxt_override=None):
+    """2x upsample of a half-res sample grid whose samples sit at
+    full-res pixels (2i): even outputs copy their sample exactly, odd
+    outputs average the flanking samples (edge-clamped) —
+    jax.image.resize's half-pixel-center alignment would shift every
+    factor a quarter sample instead. ``nxt_override`` replaces the
+    shifted-by-one neighbour array (the sharded path substitutes a
+    halo-exchanged band boundary row, parallel/sharded.py)."""
+    import jax as _jax
+
+    if nxt_override is None:
+        last = _jax.lax.slice_in_dim(
+            a, a.shape[axis] - 1, a.shape[axis], axis=axis
+        )
+        nxt = jnp.concatenate(
+            [_jax.lax.slice_in_dim(a, 1, a.shape[axis], axis=axis), last],
+            axis=axis,
+        )
+    else:
+        nxt = nxt_override
+    pair = jnp.stack([a, 0.5 * (a + nxt)], axis=axis + 1)
+    return pair.reshape(
+        a.shape[:axis] + (2 * a.shape[axis],) + a.shape[axis + 1 :]
+    )
+
+
 class FrameDiagnostics(NamedTuple):
     """Runtime capacity diagnostics (the analogue of Vulkan's validation
     layer catching undersized indirect buffers). All fields are scalars;
@@ -1220,27 +1246,6 @@ def render_frame(
                     bvh, dl.tri_vtx, world_pos, g_half, params.sun_dir,
                     lights,
                 )
-                # the half grid's samples sit at full-res pixels
-                # (2i, 2j): even outputs copy their sample exactly, odd
-                # outputs average the flanking samples (edge-clamped) —
-                # jax.image.resize's half-pixel-center alignment would
-                # shift every factor a quarter sample instead.
-                def _up2(a, axis):
-                    last = _jax.lax.slice_in_dim(
-                        a, a.shape[axis] - 1, a.shape[axis], axis=axis
-                    )
-                    nxt = jnp.concatenate(
-                        [_jax.lax.slice_in_dim(
-                            a, 1, a.shape[axis], axis=axis), last],
-                        axis=axis,
-                    )
-                    pair = jnp.stack([a, 0.5 * (a + nxt)], axis=axis + 1)
-                    return pair.reshape(
-                        a.shape[: axis]
-                        + (2 * a.shape[axis],)
-                        + a.shape[axis + 1 :]
-                    )
-
                 sun_f = _up2(_up2(sun_h, 0), 1)
                 light_f = _up2(_up2(light_h, 0), 1)
             else:

@@ -221,6 +221,16 @@ class OpaqueShadeSpec(NamedTuple):
     # combine tail stay in XLA — see shade_transmission_pallas_pre)
     transmission: bool = False
     fb_width: float = 0.0  # static framebuffer width (refraction lod)
+    # many-light MASK mode (> 16 lights, e.g. the 48-light bindless
+    # scene): the candidate table carries ceil(L/16) 16-bit membership
+    # chunks per (x, z) cell instead of (count, idx_0..idx_{S-1}), and
+    # the light loop runs over ALL L lights with STATIC light-matrix
+    # rows gated per lane by the mask bit — O(L * BRDF) instead of the
+    # O(S * L * 12) index where-chains that forced the XLA fallback.
+    # Exact: cluster lists are id-ascending (pbr/clustering.py), so the
+    # accumulation order matches the slot loop, and skipped lights add
+    # exact zeros just like the slot loop's padded slots.
+    n_mask_chunks: int = 0  # 0 = slot mode
 
 
 # material-matrix column layout (render/shading.py::build_material_matrix)
@@ -481,7 +491,7 @@ def _make_kernel(spec: OpaqueShadeSpec, n_sample_planes: int):
 
         # ---- cluster z-slice + per-lane candidate select ----
         # (shader/src/lib.rs:205-215 + shared-structs/src/lib.rs:54-63)
-        if S:
+        if S or spec.n_mask_chunks:
             depth_range = 2.0 * (1.0 - depth) - 1.0
             zn, zf = spec.z_near, spec.z_far
             lin = (2.0 * zn * zf) / (zf + zn - depth_range * (zf - zn))
@@ -500,8 +510,9 @@ def _make_kernel(spec: OpaqueShadeSpec, n_sample_planes: int):
             cand = cand_ref[:]
             x0c = cand[:, spec.cand_cols - 1 :].astype(jnp.int32)
             xi = cx_lane - x0c  # 0 .. n_x_cand-1 by construction
-            # candidate layout: [x offset (n_x_cand)] x [z slice] x [1 + S]
-            stride = 1 + S
+            # candidate layout: [x offset (n_x_cand)] x [z slice] x
+            # [1 + S] (slot mode) or [mask chunks] (mask mode)
+            stride = spec.n_mask_chunks or (1 + S)
 
             def cand_select(col):
                 v = cand[:, col : col + 1]
@@ -514,23 +525,11 @@ def _make_kernel(spec: OpaqueShadeSpec, n_sample_planes: int):
                         v = jnp.where(pick, cand[:, c : c + 1], v)
                 return v
 
-            count = cand_select(0).astype(jnp.int32)
-            slot_idx = [
-                cand_select(1 + s).astype(jnp.int32) for s in range(S)
-            ]
-
-            # ---- clustered light loop (lighting.rs:178-208) ----
-            for s in range(S):
-                active = s < count
-                lidx = slot_idx[s]
-                # light-row fetch: where-chain over the light matrix
-                lrow = [
-                    jnp.full(depth.shape, lt[0, c], jnp.float32)
-                    for c in range(12)
-                ]
-                for li in range(1, L):
-                    for c in range(12):
-                        lrow[c] = jnp.where(lidx == li, lt[li, c], lrow[c])
+            def add_light(active, lrow, lf):
+                """One light's contribution (lighting.rs:178-208).
+                ``lrow`` entries are [?, 128] planes in slot mode and
+                0-d light-matrix scalars in mask mode (broadcast)."""
+                nonlocal acc_d, acc_s, acc_t
                 l_pos = V3(lrow[0], lrow[1], lrow[2])
                 vec = l_pos - pos
                 dist_sq = _v3dot_raw(vec, vec)
@@ -539,10 +538,7 @@ def _make_kernel(spec: OpaqueShadeSpec, n_sample_planes: int):
                 direction = V3(vec.x * dinv, vec.y * dinv, vec.z * dinv)
                 attenuation = 1.0 / dist_sq
                 factor = jnp.where(active, 1.0, 0.0)
-                if light_f is not None:
-                    lf = light_f[0]
-                    for li in range(1, L):
-                        lf = jnp.where(lidx == li, light_f[li], lf)
+                if lf is not None:
                     factor = factor * lf
                 if not T:
                     # only evaluate_lights applies the spot factor
@@ -550,7 +546,8 @@ def _make_kernel(spec: OpaqueShadeSpec, n_sample_planes: int):
                     is_spot = lrow[11] > 0.5
                     eps = jnp.where(lrow[10] == 0.0, 1.0, lrow[10])
                     spot = _spot_factor(
-                        direction, V3(lrow[6], lrow[7], lrow[8]), lrow[9], eps
+                        direction, V3(lrow[6], lrow[7], lrow[8]), lrow[9],
+                        eps,
                     )
                     factor = factor * jnp.where(is_spot, spot, 1.0)
                 w = factor * attenuation
@@ -563,6 +560,47 @@ def _make_kernel(spec: OpaqueShadeSpec, n_sample_planes: int):
                         _transmission_btdf(normal, direction, view, m,
                                            trans_rough)
                     )
+
+            if spec.n_mask_chunks:
+                # ---- many-light MASK loop: all L lights, static rows,
+                # per-lane membership bit (see OpaqueShadeSpec) ----
+                masks = [
+                    cand_select(k).astype(jnp.int32)
+                    for k in range(spec.n_mask_chunks)
+                ]
+                for li in range(L):
+                    active = ((masks[li >> 4] >> (li & 15)) & 1) > 0
+                    lrow = [lt[li, c] for c in range(12)]
+                    add_light(
+                        active, lrow,
+                        light_f[li] if light_f is not None else None,
+                    )
+            else:
+                count = cand_select(0).astype(jnp.int32)
+                slot_idx = [
+                    cand_select(1 + s).astype(jnp.int32) for s in range(S)
+                ]
+
+                # ---- clustered light loop (lighting.rs:178-208) ----
+                for s in range(S):
+                    active = s < count
+                    lidx = slot_idx[s]
+                    # light-row fetch: where-chain over the light matrix
+                    lrow = [
+                        jnp.full(depth.shape, lt[0, c], jnp.float32)
+                        for c in range(12)
+                    ]
+                    for li in range(1, L):
+                        for c in range(12):
+                            lrow[c] = jnp.where(
+                                lidx == li, lt[li, c], lrow[c]
+                            )
+                    lf = None
+                    if light_f is not None:
+                        lf = light_f[0]
+                        for li in range(1, L):
+                            lf = jnp.where(lidx == li, light_f[li], lf)
+                    add_light(active, lrow, lf)
 
         zero = jnp.zeros_like(depth)
 
@@ -670,13 +708,34 @@ def build_cluster_candidates(ctx, block_py, block_px0):
     n_slices = int(ctx.cluster_coeffs.num_depth_slices)
     nxc = n_x_candidates(float(csx), ncx)
     S = min(ctx.lights.num, ctx.cluster_light_indices.shape[1])
-    table = jnp.concatenate(
-        [
-            ctx.cluster_light_counts[:, None].astype(jnp.int32),
-            ctx.cluster_light_indices[:, :S].astype(jnp.int32),
-        ],
-        axis=1,
-    ).astype(jnp.float32)  # [C, 1+S]; counts/ids are small ints, f32-exact
+    n_chunks = _mask_chunks(ctx)
+    if n_chunks:
+        # many-light MASK mode: ceil(L/16) 16-bit membership chunks per
+        # cluster (16 bits stay f32-exact), built from the SAME
+        # truncated first-S id-ascending list the slot loop iterates
+        idx = ctx.cluster_light_indices[:, :S].astype(jnp.int32)
+        in_list = (
+            jnp.arange(S, dtype=jnp.int32)[None, :]
+            < ctx.cluster_light_counts[:, None].astype(jnp.int32)
+        )
+        chunks = [
+            jnp.sum(
+                jnp.where(
+                    in_list & ((idx >> 4) == k), 1 << (idx & 15), 0
+                ),
+                axis=1,
+            )
+            for k in range(n_chunks)
+        ]
+        table = jnp.stack(chunks, axis=1).astype(jnp.float32)
+    else:
+        table = jnp.concatenate(
+            [
+                ctx.cluster_light_counts[:, None].astype(jnp.int32),
+                ctx.cluster_light_indices[:, :S].astype(jnp.int32),
+            ],
+            axis=1,
+        ).astype(jnp.float32)  # [C, 1+S]; counts/ids small ints, f32-exact
 
     cy = jnp.minimum(
         ((block_py.astype(jnp.float32) + 0.5) / csy).astype(jnp.uint32),
@@ -704,6 +763,13 @@ def build_cluster_candidates(ctx, block_py, block_px0):
     return cand, S, wc, nxc
 
 
+def _mask_chunks(ctx) -> int:
+    """ceil(L/16) when the many-light MASK loop applies, else 0 (slot
+    mode). > 16 lights makes the per-slot index where-chain O(S*L*12);
+    the mask loop is O(L * BRDF) with static light rows instead."""
+    return -(-int(ctx.lights.num) // 16) if ctx.lights.num > 16 else 0
+
+
 def pallas_shade_supported(ctx, n_mat: int, w: int) -> bool:
     """Static gate for the fused kernel (XLA path otherwise)."""
     S = min(ctx.lights.num, ctx.cluster_light_indices.shape[1])
@@ -711,8 +777,9 @@ def pallas_shade_supported(ctx, n_mat: int, w: int) -> bool:
         not ctx.debug_clusters
         and not ctx.quad_taps
         and not ctx.bf16_lights
-        and ctx.lights.num <= 16  # light-row where-chain stays cheap
-        and S <= 8
+        # slot mode: light-row where-chain stays cheap; mask mode
+        # covers 16 < L <= 64 (the loop is L BRDF evaluations)
+        and (ctx.lights.num <= 16 and S <= 8 or 16 < ctx.lights.num <= 64)
         and w % 128 == 0  # flat blocks must be single-row segments
         and n_mat <= 64
     )
@@ -768,6 +835,7 @@ def _call_shade_kernel(
         n_x_cand=nxc,
         transmission=transmission,
         fb_width=float(ctx.framebuffer_size[0]),
+        n_mask_chunks=_mask_chunks(ctx),
     )
 
     scalars = jnp.concatenate(
