@@ -130,3 +130,83 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_transmission_fetch_matches_xla_samplers():
+    """transmission_fetch_planes vs sample_pyramid_lod (dynamic
+    level-set path) + sample_lut_2ch_quad on a real pyramid: same
+    gathers, same select/lerp ops -> 1e-6 pin (FMA contraction only)."""
+    import jax
+
+    from transmission_renderer_tpu.ops.mipchain import (
+        build_pyramid,
+        pyramid_fetch_parts,
+        sample_pyramid_lod,
+    )
+    from transmission_renderer_tpu.ops.tap_finish import (
+        transmission_fetch_planes,
+    )
+    from transmission_renderer_tpu.ops.texture import (
+        lut_2ch_fetch_parts,
+        quad_lut_2ch,
+        sample_lut_2ch_quad,
+    )
+
+    rng = np.random.default_rng(4)
+    h, w, m = 96, 160, 640
+    img = jnp.asarray(rng.uniform(0.0, 4.0, (h, w, 3)).astype(np.float32))
+    level_set = (1, 2, 3, 4, 5)
+    pyr = build_pyramid(
+        tuple(img[..., c] for c in range(3)), level_set=level_set
+    )
+    lut = jnp.asarray(rng.uniform(0.0, 1.0, (32, 32, 2)).astype(np.float32))
+    lut_quads = quad_lut_2ch(lut)
+
+    uv = jnp.asarray(rng.uniform(-0.1, 1.1, (m, 2)).astype(np.float32))
+    lod = jnp.asarray(rng.uniform(0.0, 6.5, m).astype(np.float32))
+    nov = jnp.asarray(rng.uniform(0.0, 1.0, m).astype(np.float32))
+    rough = jnp.asarray(rng.uniform(0.0, 1.0, m).astype(np.float32))
+
+    # wide set -> 2 dynamic bracketing taps; 2-level set -> per-level
+    # static taps (the flagship's (2, 3) shape); both must pin
+    for ls in (level_set, (2, 3)):
+        lod_c = jnp.clip(lod, float(min(ls)), float(max(ls)))
+        ref_t = sample_pyramid_lod(pyr, uv, lod_c, level_set=ls)
+        ref_b = sample_lut_2ch_quad(lut_quads, 32, nov, rough)
+
+        parts = pyramid_fetch_parts(pyr, uv, lod_c, ls)
+        assert parts is not None
+        lrows, lsub, lfx, lfy = lut_2ch_fetch_parts(
+            lut_quads, 32, nov, rough
+        )
+        outs = jax.jit(
+            lambda pp, lr, ls2, lx, ly: transmission_fetch_planes(
+                pp, lr, ls2, lx, ly, interpret=True
+            )
+        )(parts, lrows, lsub, lfx, lfy)
+        got_t = jnp.stack(outs[:3], axis=-1)
+        got_b = jnp.stack(outs[3:], axis=-1)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                                   atol=1e-6)
+
+
+def test_transmission_fetch_parts_gate():
+    """ROW-form levels / small sets / no set must return None (the XLA
+    path owns those)."""
+    from transmission_renderer_tpu.ops.mipchain import (
+        build_pyramid,
+        pyramid_fetch_parts,
+    )
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0.0, 1.0, (64, 64, 3)).astype(np.float32))
+    uv = jnp.zeros((128, 2), jnp.float32)
+    lod = jnp.zeros((128,), jnp.float32)
+    pyr = build_pyramid(tuple(img[..., c] for c in range(3)),
+                        level_set=(0, 1, 2, 3))
+    assert pyramid_fetch_parts(pyr, uv, lod, None) is None
+    assert len(pyramid_fetch_parts(pyr, uv, lod, (1, 2))) == 2
+    if pyr.level_rows and any(r is not None for r in pyr.level_rows[:4]):
+        assert pyramid_fetch_parts(pyr, uv, lod, (0, 1, 2, 3)) is None

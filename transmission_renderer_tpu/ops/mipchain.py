@@ -467,6 +467,116 @@ def _bilinear_level_set_dynamic(
     return out
 
 
+def _dynamic_tap_parts(
+    pyr: MipPyramid, level: jnp.ndarray, uv: jnp.ndarray, lmin: int, hi: int
+):
+    """The footprint + ROW-GATHER halves of _bilinear_level_set_dynamic
+    (quad-form levels only — caller guarantees no ROW-form level in
+    [lmin, hi]): returns (rows [..., 12*GROUP] natural-layout gather,
+    sub in [0, GROUP), fx, fy). The sub-block select + lerp happen in
+    the Pallas fetch-finish kernel (ops/tap_finish.py), which consumes
+    the gather output in-register — no optimization_barrier relayout."""
+    w = jnp.full(level.shape, pyr.widths[lmin], jnp.int32)
+    h = jnp.full(level.shape, pyr.heights[lmin], jnp.int32)
+    for k in range(lmin + 1, hi + 1):
+        pick = level == k
+        w = jnp.where(pick, pyr.widths[k], w)
+        h = jnp.where(pick, pyr.heights[k], h)
+    x = uv[..., 0] * w.astype(jnp.float32) - 0.5
+    y = uv[..., 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    fx = jnp.where(x0 < 0, 0.0, fx)
+    fy = jnp.where(y0 < 0, 0.0, fy)
+    x0 = jnp.clip(x0, 0, w - 1)
+    y0 = jnp.clip(y0, 0, h - 1)
+
+    quads_set = jnp.concatenate(
+        [pyr.level_quads[k] for k in range(lmin, hi + 1)], axis=0
+    )
+    goffs, go = {}, 0
+    for k in range(lmin, hi + 1):
+        goffs[k] = go
+        go += pyr.level_quads[k].shape[0]
+    goff = jnp.full(level.shape, goffs[lmin], jnp.int32)
+    for k in range(lmin + 1, hi + 1):
+        goff = jnp.where(level == k, goffs[k], goff)
+    bw = (w + 1) >> 1
+    bh = (h + 1) >> 1
+    phase = (y0 & 1) * 2 + (x0 & 1)
+    qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+    rows = quads_set[goff + (qidx >> _GSHIFT)]
+    return rows, qidx & (GROUP - 1), fx, fy
+
+
+def _static_tap_parts(pyr: MipPyramid, k: int, uv: jnp.ndarray):
+    """Footprint + row-gather halves of _bilinear_level_static's
+    quad-form branch at static level k."""
+    w, h = pyr.widths[k], pyr.heights[k]
+    x = uv[..., 0] * float(w) - 0.5
+    y = uv[..., 1] * float(h) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    fx = jnp.where(x0 < 0, 0.0, fx)
+    fy = jnp.where(y0 < 0, 0.0, fy)
+    x0 = jnp.clip(x0, 0, w - 1)
+    y0 = jnp.clip(y0, 0, h - 1)
+    bw = (w + 1) >> 1
+    bh = (h + 1) >> 1
+    phase = (y0 & 1) * 2 + (x0 & 1)
+    qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
+    rows = pyr.level_quads[k][qidx >> _GSHIFT]
+    return rows, qidx & (GROUP - 1), fx, fy
+
+
+def pyramid_fetch_parts(
+    pyr: MipPyramid, uv: jnp.ndarray, lod: jnp.ndarray, level_set
+):
+    """sample_pyramid_lod's level-set fetch split into per-tap
+    (rows, sub, fx, fy, weight) tuples for the Pallas fetch-finish
+    kernel (ops/tap_finish.py::transmission_fetch_planes):
+
+    * small sets (<= 3 levels): one STATIC tap per level with its tent
+      weight — the weighted ascending sum matches the XLA small-set
+      loop term for term;
+    * wider sets: the TWO dynamic bracketing taps with the same tent
+      weights sample_pyramid_lod applies.
+
+    None when sample_pyramid_lod would take a path the kernel doesn't
+    reproduce (no set, or any ROW-form level in range)."""
+    if level_set is None:
+        return None
+    lo, hi = min(level_set), max(level_set)
+    if tuple(level_set) != tuple(range(lo, hi + 1)):
+        return None
+    if any(pyr.level_quads[k] is None for k in range(lo, hi + 1)):
+        return None  # ROW-form level in range: XLA path handles it
+    lod = jnp.clip(lod, float(lo), float(hi))
+    if hi - lo + 1 <= 3:
+        taps = []
+        for k in range(lo, hi + 1):
+            wk = jnp.clip(1.0 - jnp.abs(lod - float(k)), 0.0, 1.0)
+            taps.append(_static_tap_parts(pyr, k, uv) + (wk,))
+        return taps
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, hi)
+    t0 = _dynamic_tap_parts(pyr, l0, uv, lo, hi)
+    t1 = _dynamic_tap_parts(pyr, l1, uv, min(lo + 1, hi), hi)
+    l0f = l0.astype(jnp.float32)
+    w0 = jnp.clip(1.0 - jnp.abs(lod - l0f), 0.0, 1.0)
+    w1 = jnp.clip(1.0 - jnp.abs(lod - (l0f + 1.0)), 0.0, 1.0)
+    w1 = jnp.where(l1 == l0, 0.0, w1)
+    return [t0 + (w0,), t1 + (w1,)]
+
+
 def sample_pyramid_lod(
     pyr: MipPyramid,
     uv: jnp.ndarray,

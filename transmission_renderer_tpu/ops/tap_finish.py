@@ -247,6 +247,132 @@ def sample_bundle_planes(
     return [o[:nb].reshape(m) for o in outs]
 
 
+def _transmission_fetch_kernel(n_groups: int, n_taps: int,
+                               pyr_groups: tuple, lut_group: int):
+    """Pallas kernel: pyramid fetch (n_taps tent-weighted quad-row taps
+    — 2 static levels for small level sets, 2 dynamic bracketing taps
+    for wide ones) + GGX LUT bilinear (1 quad row), consumed
+    in-register -> 5 channel planes (t_rgb, brdf_ab). Same trick as the
+    material tap-finish kernel above: the gathered rows arrive in their
+    natural {1,0} layout, one in-kernel lane/sublane transpose per
+    128-px group replaces the XLA path's optimization_barrier relayouts
+    + [M, 4, 3] select/squeeze chains (measured ~2.4 of
+    shade_transmission's 6.4 ms on the dragon)."""
+
+    def kernel(*refs):
+        it = iter(refs)
+        tap_rows = [next(it) for _ in range(n_taps)]
+        lrows_ref = next(it)
+        tap_planes = [
+            tuple(next(it) for _ in range(4)) for _ in range(n_taps)
+        ]  # (sub, fx, fy, w) each
+        lsub_ref, lfx_ref, lfy_ref = next(it), next(it), next(it)
+        outs = list(it)
+
+        for j in range(n_groups):
+            def quad_tap(rows_ref, sub_ref, fx_ref, fy_ref, g, width):
+                gt = jnp.transpose(
+                    rows_ref[128 * j : 128 * (j + 1), :]
+                )  # [g*width, 128]
+                sub = sub_ref[j : j + 1, :]
+                blk = gt[0:width, :]
+                for k in range(1, g):
+                    blk = jnp.where(
+                        sub == k, gt[k * width : (k + 1) * width, :], blk
+                    )
+                c = width // 4
+                c00 = blk[0 * c : 1 * c, :]
+                c10 = blk[1 * c : 2 * c, :]
+                c01 = blk[2 * c : 3 * c, :]
+                c11 = blk[3 * c : 4 * c, :]
+                fx = fx_ref[j : j + 1, :]
+                fy = fy_ref[j : j + 1, :]
+                top = c00 + (c10 - c00) * fx
+                bot = c01 + (c11 - c01) * fx
+                return top + (bot - top) * fy  # [c, 128]
+
+            v = None
+            for t in range(n_taps):
+                sub_r, fx_r, fy_r, w_r = tap_planes[t]
+                vt = quad_tap(tap_rows[t], sub_r, fx_r, fy_r,
+                              pyr_groups[t], 12)
+                vt = vt * w_r[j : j + 1, :]
+                v = vt if v is None else v + vt
+            b = quad_tap(lrows_ref, lsub_ref, lfx_ref, lfy_ref,
+                         lut_group, 8)
+            for ch in range(3):
+                outs[ch][j : j + 1, :] = v[ch : ch + 1, :]
+            for ch in range(2):
+                outs[3 + ch][j : j + 1, :] = b[ch : ch + 1, :]
+
+    return kernel
+
+
+def transmission_fetch_planes(
+    pyr_taps: list,  # pyramid_fetch_parts(...) output: [(rows, sub,
+    # fx, fy, weight), ...] flat [M] per-tap arrays
+    lut_rows: jnp.ndarray,  # [M, 8 * QUAD_GROUP]
+    lut_sub: jnp.ndarray,  # [M] int32
+    lut_fx: jnp.ndarray,
+    lut_fy: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple:
+    """(transmitted r, g, b, brdf_a, brdf_b) [M] f32 planes. Exactness:
+    identical select/lerp/weighted-sum expressions to
+    sample_pyramid_lod + sample_lut_2ch_quad, in the same order —
+    pinned by tests/test_tap_finish.py."""
+    n_taps = len(pyr_taps)
+    m = pyr_taps[0][1].shape[0]
+    assert m % 128 == 0
+    nb = m // 128
+    ng = min(FINISH_GROUPS, nb)
+    nb_pad = -(-nb // ng) * ng
+
+    def plane(a, dtype=jnp.float32):
+        p = a.astype(dtype).reshape(nb, 128)
+        if nb_pad != nb:
+            p = jnp.pad(p, ((0, nb_pad - nb), (0, 0)))
+        return p
+
+    def rows(r):
+        if nb_pad != nb:
+            r = jnp.pad(r, ((0, (nb_pad - nb) * 128), (0, 0)))
+        return r
+
+    def rows_spec(width):
+        return pl.BlockSpec(
+            (ng * 128, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    plane_spec = pl.BlockSpec(
+        (ng, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    lut_w = lut_rows.shape[-1]
+    inputs = [rows(t[0]) for t in pyr_taps] + [rows(lut_rows)]
+    in_specs = [rows_spec(t[0].shape[-1]) for t in pyr_taps] + [
+        rows_spec(lut_w)
+    ]
+    for _, sub, fx, fy, wgt in pyr_taps:
+        inputs += [plane(sub, jnp.int32), plane(fx), plane(fy), plane(wgt)]
+        in_specs += [plane_spec] * 4
+    inputs += [plane(lut_sub, jnp.int32), plane(lut_fx), plane(lut_fy)]
+    in_specs += [plane_spec] * 3
+
+    kernel = _transmission_fetch_kernel(
+        ng, n_taps, tuple(t[0].shape[-1] // 12 for t in pyr_taps),
+        lut_w // 8,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb_pad // ng,),
+        in_specs=in_specs,
+        out_specs=[plane_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((nb_pad, 128), jnp.float32)] * 5,
+        interpret=interpret,
+    )(*inputs)
+    return tuple(o[:nb].reshape(m) for o in outs)
+
+
 def sample_bundle_rows_finish(
     quads: jnp.ndarray,
     rows: jnp.ndarray,

@@ -418,6 +418,29 @@ def quad_lut_2ch(lut: jnp.ndarray) -> jnp.ndarray:
     return q.reshape(-1, 8 * QUAD_GROUP)
 
 
+def lut_2ch_fetch_parts(
+    quads: jnp.ndarray,  # [*, 8 * QUAD_GROUP] from quad_lut_2ch
+    size: int,  # S (static)
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+):
+    """sample_lut_2ch_quad's gather + footprint halves for the Pallas
+    fetch-finish kernel (ops/tap_finish.py): (rows, sub, fx, fy) with
+    identical coordinate math; the sub-block select + lerp run
+    in-register instead of through the optimization_barrier relayout."""
+    s = size
+    x = jnp.clip(u * s - 0.5, 0.0, s - 1.0)
+    y = jnp.clip(v * s - 0.5, 0.0, s - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0.astype(jnp.float32)
+    fy = y - y0.astype(jnp.float32)
+    b = (s + 1) >> 1
+    phase = (y0 & 1) * 2 + (x0 & 1)
+    qidx = phase * (b * b) + (y0 >> 1) * b + (x0 >> 1)
+    return quads[qidx >> QUAD_GROUP_SHIFT], qidx & (QUAD_GROUP - 1), fx, fy
+
+
 def sample_lut_2ch_quad(
     quads: jnp.ndarray,  # [4 * (S/2)^2, 8] from quad_lut_2ch
     size: int,  # S (static)

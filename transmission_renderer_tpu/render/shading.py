@@ -973,22 +973,47 @@ def _shade_transmission_kernel_path(
         return jnp.stack([p[a], p[b], p[c]], axis=-1)
 
     uv = jnp.stack([p["uv_x"], p["uv_y"]], axis=-1)
-    if fb_sampler is not None:
-        # caller-supplied framebuffer sampler operating on flat arrays
-        # (the sharded path's distributed band pyramid)
-        transmitted = fb_sampler(uv, p["lod"])
-    else:
-        transmitted = sample_pyramid_lod(
-            pyramid, uv, p["lod"], level_set=level_set
-        )
     lut_quads = (
         ctx.ggx_lut_quads
         if ctx.ggx_lut_quads is not None
         else quad_lut_2ch(ctx.ggx_lut)
     )
-    brdf = sample_lut_2ch_quad(
-        lut_quads, ctx.ggx_lut.shape[0], p["nov"], p["rough"]
-    )
+    transmitted = brdf = None
+    if fb_sampler is None and p["uv_x"].shape[0] % 128 == 0:
+        # fused fetch-finish: the pyramid/LUT row gathers feed the
+        # Pallas kernel in their natural layout — no barrier relayouts,
+        # no [M, 4, 3] select/squeeze chains (ops/tap_finish.py)
+        from transmission_renderer_tpu.ops.mipchain import (
+            pyramid_fetch_parts,
+        )
+        from transmission_renderer_tpu.ops.tap_finish import (
+            transmission_fetch_planes,
+        )
+        from transmission_renderer_tpu.ops.texture import lut_2ch_fetch_parts
+
+        parts = pyramid_fetch_parts(pyramid, uv, p["lod"], level_set)
+        if parts is not None:
+            lrows, lsub, lfx, lfy = lut_2ch_fetch_parts(
+                lut_quads, ctx.ggx_lut.shape[0], p["nov"], p["rough"]
+            )
+            t_r, t_g, t_b, b_a, b_b = transmission_fetch_planes(
+                parts, lrows, lsub, lfx, lfy,
+                interpret=ctx.pallas_interpret,
+            )
+            transmitted = jnp.stack([t_r, t_g, t_b], axis=-1)
+            brdf = jnp.stack([b_a, b_b], axis=-1)
+    if transmitted is None:
+        if fb_sampler is not None:
+            # caller-supplied framebuffer sampler operating on flat
+            # arrays (the sharded path's distributed band pyramid)
+            transmitted = fb_sampler(uv, p["lod"])
+        else:
+            transmitted = sample_pyramid_lod(
+                pyramid, uv, p["lod"], level_set=level_set
+            )
+        brdf = sample_lut_2ch_quad(
+            lut_quads, ctx.ggx_lut.shape[0], p["nov"], p["rough"]
+        )
     attenuated = apply_volume_attenuation(
         transmitted, p["ray_len"], p["att_dist"], v3("att_r", "att_g", "att_b")
     )
