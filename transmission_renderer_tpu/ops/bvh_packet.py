@@ -44,6 +44,11 @@ PACKETS_PER_TILE = 8  # packets per [8, 128] register tile
 # packet-tiles per grid step (amortises grid-step overhead; the group
 # loop walks them sequentially inside one kernel invocation)
 GROUPS_PER_STEP = int(os.environ.get("TRTPU_PACKET_GROUPS", "16"))
+# 1 (default): the leaf/inner halves run under a per-tile vote
+# (lax.cond) — most pops are inner pops and skip the ~720-op leaf half.
+# 0: straight-line both halves every pop (the v1 behaviour; compile-safe
+# fallback if a Mosaic version rejects the cond's layout join).
+PACKET_GATE = os.environ.get("TRTPU_PACKET_GATE", "1") != "0"
 # VMEM budget for the unified table (leave room for ray planes + rows)
 TABLE_VMEM_BUDGET = int(os.environ.get("TRTPU_PACKET_TABLE_BYTES",
                                        str(9 * 1024 * 1024)))
@@ -64,19 +69,6 @@ def packet_walk_table(bvh: BVH, tri_vertices, positions):
 def packet_walk_supported(bvh: BVH) -> bool:
     rows = bvh.node_boxes.shape[0] + bvh.num_leaves
     return rows * LEAF_TRIS * 9 * 4 <= TABLE_VMEM_BUDGET
-
-
-def _sublane_vec(scalars):
-    """8 per-packet 0-d values -> [8, 1] f32/i32 vector via where-chain
-    over a sublane iota (Mosaic cannot reshape a stack of scalars)."""
-    out = None
-    sub = jax.lax.broadcasted_iota(jnp.int32, (PACKETS_PER_TILE, 1), 0)
-    for p, s in enumerate(scalars):
-        v = jnp.full((PACKETS_PER_TILE, 1), s) if out is None else jnp.where(
-            sub == p, s, out
-        )
-        out = v
-    return out
 
 
 def _make_kernel(bvh: BVH, t_min: float, n_groups_step: int):
@@ -105,195 +97,247 @@ def _make_kernel(bvh: BVH, t_min: float, n_groups_step: int):
             # hit/done ride the while carry as int32: Mosaic cannot
             # legalize an i1 vector (or reliably i1 scalars) in an
             # scf.while yield (observed 'failed to legalize scf.yield'
-            # with a vector<8x128xi1> operand on v5e)
-            hit0 = jnp.zeros((P8, PACKET), jnp.int32)
+            # with a vector<8x128xi1> operand on v5e).
             # packet done when no live unhit lane remains (dead packets
             # start done — mirrors trace_rays' dead-on-arrival flag)
             alive_ct = jnp.sum(live.astype(jnp.int32), axis=1,
-                               keepdims=True)  # [8,1]
+                               keepdims=True)  # [8, 1]
 
-            def sc(i32_vec, p):
-                return i32_vec[p, 0]
+            # Per-packet traversal state as LANE-REPLICATED [P8, PACKET]
+            # vectors (sublane = packet, every lane carries the packet's
+            # value): the bitstack advance and the trail push then run
+            # as ~50 vector ops per pop instead of ~50 SEQUENTIAL scalar
+            # ops x 8 packets — the v1 kernel's scalar epilogue measured
+            # ~40% of the whole walk (1.56 us vs ~0.9 us of modelled VPU
+            # work per tile-iteration). Full-width rather than [P8, 1]
+            # columns because Mosaic cannot relayout a {0,*} sublane
+            # vector across the while-loop carry boundary ("Invalid
+            # relayout ... replicated in destination but not in source",
+            # v5e); a [P8, PACKET] op costs the same one VPU register op.
+            # Only the row FETCH needs scalars (a dynamic slice per
+            # packet); those extract lane 0 right before use.
+            # Derive every lane-replicated carry init from a [P8, 1]
+            # zero COLUMN (not jnp.full splats): Mosaic assigns splats
+            # the fully-replicated {*,*} layout but the body yields
+            # lane-replicated {0,*} values, and the {0,*} -> {*,*}
+            # relayout at the carry join is invalid ("replicated in
+            # destination but not in source", v5e). hit, conversely, is
+            # genuinely lane-VARYING, so its init derives from the dense
+            # tm plane to start {0,0} like the body's yield.
+            # min(alive_ct, 0) == 0 for the nonneg count, but is not
+            # constant-foldable (x * 0 IS, and folding back to a splat
+            # would resurrect the invalid {*,*} join)
+            zcol = jnp.broadcast_to(
+                jnp.minimum(alive_ct, 0), (P8, PACKET)
+            )
+            lvl0 = zcol + (root_code + 1)
+            idx0 = zcol
+            tlo0 = zcol + (root_mask if root_code < 4 else 0)
+            thi0 = zcol + (root_mask if root_code >= 4 else 0)
+            done0 = zcol + (alive_ct == 0).astype(jnp.int32)
+            hit0 = (tm * 0.0).astype(jnp.int32)
 
-            lvl0 = [jnp.int32(root_code + 1)] * P8
-            idx0 = [jnp.int32(0)] * P8
-            tlo0 = [jnp.int32(root_mask if root_code < 4 else 0)] * P8
-            thi0 = [jnp.int32(root_mask if root_code >= 4 else 0)] * P8
-            done0 = [(sc(alive_ct, p) == 0).astype(jnp.int32)
-                     for p in range(P8)]
+            def shl_byte(v, byte):
+                """v << (byte * 8) with byte in {0,1,2,3} — where-chain
+                (variable-amount vector shifts don't legalize on all
+                Mosaic versions)."""
+                out = v
+                for b in (1, 2, 3):
+                    out = jnp.where(byte == b, v << (8 * b), out)
+                return out
 
             def cond(carry):
                 done = carry[4]
-                acc = done[0] == 0
-                for p in range(1, P8):
-                    acc = acc | (done[p] == 0)
-                return acc
+                # done is lane-replicated 0/1; any packet still walking?
+                return jnp.min(done) == 0
 
             def body(carry):
                 lvl, idx, tlo, thi, done, hit = carry
-                lvl, idx, tlo, thi, done = (list(lvl), list(idx), list(tlo),
-                                            list(thi), list(done))
-                rows = []
-                is_leaf_s, li_s, nbelow_s, idxw_s = [], [], [], []
-                for p in range(P8):
-                    l, ix, lo, hi_, dn = lvl[p], idx[p], tlo[p], thi[p], done[p] != 0
-                    # ---- bitstack advance (ops/bvh.py::pop, scalar) ----
-                    empty = (lo == 0) & (hi_ == 0)
-                    have_lo = lo != 0
-                    wrd = jnp.where(have_lo, lo, hi_)
-                    b0 = wrd & 0xFF
-                    b1 = (wrd >> 8) & 0xFF
-                    b2 = (wrd >> 16) & 0xFF
-                    b3 = (wrd >> 24) & 0xFF
-                    byte = jnp.where(
-                        b0 != 0, 0,
-                        jnp.where(b1 != 0, 1, jnp.where(b2 != 0, 2, 3)),
-                    )
-                    mask = jnp.where(
-                        b0 != 0, b0,
-                        jnp.where(b1 != 0, b1, jnp.where(b2 != 0, b2, b3)),
-                    )
-                    bit = mask & -mask
-                    j = jnp.int32(0)
-                    for kk in range(1, WIDE):
-                        j = jnp.where(bit == (1 << kk), kk, j)
-                    clear = bit << (byte * 8)
-                    lo = jnp.where(have_lo, lo ^ clear, lo)
-                    hi_ = jnp.where(have_lo | empty, hi_, hi_ ^ clear)
-                    code = byte + jnp.where(have_lo, 0, 4)
-                    anc = ix >> jnp.maximum(3 * (code + 1 - l), 0)
-                    ix = jnp.where(empty, ix, anc * WIDE + j)
-                    l = jnp.where(empty, l, code)
-                    dn = dn | empty
-                    is_leaf = (l == 0) & jnp.logical_not(dn)
-                    # ---- row fetch: ONE dynamic slice per packet ----
-                    li = jnp.clip(ix, 0, num_leaves - 1)
-                    clvl = jnp.maximum(l - 1, 0)
-                    row_off = jnp.int32(level_offsets[0])
-                    n_below = jnp.int32(children_below[0])
-                    for k in range(1, D):
-                        row_off = jnp.where(clvl == k, level_offsets[k],
-                                            row_off)
-                        n_below = jnp.where(clvl == k, children_below[k],
-                                            n_below)
-                    uidx = jnp.where(
-                        is_leaf, R + li, jnp.clip(row_off + ix, 0, R - 1)
-                    )
-                    rows.append(table_ref[pl.ds(uidx, 1), :])
-                    lvl[p], idx[p], tlo[p], thi[p], done[p] = (
-                        l, ix, lo, hi_, dn.astype(jnp.int32)
-                    )
-                    is_leaf_s.append(is_leaf)
-                    li_s.append(li)
-                    nbelow_s.append(n_below)
-                    idxw_s.append(ix)
+
+                # ---- bitstack advance (ops/bvh.py::pop), vectorized ----
+                dn = done != 0
+                empty = (tlo == 0) & (thi == 0)
+                have_lo = tlo != 0
+                wrd = jnp.where(have_lo, tlo, thi)
+                b0 = wrd & 0xFF
+                b1 = (wrd >> 8) & 0xFF
+                b2 = (wrd >> 16) & 0xFF
+                b3 = (wrd >> 24) & 0xFF
+                byte = jnp.where(
+                    b0 != 0, 0,
+                    jnp.where(b1 != 0, 1, jnp.where(b2 != 0, 2, 3)),
+                )
+                mask = jnp.where(
+                    b0 != 0, b0,
+                    jnp.where(b1 != 0, b1, jnp.where(b2 != 0, b2, b3)),
+                )
+                bit = mask & -mask
+                j = jnp.zeros((P8, PACKET), jnp.int32)
+                for kk in range(1, WIDE):
+                    j = jnp.where(bit == (1 << kk), kk, j)
+                clear = shl_byte(bit, byte)
+                tlo = jnp.where(have_lo, tlo ^ clear, tlo)
+                thi = jnp.where(have_lo | empty, thi, thi ^ clear)
+                code = byte + jnp.where(have_lo, 0, 4)
+                # ancestor at +k levels = idx >> 3k; shift amount
+                # 3 * (code + 1 - lvl) in [0, 3D] — where-chain over the
+                # D + 2 possible values
+                sh = jnp.maximum(3 * (code + 1 - lvl), 0)
+                anc = idx
+                for k in range(1, D + 2):
+                    anc = jnp.where(sh == 3 * k, idx >> (3 * k), anc)
+                idx = jnp.where(empty, idx, anc * WIDE + j)
+                lvl = jnp.where(empty, lvl, code)
+                dn = dn | empty
+                done = dn.astype(jnp.int32)
+                is_leaf = (lvl == 0) & jnp.logical_not(dn)
+
+                # ---- unified row index ([P8, 1] ints -> 8 scalar
+                # dynamic-slice fetches) ----
+                li = jnp.clip(idx, 0, num_leaves - 1)
+                clvl = jnp.maximum(lvl - 1, 0)
+                row_off = jnp.full((P8, PACKET), level_offsets[0],
+                                   jnp.int32)
+                n_below = jnp.full((P8, PACKET), children_below[0],
+                                   jnp.int32)
+                for k in range(1, D):
+                    row_off = jnp.where(clvl == k, level_offsets[k], row_off)
+                    n_below = jnp.where(clvl == k, children_below[k], n_below)
+                uidx = jnp.where(
+                    is_leaf, R + li, jnp.clip(row_off + idx, 0, R - 1)
+                )
+                rows = [
+                    table_ref[pl.ds(uidx[p, 0], 1), :] for p in range(P8)
+                ]
                 rs = jnp.concatenate(rows, axis=0)  # [8, 144]
 
-                is_leaf_v = _sublane_vec(
-                    [s.astype(jnp.int32) for s in is_leaf_s]
-                ) > 0
-                done_v = _sublane_vec(done[:P8]) > 0
-                li_v = _sublane_vec(li_s)
-                is_inner_v = jnp.logical_not(is_leaf_v) & jnp.logical_not(
+                done_v = done > 0
+                is_inner_v = jnp.logical_not(is_leaf) & jnp.logical_not(
                     done_v
                 )
                 hit_b = hit != 0
                 want = live & jnp.logical_not(hit_b)  # still searching
 
-                # ---- leaf half: LEAF_TRIS Moller-Trumbore tests ----
-                leaf_hit = jnp.zeros((P8, PACKET), jnp.bool_)
-                for t in range(LEAF_TRIS):
-                    base = t * 9
+                # ---- leaf half: LEAF_TRIS Moller-Trumbore tests, gated
+                # on a per-tile vote (most pops are inner pops — the
+                # ~720-op leaf half at LEAF_TRIS=16 is ~85% of the v1
+                # kernel's vector work and ran EVERY pop) ----
+                def leaf_half():
+                    leaf_hit = jnp.zeros((P8, PACKET), jnp.bool_)
+                    for t in range(LEAF_TRIS):
+                        base = t * 9
 
-                    def col(c):
-                        return rs[:, base + c : base + c + 1]
+                        def col(c):
+                            return rs[:, base + c : base + c + 1]
 
-                    e1 = (col(3) - col(0), col(4) - col(1), col(5) - col(2))
-                    e2 = (col(6) - col(0), col(7) - col(1), col(8) - col(2))
-                    pv0 = d[1] * e2[2] - d[2] * e2[1]
-                    pv1 = d[2] * e2[0] - d[0] * e2[2]
-                    pv2 = d[0] * e2[1] - d[1] * e2[0]
-                    det = e1[0] * pv0 + e1[1] * pv1 + e1[2] * pv2
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    tv = (o[0] - col(0), o[1] - col(1), o[2] - col(2))
-                    u = (tv[0] * pv0 + tv[1] * pv1 + tv[2] * pv2) * inv_det
-                    qv0 = tv[1] * e1[2] - tv[2] * e1[1]
-                    qv1 = tv[2] * e1[0] - tv[0] * e1[2]
-                    qv2 = tv[0] * e1[1] - tv[1] * e1[0]
-                    v = (d[0] * qv0 + d[1] * qv1 + d[2] * qv2) * inv_det
-                    tt = (e2[0] * qv0 + e2[1] * qv1 + e2[2] * qv2) * inv_det
-                    h = (
-                        (jnp.abs(det) > 1e-12)
-                        & (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (tt > t_min)
-                        & (tt < tm)
+                        e1 = (col(3) - col(0), col(4) - col(1),
+                              col(5) - col(2))
+                        e2 = (col(6) - col(0), col(7) - col(1),
+                              col(8) - col(2))
+                        pv0 = d[1] * e2[2] - d[2] * e2[1]
+                        pv1 = d[2] * e2[0] - d[0] * e2[2]
+                        pv2 = d[0] * e2[1] - d[1] * e2[0]
+                        det = e1[0] * pv0 + e1[1] * pv1 + e1[2] * pv2
+                        inv_det = jnp.where(
+                            jnp.abs(det) > 1e-12, 1.0 / det, 0.0
+                        )
+                        tv = (o[0] - col(0), o[1] - col(1), o[2] - col(2))
+                        u = (tv[0] * pv0 + tv[1] * pv1 + tv[2] * pv2) * inv_det
+                        qv0 = tv[1] * e1[2] - tv[2] * e1[1]
+                        qv1 = tv[2] * e1[0] - tv[0] * e1[2]
+                        qv2 = tv[0] * e1[1] - tv[1] * e1[0]
+                        v = (d[0] * qv0 + d[1] * qv1 + d[2] * qv2) * inv_det
+                        tt = (e2[0] * qv0 + e2[1] * qv1 + e2[2] * qv2) * inv_det
+                        h = (
+                            (jnp.abs(det) > 1e-12)
+                            & (u >= 0.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                            & (tt > t_min)
+                            & (tt < tm)
+                        )
+                        # ragged-tail guard (t-th tri of leaf li exists)
+                        h = h & (li * LEAF_TRIS + t < num_tris)
+                        leaf_hit = leaf_hit | h
+                    return (leaf_hit & want & is_leaf).astype(jnp.int32)
+
+                if PACKET_GATE:
+                    any_leaf = jnp.sum(is_leaf.astype(jnp.int32)) > 0
+                    # else-branch zero derives from the dense tm plane so
+                    # both branches yield a dense {0,0} vector (a splat
+                    # zero would force an invalid {*,*} -> dense join)
+                    hit = hit | jax.lax.cond(
+                        any_leaf, leaf_half,
+                        lambda: (tm * 0.0).astype(jnp.int32),
                     )
-                    # ragged-tail guard (t-th triangle of leaf li exists)
-                    h = h & (li_v * LEAF_TRIS + t < num_tris)
-                    leaf_hit = leaf_hit | h
-                hit = hit | (leaf_hit & want & is_leaf_v).astype(jnp.int32)
+                else:
+                    hit = hit | leaf_half()
 
                 # ---- inner half: WIDE slab tests + per-packet vote ----
                 want2 = live & (hit == 0)
-                child_any = []
-                idx_v = _sublane_vec(idxw_s)
-                nbelow_v = _sublane_vec(nbelow_s)
-                for c in range(WIDE):
-                    base = c * 6
 
-                    def bcol(k):
-                        return rs[:, base + k : base + k + 1]
+                def inner_half():
+                    m8 = jnp.zeros((P8, PACKET), jnp.int32)
+                    for c in range(WIDE):
+                        base = c * 6
 
-                    t00 = (bcol(0) - o[0]) * iv[0]
-                    t10 = (bcol(3) - o[0]) * iv[0]
-                    t01 = (bcol(1) - o[1]) * iv[1]
-                    t11 = (bcol(4) - o[1]) * iv[1]
-                    t02 = (bcol(2) - o[2]) * iv[2]
-                    t12 = (bcol(5) - o[2]) * iv[2]
-                    enter = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t00, t10), jnp.minimum(t01, t11)),
-                        jnp.minimum(t02, t12),
-                    )
-                    exit_ = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t00, t10), jnp.maximum(t01, t11)),
-                        jnp.maximum(t02, t12),
-                    )
-                    h8 = (
-                        (enter <= exit_) & (exit_ >= 0.0) & (enter <= tm)
-                        & want2 & is_inner_v
-                        & (c < nbelow_v - idx_v * WIDE)
-                    )
-                    child_any.append(
-                        jnp.sum(h8.astype(jnp.int32), axis=1, keepdims=True)
-                    )
+                        def bcol(k):
+                            return rs[:, base + k : base + k + 1]
 
-                # ---- scalar epilogue: push child masks, settle done ----
+                        t00 = (bcol(0) - o[0]) * iv[0]
+                        t10 = (bcol(3) - o[0]) * iv[0]
+                        t01 = (bcol(1) - o[1]) * iv[1]
+                        t11 = (bcol(4) - o[1]) * iv[1]
+                        t02 = (bcol(2) - o[2]) * iv[2]
+                        t12 = (bcol(5) - o[2]) * iv[2]
+                        enter = jnp.maximum(
+                            jnp.maximum(
+                                jnp.minimum(t00, t10), jnp.minimum(t01, t11)
+                            ),
+                            jnp.minimum(t02, t12),
+                        )
+                        exit_ = jnp.minimum(
+                            jnp.minimum(
+                                jnp.maximum(t00, t10), jnp.maximum(t01, t11)
+                            ),
+                            jnp.maximum(t02, t12),
+                        )
+                        h8 = (
+                            (enter <= exit_) & (exit_ >= 0.0) & (enter <= tm)
+                            & want2 & is_inner_v
+                            & (c < n_below - idx * WIDE)
+                        )
+                        m8 = m8 | jnp.where(
+                            jnp.sum(h8.astype(jnp.int32), axis=1,
+                                    keepdims=True) > 0,
+                            jnp.int32(1) << c, 0,
+                        )
+                    return m8
+
+                if PACKET_GATE:
+                    any_inner = jnp.sum(is_inner_v.astype(jnp.int32)) > 0
+                    m8 = jax.lax.cond(
+                        any_inner, inner_half,
+                        lambda: zcol + 0,
+                    )
+                else:
+                    m8 = inner_half()
+
+                # ---- vector epilogue: push child masks, settle done ----
+                add = shl_byte(m8, clvl & 3)
+                is_inner_push = (lvl > 0) & (done == 0)
+                in_lo = clvl < 4
+                tlo = jnp.where(is_inner_push & in_lo, tlo | add, tlo)
+                thi = jnp.where(
+                    is_inner_push & jnp.logical_not(in_lo), thi | add, thi
+                )
                 unhit = jnp.sum(want2.astype(jnp.int32), axis=1,
                                 keepdims=True)
-                for p in range(P8):
-                    m8 = jnp.int32(0)
-                    for c in range(WIDE):
-                        m8 = m8 | jnp.where(
-                            sc(child_any[c], p) > 0, jnp.int32(1) << c, 0
-                        )
-                    clvl = jnp.maximum(lvl[p] - 1, 0)
-                    add = m8 << ((clvl & 3) * 8)
-                    is_inner = (lvl[p] > 0) & (done[p] == 0)
-                    in_lo = clvl < 4
-                    tlo[p] = jnp.where(is_inner & in_lo, tlo[p] | add, tlo[p])
-                    thi[p] = jnp.where(
-                        is_inner & jnp.logical_not(in_lo), thi[p] | add, thi[p]
-                    )
-                    done[p] = done[p] | (sc(unhit, p) == 0).astype(jnp.int32)
-                return (tuple(lvl), tuple(idx), tuple(tlo), tuple(thi),
-                        tuple(done), hit)
+                done = done | (unhit == 0).astype(jnp.int32)
+                return (lvl, idx, tlo, thi, done, hit)
 
             final = jax.lax.while_loop(
-                cond, body,
-                (tuple(lvl0), tuple(idx0), tuple(tlo0), tuple(thi0),
-                 tuple(done0), hit0),
+                cond, body, (lvl0, idx0, tlo0, thi0, done0, hit0)
             )
             out_ref[pl.ds(r0, P8), :] = (final[5] != 0).astype(jnp.float32)
             return 0

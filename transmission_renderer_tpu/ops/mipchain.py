@@ -509,7 +509,12 @@ def _dynamic_tap_parts(
     bh = (h + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    rows = quads_set[goff + (qidx >> _GSHIFT)]
+    ridx = goff + (qidx >> _GSHIFT)
+    if ridx.ndim > 1:
+        # 2-D index chain (see pyramid_fetch_parts): pin the compute
+        # shape, flatten only the gather operand
+        ridx = jax.lax.optimization_barrier(ridx).reshape(-1)
+    rows = quads_set[ridx]
     return rows, qidx & (GROUP - 1), fx, fy
 
 
@@ -533,7 +538,10 @@ def _static_tap_parts(pyr: MipPyramid, k: int, uv: jnp.ndarray):
     bh = (h + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = phase * (bw * bh) + (y0 >> 1) * bw + (x0 >> 1)
-    rows = pyr.level_quads[k][qidx >> _GSHIFT]
+    ridx = qidx >> _GSHIFT
+    if ridx.ndim > 1:
+        ridx = jax.lax.optimization_barrier(ridx).reshape(-1)
+    rows = pyr.level_quads[k][ridx]
     return rows, qidx & (GROUP - 1), fx, fy
 
 
@@ -559,12 +567,31 @@ def pyramid_fetch_parts(
         return None
     if any(pyr.level_quads[k] is None for k in range(lo, hi + 1)):
         return None  # ROW-form level in range: XLA path handles it
+    # Run the footprint/index chains on [M/128, 128] 2-D shapes: flat
+    # [M]-shaped s32 select chains get a T(1,128) layout (1 sublane per
+    # 8-sublane register, ~8x VPU waste — see
+    # tap_finish.sample_bundle_planes); the tap helpers flatten only the
+    # gather operands. All reshapes are exact; the returned planes stay
+    # flat [M] (the fetch-finish kernel re-tiles them itself).
+    two_d = uv.ndim == 2 and uv.shape[0] % 128 == 0 and uv.shape[0] > 0
+    if two_d:
+        m = uv.shape[0]
+        uv = uv.reshape(m // 128, 128, 2)
+        lod = lod.reshape(m // 128, 128)
+
+    def flat(tap):
+        if not two_d:
+            return tap
+        rows, sub, fx, fy, wk = tap
+        return (rows, sub.reshape(m), fx.reshape(m), fy.reshape(m),
+                wk.reshape(m))
+
     lod = jnp.clip(lod, float(lo), float(hi))
     if hi - lo + 1 <= 3:
         taps = []
         for k in range(lo, hi + 1):
             wk = jnp.clip(1.0 - jnp.abs(lod - float(k)), 0.0, 1.0)
-            taps.append(_static_tap_parts(pyr, k, uv) + (wk,))
+            taps.append(flat(_static_tap_parts(pyr, k, uv) + (wk,)))
         return taps
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, hi)
@@ -574,7 +601,7 @@ def pyramid_fetch_parts(
     w0 = jnp.clip(1.0 - jnp.abs(lod - l0f), 0.0, 1.0)
     w1 = jnp.clip(1.0 - jnp.abs(lod - (l0f + 1.0)), 0.0, 1.0)
     w1 = jnp.where(l1 == l0, 0.0, w1)
-    return [t0 + (w0,), t1 + (w1,)]
+    return [flat(t0 + (w0,)), flat(t1 + (w1,))]
 
 
 def sample_pyramid_lod(

@@ -185,22 +185,36 @@ def sample_bundle_planes(
     assert m % 128 == 0
     row_elems = quads.shape[-1]
     l_max = max(classes)
-    layers_pix = rows[..., META_LAYERS_COL] if len(classes) > 1 else None
+    nb = m // 128
 
-    lod = jnp.maximum(lod, 0.0)
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    frac = lod - l0.astype(jnp.float32)
+    # The whole index chain (level meta selects + footprint math + flat
+    # row index) runs on [nb, 128] 2-D shapes: at flat [M] / [M, 1]
+    # shapes XLA lays the s32 select fusions out as T(1,128) —
+    # 1 sublane per 8-sublane register, an 8x VPU waste that measured
+    # 4.0 ms vs 1.26 ms for the identical math in 2-D (per-level
+    # microbench, v5e; the in-frame mat_tap scope showed the same two
+    # 2.09 ms compare_select fusions). The barrier pins the [nb, 128]
+    # -> [M] flatten AFTER the compute so the relayout can't be hoisted
+    # back into the chain (same trick as ops/raster.py's binning pin).
+    rows2 = rows.reshape(nb, 128, rows.shape[-1])
+    uv2 = uv.reshape(nb, 128, 2)
+    layers_pix = (
+        rows2[..., META_LAYERS_COL] if len(classes) > 1 else None
+    )
+
+    lod2 = jnp.maximum(lod.reshape(nb, 128), 0.0)
+    l0 = jnp.floor(lod2).astype(jnp.int32)
+    frac = lod2 - l0.astype(jnp.float32)
 
     def level_inputs(level):
-        o, w, h = _level_meta_from_rows(rows, level)
-        qidx, fx, fy, _, _ = _tap_footprint(o, w, h, uv, wrap_mode)
+        o, w, h = _level_meta_from_rows(rows2, level)
+        qidx, fx, fy, _, _ = _tap_footprint(o, w, h, uv2, wrap_mode)
         row_idx = _flat_row_index(qidx, row_elems, classes, layers_pix)
-        return qidx, fx, fy, row_idx
+        return qidx, fx, fy, jax.lax.optimization_barrier(row_idx)
 
     q0, fx0, fy0, r0 = level_inputs(l0)
     q1, fx1, fy1, r1 = level_inputs(l0 + 1)
 
-    nb = m // 128
     ng = min(FINISH_GROUPS, nb)
     nb_pad = -(-nb // ng) * ng
     pad_px = (nb_pad - nb) * 128
@@ -208,6 +222,7 @@ def sample_bundle_planes(
     def gather_rows(row_idx):
         # pad the INDEX stream (cheap) so the gather itself produces the
         # grid-aligned shape — padding the 0.5 GB gather output would copy
+        row_idx = row_idx.reshape(m)
         if pad_px:
             row_idx = jnp.concatenate(
                 [row_idx, jnp.zeros((pad_px,), row_idx.dtype)]

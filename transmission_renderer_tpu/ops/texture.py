@@ -427,7 +427,16 @@ def lut_2ch_fetch_parts(
     """sample_lut_2ch_quad's gather + footprint halves for the Pallas
     fetch-finish kernel (ops/tap_finish.py): (rows, sub, fx, fy) with
     identical coordinate math; the sub-block select + lerp run
-    in-register instead of through the optimization_barrier relayout."""
+    in-register instead of through the optimization_barrier relayout.
+
+    Flat [M] inputs with M % 128 == 0 run the index chain on
+    [M/128, 128] 2-D shapes (flat s32 chains lay out T(1,128) — ~8x VPU
+    waste; see tap_finish.sample_bundle_planes) and return flat."""
+    two_d = u.ndim == 1 and u.shape[0] % 128 == 0 and u.shape[0] > 0
+    if two_d:
+        m = u.shape[0]
+        u = u.reshape(m // 128, 128)
+        v = v.reshape(m // 128, 128)
     s = size
     x = jnp.clip(u * s - 0.5, 0.0, s - 1.0)
     y = jnp.clip(v * s - 0.5, 0.0, s - 1.0)
@@ -438,7 +447,14 @@ def lut_2ch_fetch_parts(
     b = (s + 1) >> 1
     phase = (y0 & 1) * 2 + (x0 & 1)
     qidx = phase * (b * b) + (y0 >> 1) * b + (x0 >> 1)
-    return quads[qidx >> QUAD_GROUP_SHIFT], qidx & (QUAD_GROUP - 1), fx, fy
+    ridx = qidx >> QUAD_GROUP_SHIFT
+    sub = qidx & (QUAD_GROUP - 1)
+    if two_d:
+        ridx = jax.lax.optimization_barrier(ridx).reshape(m)
+        sub = sub.reshape(m)
+        fx = fx.reshape(m)
+        fy = fy.reshape(m)
+    return quads[ridx], sub, fx, fy
 
 
 def sample_lut_2ch_quad(
