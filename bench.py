@@ -222,7 +222,8 @@ def bench_scene(name, builder, config, round_trip, n_frames=10,
             log(
                 f"    caps (init+extreme yaw): "
                 f"overflowed={bool(diag.overflowed())} "
-                f"opaque_blocks={int(diag.opaque_blocks)}"
+                f"opaque_blocks={int(diag.opaque_blocks)} "
+                f"pairs={int(diag.pair_demand)}/{diag.pair_capacity}"
             )
             if flags.has_alpha_clip:
                 log(

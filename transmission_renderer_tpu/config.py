@@ -78,6 +78,13 @@ class RenderConfig:
     # tier). Rung overflow drops draws and is surfaced via
     # FrameDiagnostics.tier_overflow.
     pallas_tiers: tuple = ((8, 4096), (128, 512), (2048, 64), (0, 16))
+    # Pair-stream compaction (ops/raster.py::bin_triangles): compact the
+    # mostly-sentinel slot stream to frac * slots valid pairs before the
+    # sort — both the sort and the payload gather then scale with TRUE
+    # pair count (~17% of slots on the dragon) instead of slot count.
+    # Exact while demand fits; overflow drops pairs (FrameDiagnostics
+    # pair_demand vs capacity). None disables compaction.
+    pallas_pair_cap_frac: float | None = 0.375
 
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
     # shape is the kernel's native 8x128; pure-JAX vmapped raster

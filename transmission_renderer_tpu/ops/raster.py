@@ -166,6 +166,11 @@ class TileBins(NamedTuple):
     # against (demand > slots = dropped draws)
     tier_demands: tuple = ()
     tier_slots: tuple = ()
+    # pair-stream compaction diagnostics (``pair_cap_frac``): unclamped
+    # valid-pair demand vs the compacted stream's static capacity
+    # (demand > capacity = dropped pairs)
+    pair_demand: jnp.ndarray | int = 0
+    pair_capacity: int = 0
 
 
 def bin_triangles(
@@ -181,6 +186,7 @@ def bin_triangles(
     mid_tile_cap: int = 0,
     max_mid_tris: int = 0,
     tiers: tuple | None = None,
+    pair_cap_frac: float | None = None,
 ) -> TileBins:
     """Sort-based binning (the TPU replacement for the reference's
     atomic-append compaction, SURVEY.md §2.6).
@@ -362,6 +368,46 @@ def bin_triangles(
         # map them to the sorted sentinel (-1 handled by payload pad)
         flat_tris = jnp.where(flat_tris >= num_tris, -1, flat_tris)
 
+    pair_demand = jnp.zeros((), jnp.int32)
+    pair_capacity = 0
+    if not materialize and pair_cap_frac is not None:
+        # Pair-stream COMPACTION before the sort: the slot stream is
+        # mostly sentinels (K slots per triangle regardless of coverage,
+        # plus culled triangles — the dragon's true pair count is ~17%
+        # of its 0.76M slots), and the sort + the payload gather both
+        # scale with STREAM LENGTH, not valid pairs. One cumsum + two
+        # unique-index scatters (~0.8 ms each at 0.76M, cheaper than the
+        # ~5 ms sort tail they delete) compact valid pairs into a static
+        # [cap] buffer. Exact while demand fits the cap; overflow drops
+        # pairs and is surfaced via pair_demand (FrameDiagnostics).
+        s_len = int(flat_bins.shape[0])
+        pair_capacity = min(s_len, max(int(s_len * pair_cap_frac) + 1, 1 << 16))
+        if pair_capacity < s_len:
+            valid = flat_bins < n_bins
+            pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+            pair_demand = (pos[-1] + 1).astype(jnp.int32)
+            # unique out-of-bounds targets for unselected slots so
+            # mode="drop" discards them (same trick as the tier
+            # compaction above)
+            arange_s = jnp.arange(s_len, dtype=jnp.int32)
+            tgt = jnp.where(
+                valid & (pos < pair_capacity),
+                pos,
+                pair_capacity + arange_s,
+            )
+            flat_bins = (
+                jnp.full((pair_capacity,), n_bins, jnp.int32)
+                .at[tgt]
+                .set(flat_bins, mode="drop", unique_indices=True)
+            )
+            flat_tris = (
+                jnp.full((pair_capacity,), -1, jnp.int32)
+                .at[tgt]
+                .set(flat_tris, mode="drop", unique_indices=True)
+            )
+        else:
+            pair_capacity = 0
+
     # Two-key sort: (bin, tri) — tri-ascending within a bin IS draw order
     # (measured cheaper than a packed-key jnp.sort on v5e, and free of the
     # 31-bit packing constraint).
@@ -421,6 +467,8 @@ def bin_triangles(
         mid_tri_count=jnp.asarray(mid_demand, jnp.int32),
         tier_demands=tuple(tier_demands) if not materialize else (),
         tier_slots=tuple(tier_slots) if not materialize else (),
+        pair_demand=pair_demand,
+        pair_capacity=pair_capacity,
     )
 
 

@@ -433,6 +433,10 @@ class FrameDiagnostics(NamedTuple):
     # unresolved pixels no later round can recover)
     clip_round_demand: tuple = ()
     clip_round_caps: tuple = ()
+    # binning pair-stream compaction (ops/raster.py pair_cap_frac):
+    # valid-pair demand vs the compacted stream's static capacity
+    pair_demand: jnp.ndarray | int = 0
+    pair_capacity: int = 0
 
     def overflowed(self) -> bool:
         """Host-side check (call outside jit on fetched values)."""
@@ -444,6 +448,7 @@ class FrameDiagnostics(NamedTuple):
             (int(self.mid_tri_count), self.mid_tri_capacity),
             (int(self.transmission_tiles), self.transmission_tile_capacity),
             (int(self.clip_tiles), self.clip_tile_capacity),
+            (int(self.pair_demand), self.pair_capacity),
         ]
         return (
             any(cap and n > cap for n, cap in checks)
@@ -1034,6 +1039,8 @@ def render_frame(
     big_tri_demand = jnp.int32(0)
     mid_tri_demand = jnp.int32(0)
     tier_overflow = jnp.int32(0)
+    pair_demand = jnp.int32(0)
+    pair_capacity = 0
     clip_tiles = jnp.int32(0)
     transmission_tiles = jnp.int32(0)
 
@@ -1093,6 +1100,7 @@ def render_frame(
                 mid_tile_cap=config.pallas_mid_tile_cap,
                 max_mid_tris=config.pallas_max_mid_tris,
                 tiers=config.pallas_tiers,
+                pair_cap_frac=config.pallas_pair_cap_frac,
             )
             # the Pallas tile lists are uncapped (they read tile_start),
             # but the demotion tier rungs are static buffers — track the
@@ -1107,6 +1115,8 @@ def render_frame(
             mid_tri_demand = jnp.maximum(
                 mid_tri_demand, bins_all.mid_tri_count
             )
+            pair_demand = bins_all.pair_demand
+            pair_capacity = bins_all.pair_capacity
         with pass_scope("payload"):
             records = pack_gbuf_payload(
                 setup_all, dl.tri_vtx, dl.tri_material, tri_scale,
@@ -1618,6 +1628,8 @@ def render_frame(
             tier_overflow=tier_overflow,
             clip_round_demand=clip_rounds[0] if clip_rounds else (),
             clip_round_caps=clip_rounds[1] if clip_rounds else (),
+            pair_demand=pair_demand,
+            pair_capacity=pair_capacity,
         )
         if return_hdr:
             return ldr, jnp.stack(hdr_planes, axis=-1), diags
