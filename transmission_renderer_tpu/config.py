@@ -80,11 +80,17 @@ class RenderConfig:
     pallas_tiers: tuple = ((8, 4096), (128, 512), (2048, 64), (0, 16))
     # Pair-stream compaction (ops/raster.py::bin_triangles): compact the
     # mostly-sentinel slot stream to frac * slots valid pairs before the
-    # sort — both the sort and the payload gather then scale with TRUE
-    # pair count (~17% of slots on the dragon) instead of slot count.
+    # sort, so the sort and the payload gather scale with TRUE pair
+    # count (~25% of the dragon's 529K slots). MEASURED NEGATIVE at
+    # default scale (v5e, dragon 1080p): payload 3.97 -> 2.89 ms but
+    # binning 7.92 -> 13.14 ms — the 529K-long cumsum + two scatters
+    # cost more than the 529K->186K sort shrink saves (scatter cost is
+    # superlinear: the 0.79 ms/scatter figure from the tier compaction
+    # was at 134K elements). Off by default; kept as a knob because the
+    # tradeoff flips for scenes whose stream is sentinel-heavier.
     # Exact while demand fits; overflow drops pairs (FrameDiagnostics
-    # pair_demand vs capacity). None disables compaction.
-    pallas_pair_cap_frac: float | None = 0.375
+    # pair_demand vs capacity).
+    pallas_pair_cap_frac: float | None = None
 
     # Rasteriser backend: None = auto (Pallas kernel on TPU when the tile
     # shape is the kernel's native 8x128; pure-JAX vmapped raster

@@ -280,11 +280,21 @@ def build_pyramid(
                 level_rows.append(None)
             elif level_set is not None and lw * lh >= ROWS_FORM_MIN_TEXELS:
                 level_quads.append(None)
-                rows = interleave(k).reshape(-1, 3)
-                pad = (-rows.shape[0]) % ROW_GROUP
-                if pad:
-                    rows = jnp.pad(rows, ((0, pad), (0, 0)))
-                level_rows.append(rows.reshape(-1, 3 * ROW_GROUP))
+                # CHANNEL-BLOCKED row form ([G reds | G greens | G
+                # blues] per row), built straight from the planar
+                # downsample chain: per plane a contiguous reshape to
+                # [wh/G, G], then one concat. The texel-interleaved
+                # [wh, 3] form this replaces forced a planar ->
+                # interleaved relayout of the whole level (~8 ms of the
+                # stress scene's 11.6 ms pyr_quads at level 0, v5e).
+                chans = []
+                for p in planes[k]:
+                    flat = p.reshape(-1)
+                    pad = (-flat.shape[0]) % ROW_GROUP
+                    if pad:
+                        flat = jnp.pad(flat, (0, pad))
+                    chans.append(flat.reshape(-1, ROW_GROUP))
+                level_rows.append(jnp.concatenate(chans, axis=1))
             else:
                 level_quads.append(_quad_level(interleave(k)))
                 level_rows.append(None)
@@ -367,12 +377,17 @@ def _bilinear_level_static(pyr: MipPyramid, k: int, uv: jnp.ndarray):
             # keep the wide row gather intact (see _fetch_quad)
             grp = jax.lax.optimization_barrier(grp)
             sub = idx & (ROW_GROUP - 1)
-            out = grp[..., 0:3]
-            for j in range(1, ROW_GROUP):
-                out = jnp.where(
-                    (sub == j)[..., None], grp[..., 3 * j : 3 * j + 3], out
-                )
-            return out
+            # channel-blocked rows (see build_pyramid): channel c's
+            # texel j sits at c * G + j
+            chans = []
+            for c in range(3):
+                v = grp[..., c * ROW_GROUP]
+                for j in range(1, ROW_GROUP):
+                    v = jnp.where(
+                        sub == j, grp[..., c * ROW_GROUP + j], v
+                    )
+                chans.append(v)
+            return jnp.stack(chans, axis=-1)
 
         c00 = tap(y0 * w + x0)
         c10 = tap(y0 * w + x1)

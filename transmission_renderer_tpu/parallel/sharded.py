@@ -523,7 +523,7 @@ def render_frame_sharded(
                 )
                 return shadow_factors(
                     bvh_f, dl.tri_vtx, world_pos, g_band, params.sun_dir,
-                    lights, light_active=mask,
+                    lights, light_active=mask, packet_swizzle="2d",
                 )
 
         def band_block_meta():

@@ -1272,6 +1272,7 @@ def render_frame(
                     # (slot 2): the shade's N·L uses the perturbed normal
                     nol_gate=config.nol_shadow_gate
                     and not flags.tex_slots[2],
+                    packet_swizzle="2d",
                 )
         ctx = ctx._replace(sun_shadow_factor=sun_f, light_shadow_factors=light_f)
 
@@ -1490,10 +1491,14 @@ def render_frame(
                 px_t, py_t = pixel_coords(wk_t)
                 if use_rt:
                     with pass_scope("shadow_rays_transmission"):
+                        # the fused-sparse worklist is tile-grouped
+                        # (every 1024 lanes = one 8x128 raster tile) —
+                        # regroup into 8x16 packets for the walk
                         sun_f_t, light_f_t = shadow_factors(
                             bvh, dl.tri_vtx, world_pos, g_tf,
                             params.sun_dir, lights,
                             light_active=_light_mask(ctx_t, g_tf, px_t, py_t),
+                            packet_swizzle="tiles",
                         )
                     ctx_tf = ctx_tf._replace(
                         sun_shadow_factor=sun_f_t,
@@ -1580,6 +1585,7 @@ def render_frame(
                             bvh, dl.tri_vtx, world_pos, g_t,
                             params.sun_dir, lights,
                             light_active=_light_mask(ctx_t, g_t, px_td, py_td),
+                            packet_swizzle="2d",
                         )
                     ctx_t = ctx_t._replace(
                         sun_shadow_factor=sun_f_t,

@@ -231,6 +231,11 @@ class OpaqueShadeSpec(NamedTuple):
     # accumulation order matches the slot loop, and skipped lights add
     # exact zeros just like the slot loop's padded slots.
     n_mask_chunks: int = 0  # 0 = slot mode
+    # bundle index per _MAT_SLOTS entry (mixed-image scenes carry one
+    # bundle of sample planes per distinct meta block — see
+    # shading.bundle_tap_samples; single-block scenes map everything
+    # to bundle 0). Each bundle contributes n_layers * 4 planes.
+    slot_bundle: tuple = (0,) * 8
 
 
 # material-matrix column layout (render/shading.py::build_material_matrix)
@@ -344,16 +349,20 @@ def _make_kernel(spec: OpaqueShadeSpec, n_sample_planes: int):
 
         def slot_sample(flag_pos):
             """(tid int32, sample [4-channel tuple]) for a texture slot —
-            the bundle sample planes hold ALL layers; select by the packed
-            ref's layer bits (scene/textures.py::texture_ref)."""
-            tid_f = mvals[_C_TID0 + _SLOT_TO_IMAT[flag_pos]]
+            the slot's bundle's sample planes hold ALL layers; select by
+            the packed ref's layer bits (scene/textures.py::texture_ref).
+            Mixed-image scenes route each slot to its own bundle via the
+            static slot_bundle map."""
+            imat = _SLOT_TO_IMAT[flag_pos]
+            tid_f = mvals[_C_TID0 + imat]
             tid = tid_f.astype(jnp.int32)
             layer = jnp.maximum(tid, 0) >> 16  # LAYER_SHIFT
+            base = spec.slot_bundle[imat] * 4 * spec.n_layers
             ch = []
             for c in range(4):
-                v = samples[c]
+                v = samples[base + c]
                 for k in range(1, spec.n_layers):
-                    v = jnp.where(layer == k, samples[4 * k + c], v)
+                    v = jnp.where(layer == k, samples[base + 4 * k + c], v)
                 ch.append(v)
             return tid, ch
 
@@ -781,7 +790,11 @@ def pallas_shade_supported(ctx, n_mat: int, w: int) -> bool:
         # covers 16 < L <= 64 (the loop is L BRDF evaluations)
         and (ctx.lights.num <= 16 and S <= 8 or 16 < ctx.lights.num <= 64)
         and w % 128 == 0  # flat blocks must be single-row segments
-        and n_mat <= 64
+        # material where-chain: (n_mat-1) selects per needed column but
+        # each select covers the whole [RB, 128] block, ~2-4 ops/px at
+        # n_mat ~100 — raising 64 -> 128 engaged the kernel for the
+        # 82-material bindless scene (XLA light_loop was 205 ms there)
+        and n_mat <= 128
     )
 
 
@@ -808,11 +821,29 @@ def _call_shade_kernel(
     n_mat = int(ctx.mat_matrix.table.shape[0])
     L = int(ctx.lights.num)
     n_layers = 0
+    slot_bundle = (0,) * 8
     if sample_list:
         s0 = sample_list[0]
         n_layers = (
             s0.n_layers if isinstance(s0, PlanarBundle) else s0.shape[-2]
         )
+        if len(sample_list) > 1:
+            # mixed-image scene: one bundle per distinct meta block, in
+            # bundle_tap_samples' used_meta_cols order — derive the
+            # static slot -> bundle map the kernel routes through
+            from transmission_renderer_tpu.render.shading import (
+                _MAT_SLOTS,
+                used_meta_cols,
+            )
+
+            used = used_meta_cols(ctx.mat_matrix, tex_slots)
+            assert len(used) == len(sample_list)
+            slot_bundle = tuple(
+                used.index(ctx.mat_matrix.meta_col[name])
+                if ctx.mat_matrix.meta_col[name] in used
+                else 0
+                for name in _MAT_SLOTS
+            )
 
     spec = OpaqueShadeSpec(
         n_mat=n_mat,
@@ -836,6 +867,7 @@ def _call_shade_kernel(
         transmission=transmission,
         fb_width=float(ctx.framebuffer_size[0]),
         n_mask_chunks=_mask_chunks(ctx),
+        slot_bundle=slot_bundle,
     )
 
     scalars = jnp.concatenate(

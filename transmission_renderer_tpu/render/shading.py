@@ -771,10 +771,11 @@ def bundle_tap_samples(
     """The material texture taps of ``_evaluate_pixel_material`` WITHOUT
     the factor application — pre-gathered inputs for the fused shade
     kernel (render/shade_kernel.py). Returns (samples list — one
-    [M, L, 4] array or PlanarBundle per unique meta block, ok); ok is
-    False when used slots span >1 distinct meta block (the kernel
-    handles a single shared bundle; mixed-image scenes keep the XLA
-    path).
+    [M, L, 4] array or PlanarBundle per unique meta block in
+    ``used_meta_cols`` order, ok). Mixed-image scenes (several meta
+    blocks, e.g. the 82-material bindless scene) produce one bundle per
+    block; the kernel routes each slot to its bundle via the static
+    slot->bundle map (shade_kernel.OpaqueShadeSpec.slot_bundle).
 
     ``pallas_finish`` routes the post-gather select/lerp work through
     the tap-finish kernel (ops/tap_finish.py) — bit-exact, and the
@@ -787,42 +788,53 @@ def bundle_tap_samples(
     )
 
     mm = mat_matrix
-    used_cols = []
-    for name, flag_pos in zip(_MAT_SLOTS, _SLOT_FLAG_POS):
-        if not tex_slots[flag_pos]:
-            continue
-        col = mm.meta_col[name]
-        if col is not None and col not in used_cols:
-            used_cols.append(col)
+    used_cols = used_meta_cols(mat_matrix, tex_slots)
     if not used_cols:
         return [], True
-    if len(used_cols) > 1:
-        return [], False
     a_classes = atlas_classes(scene.atlas_meta)
     use_finish = pallas_finish and finish_supported(
         scene.atlas_texels, g.uv.shape[0], fused_trilinear, True
     )
+    out = []
     with pass_scope("material_taps"):
         with pass_scope("mat_row"):
             mrow = onehot_rows(mm.table, g.material_id)
-        col = used_cols[0]
-        with pass_scope("mat_tap"):
-            rows = _meta_rows_from(mrow, col)
-            lod = _mip_lod(g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3])
-            if use_finish:
-                s = PlanarBundle(
-                    sample_bundle_planes(
+        for col in used_cols:
+            with pass_scope("mat_tap"):
+                rows = _meta_rows_from(mrow, col)
+                lod = _mip_lod(
+                    g.duv_dx, g.duv_dy, rows[..., 2], rows[..., 3]
+                )
+                if use_finish:
+                    s = PlanarBundle(
+                        sample_bundle_planes(
+                            scene.atlas_texels, rows, g.uv, lod,
+                            WRAP_REPEAT, classes=a_classes,
+                            interpret=interpret,
+                        ),
+                        n_layers=max(a_classes),
+                    )
+                else:
+                    s = sample_bundle_rows(
                         scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
-                        classes=a_classes, interpret=interpret,
-                    ),
-                    n_layers=max(a_classes),
-                )
-            else:
-                s = sample_bundle_rows(
-                    scene.atlas_texels, rows, g.uv, lod, WRAP_REPEAT,
-                    fused=fused_trilinear, classes=a_classes,
-                )
-    return [s], True
+                        fused=fused_trilinear, classes=a_classes,
+                    )
+            out.append(s)
+    return out, True
+
+
+def used_meta_cols(mat_matrix: MaterialMatrix, tex_slots: tuple) -> list:
+    """Distinct meta columns the active texture slots read, in first-
+    appearance (_MAT_SLOTS) order — the bundle order of
+    bundle_tap_samples and the kernel's slot->bundle map."""
+    used_cols = []
+    for name, flag_pos in zip(_MAT_SLOTS, _SLOT_FLAG_POS):
+        if not tex_slots[flag_pos]:
+            continue
+        col = mat_matrix.meta_col[name]
+        if col is not None and col not in used_cols:
+            used_cols.append(col)
+    return used_cols
 
 
 def _shade_opaque_kernel_path(
